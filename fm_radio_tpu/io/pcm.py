@@ -1,0 +1,50 @@
+"""Recorded-IQ (*.pcm) reading: interleaved u8 I/Q at Fs_baseband.
+
+Parity: the file path of ``fm_demod_no_tuner`` / ``fm_demod_benchmark``
+(``fm_demod_no_tuner.cpp:179-189``): fread blocks of complex<u8>, recenter by
+-127 (``app.cpp:57-63``).  Reading uses a zero-copy memmap; the u8->f32
+recenter happens on device as part of the jitted block (cheap, HBM-friendly:
+the host->device transfer stays 2 bytes/sample).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def read_pcm_u8(path: str, max_samples: int | None = None) -> np.ndarray:
+    """Read interleaved u8 IQ -> [N] array of raw (I, Q) u8 pairs [N, 2]."""
+    raw = np.memmap(path, dtype=np.uint8, mode="r")
+    n = raw.size // 2
+    if max_samples is not None:
+        n = min(n, max_samples)
+    return np.asarray(raw[: 2 * n]).reshape(n, 2)
+
+
+def u8_to_c64(iq_u8: np.ndarray) -> np.ndarray:
+    """Recenter: (u8 - 127) + j(u8 - 127)  (app.cpp:57-63)."""
+    f = iq_u8.astype(np.float32) - 127.0
+    return (f[..., 0] + 1j * f[..., 1]).astype(np.complex64)
+
+
+def c64_to_u8(x: np.ndarray) -> np.ndarray:
+    """Quantize centered complex IQ back to interleaved u8 (for synthesizing
+    reference-format recordings)."""
+    out = np.empty(x.shape + (2,), dtype=np.uint8)
+    out[..., 0] = np.clip(np.round(x.real + 127.0), 0, 255).astype(np.uint8)
+    out[..., 1] = np.clip(np.round(x.imag + 127.0), 0, 255).astype(np.uint8)
+    return out
+
+
+def iter_pcm_blocks(path: str, block_size: int, max_blocks: int | None = None):
+    """Yield [block_size] complex64 centered blocks; drops the final partial
+    block like the reference's fread loop (fm_demod_benchmark.cpp:96-99)."""
+    raw = np.memmap(path, dtype=np.uint8, mode="r")
+    n_blocks = raw.size // (2 * block_size)
+    if max_blocks is not None:
+        n_blocks = min(n_blocks, max_blocks)
+    for b in range(n_blocks):
+        chunk = np.asarray(
+            raw[b * 2 * block_size : (b + 1) * 2 * block_size], dtype=np.uint8
+        ).reshape(block_size, 2)
+        yield u8_to_c64(chunk)

@@ -1,0 +1,30 @@
+"""Block-level automatic gain control.
+
+Parity: ``AGC_Filter`` (``src/dsp/agc.h:6-31``): one gain update per block —
+measure average power, first-order-track the gain toward
+sqrt(target_power / avg_power) with beta = 0.2, then scale the whole block by
+the *updated* gain.  Within a block this is fully parallel; only the scalar
+gain is carried between blocks.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def agc_init_state(channels: int) -> jnp.ndarray:
+    """Initial gain 0.1 per channel (``agc.h:10``)."""
+    return jnp.full((channels,), 0.1, dtype=jnp.float32)
+
+
+def agc_process(
+    gain: jnp.ndarray,
+    x: jnp.ndarray,
+    target_power: float = 1.0,
+    beta: float = 0.2,
+):
+    """x: [C, N] complex. Returns (new_gain [C], y [C, N])."""
+    avg_power = jnp.mean(x.real**2 + x.imag**2, axis=-1)  # [C]
+    target_gain = jnp.sqrt(jnp.float32(target_power) / avg_power)
+    new_gain = gain + jnp.float32(beta) * (target_gain - gain)
+    return new_gain, x * new_gain[:, None]

@@ -1,0 +1,124 @@
+"""IIR filters as parallel linear recurrences.
+
+The reference evaluates its order-1/2 IIR filters sample-by-sample
+(``iir_filter.h:41-46``).  A sequential loop is the one thing a TPU must not
+do, so the default here reformulates the recurrence as an associative scan on
+affine maps: with state s[n] = (y[n], ..., y[n-r+1]),
+
+    s[n] = A s[n-1] + u[n],   u[n] = (ff[n], 0, ...),
+
+where ff is the feed-forward FIR part (fully parallel) and A the companion
+matrix of the denominator.  Affine maps compose associatively, so
+``jax.lax.associative_scan`` evaluates the whole block in O(log N) depth on
+the VPU.  A `lax.scan` reference implementation is kept for parity testing.
+
+Coefficients are real (SciPy convention, see ``ops/design.py``); complex
+signals are filtered by stacking real/imag as channels — identical math since
+the reference's complex IIR also uses real taps (``iir_filter.h:8-10``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def iir_init_state(channels: int, order: int, dtype=jnp.float32) -> dict:
+    """State: last ``order`` inputs and outputs (zeros at start,
+    ``iir_filter.h:24-31``).  x_hist[:, 0] is the newest."""
+    return {
+        "x_hist": jnp.zeros((channels, order), dtype=dtype),
+        "y_hist": jnp.zeros((channels, order), dtype=dtype),
+    }
+
+
+def _feedforward(b: jnp.ndarray, x_hist: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """ff[n] = sum_j b[j] x[n-j] with carried history (x_hist newest-first)."""
+    order = b.shape[0] - 1
+    if order == 0:
+        return b[0] * x
+    x_pad = jnp.concatenate([x_hist[:, ::-1], x], axis=-1)  # oldest..newest
+    # correlation with reversed b
+    w = b[::-1]
+    n = x.shape[-1]
+    acc = jnp.zeros_like(x)
+    for j in range(order + 1):
+        acc = acc + w[j] * jax.lax.dynamic_slice_in_dim(x_pad, j, n, axis=-1)
+    return acc
+
+
+def _companion(a: jnp.ndarray) -> jnp.ndarray:
+    """Companion matrix of denominator a (a[0]==1), order r = len(a)-1."""
+    r = a.shape[0] - 1
+    top = -a[1:][None, :]  # [1, r]
+    if r == 1:
+        return top.reshape(1, 1)
+    eye = jnp.eye(r - 1, r, dtype=a.dtype)
+    return jnp.concatenate([top, eye], axis=0)  # [r, r]
+
+
+@functools.partial(jax.jit, static_argnames=("method",))
+def iir_filter(b, a, state: dict, x: jnp.ndarray, method: str = "assoc"):
+    """Apply IIR filter (SciPy convention) along the last axis of ``x`` [C, N].
+
+    Returns ``(new_state, y)``.  ``method``: "assoc" (parallel, default) or
+    "scan" (sequential oracle, exact reference arithmetic order).
+    """
+    b = jnp.asarray(b, jnp.float32)
+    a = jnp.asarray(a, jnp.float32)
+    r = a.shape[0] - 1
+    assert r >= 1
+    ff = _feedforward(b, state["x_hist"], x)  # [C, N]
+    c, n = x.shape
+
+    if method == "scan":
+        def step(y_hist, ff_n):
+            # y_hist: [C, r] newest-first
+            y_n = ff_n - jnp.einsum("j,cj->c", a[1:], y_hist)
+            y_hist = jnp.concatenate([y_n[:, None], y_hist[:, :-1]], axis=1)
+            return y_hist, y_n
+
+        y_hist, y_t = jax.lax.scan(step, state["y_hist"], ff.T)
+        y = y_t.T
+    else:
+        amat = _companion(a)  # [r, r]
+        u = jnp.zeros((c, n, r), dtype=ff.dtype).at[:, :, 0].set(ff)
+        # fold initial condition into u[0]
+        s_prev = state["y_hist"]  # [C, r] newest-first = (y[-1], ..., y[-r])
+        u = u.at[:, 0, :].add(jnp.einsum("ij,cj->ci", amat, s_prev))
+        amats = jnp.broadcast_to(amat, (c, n, r, r))
+
+        def combine(left, right):
+            a1, u1 = left
+            a2, u2 = right
+            return (
+                jnp.einsum("...ij,...jk->...ik", a2, a1),
+                jnp.einsum("...ij,...j->...i", a2, u1) + u2,
+            )
+
+        _, s = jax.lax.associative_scan(combine, (amats, u), axis=1)
+        y = s[:, :, 0]
+        y_hist = s[:, -1, :]
+
+    order_b = b.shape[0] - 1
+    if order_b > 0:
+        x_hist = x[:, -1 : -order_b - 1 : -1]  # newest-first
+        if x_hist.shape[-1] < order_b:  # short block: keep old history
+            pad = state["x_hist"][:, : order_b - x_hist.shape[-1]]
+            x_hist = jnp.concatenate([x_hist, pad], axis=-1)
+    else:
+        x_hist = state["x_hist"]
+    return {"x_hist": x_hist, "y_hist": y_hist}, y
+
+
+def iir_filter_complex(b, a, state_ri: dict, x: jnp.ndarray, method: str = "assoc"):
+    """Real-coefficient IIR on a complex signal: filter re/im independently.
+
+    ``state_ri`` holds stacked [2C, order] histories.
+    """
+    c = x.shape[0]
+    xr = jnp.concatenate([x.real, x.imag], axis=0)
+    state_ri, y = iir_filter(b, a, state_ri, xr, method=method)
+    return state_ri, jax.lax.complex(y[:c], y[c:])

@@ -1,0 +1,18 @@
+"""Test harness: run everything on CPU with 8 virtual devices so sharding
+logic is CI-testable without a TPU pod (SURVEY.md §4)."""
+
+import os
+
+# Force-override: the environment presets JAX_PLATFORMS=axon (the tunneled
+# TPU); tests must run hermetically on the virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
