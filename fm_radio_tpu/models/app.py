@@ -1,0 +1,133 @@
+"""Application orchestration: IQ bytes in -> audio + RDS database out.
+
+Parity: ``App`` (``src/app.{h,cpp}``): re-blocks arbitrary input chunks to
+exactly ``block_size`` (ReconstructionBuffer), recenters u8 IQ by -127, runs
+the demodulator, and feeds RDS symbols through Manchester -> group sync ->
+decoder -> database.  Batched channels each own an independent RDS chain.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fm_radio_tpu.config import DemodConfig
+from fm_radio_tpu.models.demod import (
+    BroadcastFMDemod,
+    demod_block,
+    demod_init_state,
+    make_coeffs,
+)
+from fm_radio_tpu.rds.chain import RDSFullChain
+
+
+class App:
+    def __init__(
+        self,
+        block_size: int = 65536,
+        cfg: DemodConfig = DemodConfig(),
+        channels: int = 1,
+        decode_rds: bool = True,
+    ):
+        self.block_size = block_size
+        self.cfg = cfg
+        self.channels = channels
+        self.demod = BroadcastFMDemod(cfg, channels)
+        self.decode_rds = decode_rds
+        self.rds_chains = [RDSFullChain() for _ in range(channels)] if decode_rds else []
+        self._pending = np.zeros((channels, 0), dtype=np.complex64)
+        self.audio_blocks: list[np.ndarray] = []
+
+    # -- input paths -------------------------------------------------------
+
+    def process_u8(self, iq_u8: np.ndarray) -> None:
+        """iq_u8: [N, 2] raw interleaved bytes (single channel) or
+        [C, N, 2]."""
+        f = iq_u8.astype(np.float32) - 127.0
+        x = (f[..., 0] + 1j * f[..., 1]).astype(np.complex64)
+        self.process(x)
+
+    def process(self, x: np.ndarray) -> None:
+        """x: [N] or [C, N] centered complex64.  Re-blocks internally
+        (reconstruction_buffer.h:16-26)."""
+        if x.ndim == 1:
+            x = x[None, :]
+        buf = np.concatenate([self._pending, x], axis=-1)
+        n_blocks = buf.shape[-1] // self.block_size
+        for b in range(n_blocks):
+            blk = buf[:, b * self.block_size : (b + 1) * self.block_size]
+            self._run_block(blk)
+        self._pending = buf[:, n_blocks * self.block_size :]
+
+    # -- core --------------------------------------------------------------
+
+    def _run_block(self, blk: np.ndarray) -> None:
+        outs = self.demod.process(blk)
+        self.audio_blocks.append(outs["audio"])
+        if self.decode_rds:
+            pred = outs["rds_pred"]
+            valid = outs["rds_valid"]
+            for c in range(self.channels):
+                sym = pred[c][valid[c]]
+                if sym.size:
+                    self.rds_chains[c].process_symbols(sym)
+
+    # -- outputs -----------------------------------------------------------
+
+    @property
+    def audio(self) -> np.ndarray:
+        """[C, T_audio, 2] concatenated output audio."""
+        if not self.audio_blocks:
+            return np.zeros((self.channels, 0, 2), np.float32)
+        return np.concatenate(self.audio_blocks, axis=1)
+
+    def rds_database(self, channel: int = 0):
+        return self.rds_chains[channel].db
+
+    def rds_bytes(self, channel: int = 0) -> np.ndarray:
+        bufs = self.rds_chains[channel].rds_bytes
+        return np.concatenate(bufs) if bufs else np.zeros(0, np.uint8)
+
+    def rds_log_lines(self, channel: int = 0) -> list[str]:
+        return self.rds_chains[channel].chain.log_lines
+
+
+def demod_stream(
+    cfg: DemodConfig,
+    x: np.ndarray,
+    block_size: int = 65536,
+    state: dict | None = None,
+    channels_first: bool = True,
+):
+    """Whole-stream demodulation in ONE device call: ``lax.scan`` over blocks.
+
+    x: [C, T] complex64 with T a multiple of block_size.  Returns
+    (final_state, outs) where outs arrays have a leading block axis folded
+    back into time: audio [C, T/32, 2], rds_pred/valid [C, T/64].
+
+    This is the offline/throughput path (the jitted equivalent of the
+    fm_demod_benchmark fread loop) — one trace, no host round-trips.
+    """
+    coeffs = make_coeffs(cfg)
+    c, t = x.shape
+    assert t % block_size == 0
+    n_blocks = t // block_size
+    if state is None:
+        state = demod_init_state(cfg, c)
+    xb = jnp.asarray(x).reshape(c, n_blocks, block_size).transpose(1, 0, 2)
+
+    def step(st, blk):
+        st, outs = demod_block(cfg, coeffs, st, blk)
+        return st, outs
+
+    final_state, outs = jax.lax.scan(step, state, xb)
+    # [n_blocks, C, ...] -> [C, n_blocks*...]
+    audio = outs["audio"].transpose(1, 0, 2, 3).reshape(c, -1, 2)
+    rds_pred = outs["rds_pred"].transpose(1, 0, 2).reshape(c, -1)
+    rds_valid = outs["rds_valid"].transpose(1, 0, 2).reshape(c, -1)
+    return final_state, {
+        "audio": audio,
+        "rds_pred": rds_pred,
+        "rds_valid": rds_valid,
+    }

@@ -43,6 +43,7 @@ from fm_radio_tpu.models.pilot_pll import (
     PilotPLLState,
     make_pilot_pll_params,
     pilot_pll_init_state,
+    pilot_pll_scan,
 )
 from fm_radio_tpu.ops.agc import agc_init_state, agc_process
 from fm_radio_tpu.ops.design import (
