@@ -1,0 +1,174 @@
+"""Mesh sharding for multi-chip / multi-host demodulation.
+
+Two orthogonal axes (scaling-book style: pick a mesh, annotate shardings, let
+XLA insert collectives):
+
+* ``ch`` — independent FM channels.  Pure data parallelism: every op in the
+  pipeline (including the lax.scan loop carries) is elementwise across C, so
+  sharding the leading axis partitions the whole computation with ZERO
+  communication.  This is the throughput axis: aggregate MHz/chip scales with
+  channels per chip.
+
+* ``t`` — time-block sequence parallelism for one long stream.  The
+  reference carries all cross-block continuity in O(filter_order) state
+  (SURVEY.md §5.7), which is exactly an overlap-save decomposition: each time
+  shard needs (a) a halo of raw IQ from its left neighbor (exchanged with
+  ``lax.ppermute`` over ICI) to warm up filters and re-acquire the PLL/TED
+  loops, after which its outputs match the sequential stream; (b) nothing
+  else.  Warm-up length is a config knob (loop bandwidths are ~100 Hz, so
+  ~0.2 s of signal re-acquires lock; FIR tails need only (K-1)*M samples).
+
+Exact-state handoff (bit-identical to sequential) is available as
+``demod_stream`` scanned over shards — sequential in time but still batched
+over channels; the halo variant trades boundary transients for full
+parallelism.  Both are tested A/B (tests/test_sharding.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fm_radio_tpu.config import DemodConfig
+from fm_radio_tpu.models.demod import DemodCoeffs, demod_block, demod_init_state, make_coeffs
+
+
+def make_mesh(n_ch: int, n_t: int = 1, devices=None) -> Mesh:
+    """2D device mesh [ch, t].  For a pod slice, put ``ch`` on the outer
+    (DCN/host) dimension and ``t`` inner so halo ppermutes ride ICI."""
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= n_ch * n_t, "not enough devices"
+    dev = np.asarray(devices[: n_ch * n_t]).reshape(n_ch, n_t)
+    return Mesh(dev, ("ch", "t"))
+
+
+# ---------------------------------------------------------------------------
+# Channel sharding (DP)
+# ---------------------------------------------------------------------------
+
+
+def demod_channels_sharded(
+    cfg: DemodConfig,
+    coeffs: DemodCoeffs,
+    state: dict,
+    x: jnp.ndarray,
+    mesh: Mesh,
+):
+    """One demod block with channels sharded over the full mesh.
+
+    x: [C, B]; C must be divisible by the mesh size.  State arrays keep their
+    leading [C] (or [2C]) axis sharded the same way, so the scan carries stay
+    local to each device — no collectives at all in the steady state.
+    """
+    flat = P(("ch", "t"))
+    x_sharding = NamedSharding(mesh, P(("ch", "t"), None))
+
+    def shard_state(s):
+        # state leaves have leading channel-like axis (C or 2C)
+        return jax.tree.map(
+            lambda a: jax.device_put(
+                a, NamedSharding(mesh, P(flat[0], *([None] * (a.ndim - 1))))
+            ),
+            s,
+        )
+
+    x = jax.device_put(x, x_sharding)
+    state = shard_state(state)
+    return demod_block(cfg, coeffs, state, x)
+
+
+# ---------------------------------------------------------------------------
+# Time-block sequence parallelism (SP) via shard_map + ppermute halo
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "block_size", "warmup_blocks", "mesh_axis", "mesh")
+)
+def demod_time_parallel(
+    cfg: DemodConfig,
+    coeffs: DemodCoeffs,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    block_size: int = 65536,
+    warmup_blocks: int = 2,
+    mesh_axis: str = "t",
+):
+    """Demodulate one long stream with the time axis sharded over ``mesh_axis``
+    (channels sharded over the other axis if present).
+
+    x: [C, T] with T divisible by (n_t * block_size).  Each shard receives a
+    ``warmup_blocks * block_size`` halo of raw IQ from its left neighbor over
+    ICI (ppermute), demodulates warm-up + payload from a cold state, and
+    discards the warm-up outputs.  Shard 0's halo is zeros — it is genuinely
+    the stream start.
+
+    Returns outs dict with audio [C, T/32, 2], rds_pred/valid [C, T/64]
+    (sharded along the time axis).
+    """
+    n_t = mesh.shape[mesh_axis]
+    other_axes = tuple(a for a in mesh.axis_names if a != mesh_axis)
+    c, t = x.shape
+    assert t % (n_t * block_size) == 0
+    halo = warmup_blocks * block_size
+
+    in_spec = (P(*other_axes, mesh_axis) if other_axes else P(None, mesh_axis))
+
+    def shard_fn(x_local: jnp.ndarray):
+        # x_local: [C_local, T/n_t]
+        c_local = x_local.shape[0]
+        # halo: my last `halo` samples -> right neighbor
+        my_tail = x_local[:, -halo:]
+        left_tail = jax.lax.ppermute(
+            my_tail, mesh_axis, [(i, (i + 1) % n_t) for i in range(n_t)]
+        )
+        my_idx = jax.lax.axis_index(mesh_axis)
+        left_tail = jnp.where(my_idx == 0, jnp.zeros_like(left_tail), left_tail)
+        x_ext = jnp.concatenate([left_tail, x_local], axis=-1)
+
+        n_blocks = x_ext.shape[-1] // block_size
+        state = demod_init_state(cfg, c_local)
+        xb = x_ext.reshape(c_local, n_blocks, block_size).transpose(1, 0, 2)
+
+        def step(st, blk):
+            st, outs = demod_block(cfg, coeffs, st, blk)
+            return st, outs
+
+        _, outs = jax.lax.scan(step, state, xb)
+        # drop warm-up blocks, fold block axis into time
+        audio = outs["audio"][warmup_blocks:].transpose(1, 0, 2, 3).reshape(c_local, -1, 2)
+        rds_pred = outs["rds_pred"][warmup_blocks:].transpose(1, 0, 2).reshape(c_local, -1)
+        rds_valid = outs["rds_valid"][warmup_blocks:].transpose(1, 0, 2).reshape(c_local, -1)
+        return audio, rds_pred, rds_valid
+
+    audio, rds_pred, rds_valid = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=in_spec,
+        out_specs=(
+            (P(*other_axes, mesh_axis, None) if other_axes else P(None, mesh_axis, None)),
+            in_spec,
+            in_spec,
+        ),
+        check_vma=False,
+    )(x)
+    return {"audio": audio, "rds_pred": rds_pred, "rds_valid": rds_valid}
+
+
+def demod_full_mesh(
+    cfg: DemodConfig,
+    x: np.ndarray,
+    mesh: Mesh,
+    block_size: int = 65536,
+    warmup_blocks: int = 1,
+):
+    """Convenience: channels over 'ch', time over 't', everything jitted."""
+    coeffs = make_coeffs(cfg)
+    return demod_time_parallel(
+        cfg, coeffs, jnp.asarray(x), mesh, block_size, warmup_blocks, "t"
+    )

@@ -1,0 +1,169 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: channel sharding,
+time-parallel halo demod A/B'd against the sequential stream, channelizer."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fm_radio_tpu.config import DemodConfig
+from fm_radio_tpu.io.synth import FMModulator, ModulatorConfig
+from fm_radio_tpu.models.app import demod_stream
+from fm_radio_tpu.models.demod import demod_init_state, make_coeffs
+from fm_radio_tpu.parallel import (
+    channelize,
+    channelizer_init_state,
+    demod_time_parallel,
+    make_channelizer_taps,
+    make_mesh,
+)
+from fm_radio_tpu.parallel.sharding import demod_channels_sharded
+
+BLOCK = 16384
+
+
+@pytest.fixture(scope="module")
+def iq():
+    mod = FMModulator(ModulatorConfig())
+    return mod.generate(BLOCK * 16, left_hz=1000.0, right_hz=3000.0)
+
+
+def test_eight_devices_available():
+    assert jax.device_count() == 8
+
+
+def test_channel_sharded_matches_single(iq):
+    cfg = DemodConfig()
+    coeffs = make_coeffs(cfg)
+    x = np.stack([iq[: BLOCK * 2]] * 8)  # 8 identical channels
+    mesh = make_mesh(8, 1)
+    state = demod_init_state(cfg, 8)
+    st_sharded, outs_sharded = demod_channels_sharded(
+        cfg, coeffs, state, jnp.asarray(x), mesh
+    )
+    st_local, outs_local = None, None
+    from fm_radio_tpu.models.demod import demod_block
+
+    st_local, outs_local = demod_block(cfg, coeffs, demod_init_state(cfg, 8), jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(outs_sharded["audio"]), np.asarray(outs_local["audio"]), atol=1e-5
+    )
+
+
+def test_time_parallel_matches_sequential(iq):
+    """Halo warm-up reproduces the sequential stream away from cold-start:
+    compare the payload of shard 1.. against the exact sequential output."""
+    cfg = DemodConfig()
+    coeffs = make_coeffs(cfg)
+    x = np.asarray(iq)[None, :]  # [1, T], T = 16 blocks
+    mesh = make_mesh(1, 4)
+
+    outs_par = demod_time_parallel(
+        cfg, coeffs, jnp.asarray(x), mesh, block_size=BLOCK, warmup_blocks=2
+    )
+    _, outs_seq = demod_stream(cfg, x, block_size=BLOCK)
+
+    audio_par = np.asarray(outs_par["audio"])[0]
+    audio_seq = np.asarray(outs_seq["audio"])[0]
+    assert audio_par.shape == audio_seq.shape
+
+    fs_audio = cfg.rates.fs_audio
+    blk_audio = BLOCK // 32
+    # Each shard covers 4 blocks of payload.  Skip shard 0 (cold start on
+    # both sides) and the first payload block right after warm-up; compare
+    # the settled region.
+    for shard in range(1, 4):
+        lo = (shard * 4 + 1) * blk_audio
+        hi = (shard + 1) * 4 * blk_audio
+        seg_par = audio_par[lo:hi]
+        seg_seq = audio_seq[lo:hi]
+        err = np.sqrt(np.mean((seg_par - seg_seq) ** 2))
+        ref = np.sqrt(np.mean(seg_seq**2)) + 1e-12
+        snr = 20 * np.log10(ref / (err + 1e-12))
+        assert snr > 25.0, f"shard {shard}: boundary SNR {snr:.1f} dB"
+
+
+def test_time_parallel_2d_mesh(iq):
+    """ch x t mesh compiles and runs with both axes sharded."""
+    cfg = DemodConfig()
+    coeffs = make_coeffs(cfg)
+    x = np.stack([iq[: BLOCK * 8]] * 2)  # [2, 8 blocks]
+    mesh = make_mesh(2, 4)
+    outs = demod_time_parallel(
+        cfg, coeffs, jnp.asarray(x), mesh, block_size=BLOCK, warmup_blocks=1
+    )
+    audio = np.asarray(outs["audio"])
+    assert audio.shape == (2, BLOCK * 8 // 32, 2)
+    np.testing.assert_allclose(audio[0], audio[1], atol=1e-4)
+
+
+# ------------------------------------------------------------- channelizer
+
+
+def test_channelizer_extracts_tones():
+    """Wideband with tones in channels 1 and 5 -> energy lands in the right
+    channel outputs, matching direct mix+decimate within filter accuracy."""
+    m, k = 8, 16
+    fs = 8.0  # normalized
+    n = 4096 * m
+    t = np.arange(n)
+    # tone at channel 1 center + small offset, another at channel 5 (=-3)
+    f1 = (1.0 + 0.05) / m
+    f5 = (5.0 - 0.1) / m - 1.0  # wraps negative
+    x = (
+        np.exp(2j * np.pi * f1 * t) + 0.5 * np.exp(2j * np.pi * f5 * t)
+    ).astype(np.complex64)
+
+    taps = make_channelizer_taps(m, k)
+    st = channelizer_init_state(m, k)
+    _, y = channelize(taps, st, jnp.asarray(x), m)
+    y = np.asarray(y)
+    assert y.shape == (m, n // m + k - 1 - (k - 1))
+
+    power = np.mean(np.abs(y[:, 64:]) ** 2, axis=1)
+    assert np.argmax(power) == 1
+    others = np.delete(power, [1, 5])
+    assert power[1] > 50 * others.max()
+    assert power[5] > 50 * others.max()
+
+
+def test_channelizer_matches_direct_downconversion():
+    m, k = 4, 16
+    n = 1024 * m
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    taps = make_channelizer_taps(m, k)
+    st = channelizer_init_state(m, k)
+    _, y = channelize(taps, st, jnp.asarray(x), m)
+    y = np.asarray(y)
+
+    import scipy.signal as sig
+
+    x_pad = np.concatenate([np.zeros((k - 1) * m, np.complex64), x])
+    for ch in range(m):
+        mixed = x_pad * np.exp(-2j * np.pi * ch * np.arange(len(x_pad)) / m)
+        filt = sig.lfilter(taps, [1.0], mixed)
+        ref = filt[(k - 1) * m + m - 1 :: m]
+        # channelizer windows end at n*m + NN-1 in padded coords =>
+        # ref sample n at padded index n*m + NN - 1
+        ref = filt[m * np.arange(y.shape[1]) + m * k - 1]
+        # account for the twiddle using padded-coords (offset (k-1)*m = 0 mod m)
+        np.testing.assert_allclose(y[ch], ref, atol=2e-4)
+
+
+def test_channelizer_streaming():
+    m, k = 4, 8
+    n = 512 * m
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    taps = make_channelizer_taps(m, k)
+    st = channelizer_init_state(m, k)
+    _, y_full = channelize(taps, st, jnp.asarray(x), m)
+    st = channelizer_init_state(m, k)
+    parts = []
+    for blk in np.split(x, 4):
+        st, y = channelize(taps, st, jnp.asarray(blk), m)
+        parts.append(np.asarray(y))
+    np.testing.assert_allclose(
+        np.asarray(y_full), np.concatenate(parts, axis=1), atol=1e-5
+    )
