@@ -1,0 +1,253 @@
+"""``fmtpu`` — the framework's CLI, mirroring the reference executables.
+
+    python -m fm_radio_tpu.apps.cli demod      -i in.pcm [-b 65536] [--taps out/]
+    python -m fm_radio_tpu.apps.cli scrape     -i in.pcm -o outdir [-b 65536]
+    python -m fm_radio_tpu.apps.cli rds-decode -i bytes.bin
+    python -m fm_radio_tpu.apps.cli bench      -i in.pcm [-b 65536] [-c 64]
+    python -m fm_radio_tpu.apps.cli channelize -i wide.pcm -o outdir -m 16
+
+Flag parity: ``-i`` input (stdin if omitted where meaningful), ``-b`` block
+size power-of-2-ceiled (``fm_demod_no_tuner.cpp:95-129``), ``-o`` output dir
+(``fm_demod_scraper.cpp``).  The GUI is replaced by ``--taps``: every named
+intermediate buffer (broadcast_fm_demod.h:240-268) dumped as .npy.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def power_ceil(x: int) -> int:
+    """Round up to a power of two (fm_demod_no_tuner.cpp:95-101)."""
+    if x <= 1:
+        return 1
+    return 1 << (x - 1).bit_length()
+
+
+def _read_input_u8(path: str | None, max_samples: int | None = None) -> np.ndarray:
+    if path is None or path == "-":
+        raw = np.frombuffer(sys.stdin.buffer.read(), dtype=np.uint8)
+    else:
+        raw = np.fromfile(path, dtype=np.uint8)
+    n = raw.size // 2
+    if max_samples:
+        n = min(n, max_samples)
+    return raw[: 2 * n].reshape(n, 2)
+
+
+def cmd_demod(args) -> None:
+    from fm_radio_tpu.io.pcm import u8_to_c64
+    from fm_radio_tpu.io.wav import write_wav_int16
+    from fm_radio_tpu.models.app import App
+
+    block = power_ceil(args.block_size)
+    iq = u8_to_c64(_read_input_u8(args.input))
+    app = App(block_size=block, channels=1, decode_rds=not args.no_rds)
+    app.process(iq)
+
+    if args.output_wav:
+        write_wav_int16(args.output_wav, app.audio[0], app.demod.fs_audio)
+        print(f"wrote {args.output_wav} ({app.audio.shape[1]} frames @32kHz)")
+    if args.taps:
+        os.makedirs(args.taps, exist_ok=True)
+        # re-run last block with taps for inspection
+        outs = app.demod.process(
+            iq[None, -block:] if iq.ndim == 1 else iq[:, -block:], include_taps=True
+        )
+        for name, arr in outs["taps"].items():
+            np.save(os.path.join(args.taps, f"{name}.npy"), np.asarray(arr))
+        print(f"dumped {len(outs['taps'])} tap buffers to {args.taps}")
+    if not args.no_rds:
+        db = app.rds_database(0)
+        for line in app.rds_log_lines(0):
+            print(f"[rds_decoder] {line}", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "pi_code": f"{db.pi_code:04X}",
+                    "service_name": db.service_name_str,
+                    "radio_text": db.radio_text_str,
+                    "programme_type": db.programme_type,
+                }
+            )
+        )
+
+
+def cmd_scrape(args) -> None:
+    """WAV + RDS-byte artifacts, format-compatible with fm_demod_scraper."""
+    from fm_radio_tpu.io.pcm import u8_to_c64
+    from fm_radio_tpu.io.wav import write_wav_int16
+    from fm_radio_tpu.models.app import App
+
+    block = power_ceil(args.block_size)
+    os.makedirs(args.output, exist_ok=True)
+    iq = u8_to_c64(_read_input_u8(args.input))
+    app = App(block_size=block, channels=1, decode_rds=True)
+    app.process(iq)
+
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    wav_path = os.path.join(args.output, f"{stamp}_audio.wav")
+    write_wav_int16(wav_path, app.audio[0], app.demod.fs_audio)
+    rds_path = os.path.join(args.output, f"{stamp}_rds.bin")
+    app.rds_bytes(0).tofile(rds_path)
+    print(f"wrote {wav_path} and {rds_path}")
+
+
+def cmd_rds_decode(args) -> None:
+    """Bytes -> group log lines + database (parity with rds_decode.cpp)."""
+    from fm_radio_tpu.rds.chain import RDSDecodingChain
+
+    if args.input is None or args.input == "-":
+        data = np.frombuffer(sys.stdin.buffer.read(), dtype=np.uint8)
+    else:
+        data = np.fromfile(args.input, dtype=np.uint8)
+    chain = RDSDecodingChain()
+    chain.process(data)
+    for line in chain.log_lines:
+        print(f"[rds_decoder] {line}", file=sys.stderr)
+    db = chain.db
+    print(
+        json.dumps(
+            {
+                "groups": len(chain.groups),
+                "pi_code": f"{db.pi_code:04X}",
+                "service_name": db.service_name_str,
+                "radio_text": db.radio_text_str,
+            }
+        )
+    )
+
+
+def cmd_bench(args) -> None:
+    """Throughput harness (the reference's fm_demod_benchmark, but it
+    actually measures)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fm_radio_tpu.config import DemodConfig
+    from fm_radio_tpu.io.pcm import u8_to_c64
+    from fm_radio_tpu.models.demod import demod_block, demod_init_state, make_coeffs
+
+    block = power_ceil(args.block_size)
+    cfg = DemodConfig()
+    coeffs = make_coeffs(cfg)
+    channels = args.channels
+
+    if args.input:
+        iq = u8_to_c64(_read_input_u8(args.input, max_samples=block * 8))
+        n_blocks = max(1, len(iq) // block)
+        x = np.broadcast_to(
+            iq[: n_blocks * block][None], (channels, n_blocks * block)
+        ).copy()
+    else:
+        rng = np.random.default_rng(0)
+        n_blocks = 8
+        ph = np.cumsum(rng.standard_normal((channels, block * n_blocks)) * 0.5, -1)
+        x = (100.0 * np.exp(1j * ph)).astype(np.complex64)
+
+    xb = jnp.asarray(x.reshape(channels, n_blocks, block).transpose(1, 0, 2))
+
+    @jax.jit
+    def run(state, xb):
+        def step(st, blk):
+            st, outs = demod_block(cfg, coeffs, st, blk)
+            return st, (outs["audio"], outs["rds_pred"], outs["rds_valid"])
+
+        return jax.lax.scan(step, state, xb)
+
+    state = demod_init_state(cfg, channels)
+    jax.block_until_ready(run(state, xb))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(state, xb))
+        best = min(best, time.perf_counter() - t0)
+    msps = channels * block * n_blocks / best / 1e6
+    print(
+        json.dumps(
+            {
+                "channels": channels,
+                "block_size": block,
+                "seconds": round(best, 4),
+                "aggregate_msps": round(msps, 2),
+                "per_channel_realtime_x": round(msps * 1e6 / channels / 1.024e6, 2),
+            }
+        )
+    )
+
+
+def cmd_channelize(args) -> None:
+    """Wideband IQ -> per-station pcm files via the polyphase filterbank."""
+    import jax.numpy as jnp
+
+    from fm_radio_tpu.io.pcm import c64_to_u8, u8_to_c64
+    from fm_radio_tpu.parallel.channelizer import (
+        channelize,
+        channelizer_init_state,
+        make_channelizer_taps,
+    )
+
+    m = args.num_channels
+    iq = u8_to_c64(_read_input_u8(args.input))
+    n = (len(iq) // m) * m
+    taps = make_channelizer_taps(m, args.taps_per_phase)
+    st = channelizer_init_state(m, args.taps_per_phase)
+    _, y = channelize(taps, st, jnp.asarray(iq[:n]), m)
+    y = np.asarray(y)
+    os.makedirs(args.output, exist_ok=True)
+    for ch in range(m):
+        path = os.path.join(args.output, f"channel_{ch:02d}.pcm")
+        c64_to_u8(y[ch] / max(np.abs(y[ch]).max() / 100.0, 1e-9)).tofile(path)
+    print(f"wrote {m} channel files to {args.output}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fmtpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("demod", help="demodulate IQ pcm -> audio + RDS")
+    d.add_argument("-i", "--input", default=None, help="input *.pcm (default stdin)")
+    d.add_argument("-b", "--block-size", type=int, default=65536)
+    d.add_argument("-o", "--output-wav", default=None)
+    d.add_argument("--taps", default=None, help="dump tap-point buffers to dir")
+    d.add_argument("--no-rds", action="store_true")
+    d.set_defaults(fn=cmd_demod)
+
+    s = sub.add_parser("scrape", help="IQ pcm -> WAV + RDS bytes artifacts")
+    s.add_argument("-i", "--input", default=None)
+    s.add_argument("-b", "--block-size", type=int, default=65536)
+    s.add_argument("-o", "--output", required=True)
+    s.set_defaults(fn=cmd_scrape)
+
+    r = sub.add_parser("rds-decode", help="RDS bytes -> groups + database")
+    r.add_argument("-i", "--input", default=None)
+    r.set_defaults(fn=cmd_rds_decode)
+
+    b = sub.add_parser("bench", help="throughput benchmark")
+    b.add_argument("-i", "--input", default=None)
+    b.add_argument("-b", "--block-size", type=int, default=65536)
+    b.add_argument("-c", "--channels", type=int, default=64)
+    b.set_defaults(fn=cmd_bench)
+
+    c = sub.add_parser("channelize", help="wideband IQ -> station channels")
+    c.add_argument("-i", "--input", default=None)
+    c.add_argument("-o", "--output", required=True)
+    c.add_argument("-m", "--num-channels", type=int, default=16)
+    c.add_argument("--taps-per-phase", type=int, default=16)
+    c.set_defaults(fn=cmd_channelize)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

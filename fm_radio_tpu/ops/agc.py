@@ -25,6 +25,14 @@ def agc_process(
 ):
     """x: [C, N] complex. Returns (new_gain [C], y [C, N])."""
     avg_power = jnp.mean(x.real**2 + x.imag**2, axis=-1)  # [C]
-    target_gain = jnp.sqrt(jnp.float32(target_power) / avg_power)
-    new_gain = gain + jnp.float32(beta) * (target_gain - gain)
+    # Guard: on silence (e.g. the zero warm-up halo of time-shard 0) hold the
+    # gain instead of driving it to inf/NaN — the reference never sees zero
+    # input so it has no such branch.
+    safe_power = jnp.maximum(avg_power, jnp.float32(1e-20))
+    target_gain = jnp.sqrt(jnp.float32(target_power) / safe_power)
+    new_gain = jnp.where(
+        avg_power > jnp.float32(1e-12),
+        gain + jnp.float32(beta) * (target_gain - gain),
+        gain,
+    )
     return new_gain, x * new_gain[:, None]

@@ -1,0 +1,78 @@
+"""CLI smoke tests: full artifact pipeline (pcm -> wav + rds bytes ->
+rds-decode) round-trips through the command-line surface."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from fm_radio_tpu.io.pcm import c64_to_u8
+from fm_radio_tpu.io.synth import FMModulator, ModulatorConfig
+from fm_radio_tpu.io.wav import read_wav_int16
+
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    XLA_FLAGS="--xla_force_host_platform_device_count=1",
+    # neutralize the axon TPU sitecustomize hook in subprocesses
+    PALLAS_AXON_POOL_IPS="",
+)
+
+BLOCK = 16384
+
+
+@pytest.fixture(scope="module")
+def pcm_file(tmp_path_factory):
+    mod = FMModulator(ModulatorConfig())
+    groups = [(0xBEEF, (0 << 12) | 0b00000, 0x0000, 0x4654)]  # 0A, name 'FT'
+    # ~0.5 s of signal: enough for pilot/TED lock plus a few RDS groups
+    iq = mod.generate(BLOCK * 32, left_hz=1000.0, right_hz=1000.0, rds_groups=groups)
+    path = tmp_path_factory.mktemp("pcm") / "test.pcm"
+    c64_to_u8(iq).tofile(path)
+    return str(path)
+
+
+def run_cli(*args, stdin=None):
+    return subprocess.run(
+        [sys.executable, "-m", "fm_radio_tpu.apps.cli", *args],
+        capture_output=True,
+        env=ENV,
+        input=stdin,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=600,
+    )
+
+
+def test_scrape_and_rds_decode_roundtrip(pcm_file, tmp_path):
+    out = run_cli("scrape", "-i", pcm_file, "-b", str(BLOCK), "-o", str(tmp_path))
+    assert out.returncode == 0, out.stderr.decode()
+    wavs = [f for f in os.listdir(tmp_path) if f.endswith(".wav")]
+    bins = [f for f in os.listdir(tmp_path) if f.endswith(".bin")]
+    assert wavs and bins
+
+    audio, fs = read_wav_int16(os.path.join(tmp_path, wavs[0]))
+    assert fs == 32000 and audio.shape[1] == 2 and audio.shape[0] > 0
+
+    # replay the RDS bytes through the standalone decoder (rds_decode parity)
+    out2 = run_cli("rds-decode", "-i", os.path.join(tmp_path, bins[0]))
+    assert out2.returncode == 0, out2.stderr.decode()
+    info = json.loads(out2.stdout.decode().strip().splitlines()[-1])
+    assert info["pi_code"] == "BEEF"
+
+
+def test_demod_writes_wav(pcm_file, tmp_path):
+    wav = str(tmp_path / "out.wav")
+    out = run_cli("demod", "-i", pcm_file, "-b", str(BLOCK), "-o", wav, "--no-rds")
+    assert out.returncode == 0, out.stderr.decode()
+    audio, fs = read_wav_int16(wav)
+    assert fs == 32000 and len(audio) == BLOCK * 32 // 32
+
+
+def test_bench_runs_tiny():
+    out = run_cli("bench", "-b", "8192", "-c", "2")
+    assert out.returncode == 0, out.stderr.decode()
+    info = json.loads(out.stdout.decode().strip().splitlines()[-1])
+    assert info["aggregate_msps"] > 0
