@@ -33,11 +33,13 @@ def main() -> None:
     block = 65536
     n_blocks = 8
 
+    from fm_radio_tpu.utils.transfer import device_put_complex
+
     rng = np.random.default_rng(0)
     # FM-like signal: constant envelope, random phase walk (cheap to make)
     phase = np.cumsum(rng.standard_normal((channels, block * n_blocks)) * 0.5, axis=-1)
     x = (100.0 * np.exp(1j * phase)).astype(np.complex64)
-    xb = jnp.asarray(x.reshape(channels, n_blocks, block).transpose(1, 0, 2))
+    xb = device_put_complex(x.reshape(channels, n_blocks, block).transpose(1, 0, 2))
 
     @jax.jit
     def run(state, xb):

@@ -151,7 +151,9 @@ def cmd_bench(args) -> None:
         ph = np.cumsum(rng.standard_normal((channels, block * n_blocks)) * 0.5, -1)
         x = (100.0 * np.exp(1j * ph)).astype(np.complex64)
 
-    xb = jnp.asarray(x.reshape(channels, n_blocks, block).transpose(1, 0, 2))
+    from fm_radio_tpu.utils.transfer import device_put_complex
+
+    xb = device_put_complex(x.reshape(channels, n_blocks, block).transpose(1, 0, 2))
 
     @jax.jit
     def run(state, xb):
@@ -196,10 +198,12 @@ def cmd_channelize(args) -> None:
     m = args.num_channels
     iq = u8_to_c64(_read_input_u8(args.input))
     n = (len(iq) // m) * m
+    from fm_radio_tpu.utils.transfer import device_put_complex, fetch
+
     taps = make_channelizer_taps(m, args.taps_per_phase)
     st = channelizer_init_state(m, args.taps_per_phase)
-    _, y = channelize(taps, st, jnp.asarray(iq[:n]), m)
-    y = np.asarray(y)
+    _, y = channelize(taps, st, device_put_complex(iq[:n]), m)
+    y = fetch(y)
     os.makedirs(args.output, exist_ok=True)
     for ch in range(m):
         path = os.path.join(args.output, f"channel_{ch:02d}.pcm")

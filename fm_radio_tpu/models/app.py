@@ -115,7 +115,10 @@ def demod_stream(
     n_blocks = t // block_size
     if state is None:
         state = demod_init_state(cfg, c)
-    xb = jnp.asarray(x).reshape(c, n_blocks, block_size).transpose(1, 0, 2)
+    from fm_radio_tpu.utils.transfer import device_put_complex
+
+    xd = device_put_complex(np.asarray(x)) if isinstance(x, np.ndarray) else jnp.asarray(x)
+    xb = xd.reshape(c, n_blocks, block_size).transpose(1, 0, 2)
 
     def step(st, blk):
         st, outs = demod_block(cfg, coeffs, st, blk)

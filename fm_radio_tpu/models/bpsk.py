@@ -98,7 +98,9 @@ def make_bpsk_params(cfg: BPSKConfig) -> BPSKParams:
         ted_lpf_b0=jnp.float32(ted_b[0]),
         ted_lpf_a1=jnp.float32(ted_a[1]),
         int_dump_kts=jnp.float32(1.0 / area),
-        zcd_cooldown=jnp.int32(cfg.zcd_cooldown),
+        # stored f32 (the axon tunnel only transfers f32 params); cast to
+        # int32 inside the traced scan
+        zcd_cooldown=jnp.float32(cfg.zcd_cooldown),
     )
 
 
@@ -113,6 +115,7 @@ def bpsk_sync_scan(params: BPSKParams, state: BPSKState, x: jnp.ndarray):
     """
     one = jnp.float32(1.0)
     half_pi = jnp.float32(jnp.pi / 2.0)
+    zcd_cooldown_i = params.zcd_cooldown.astype(jnp.int32)
 
     def step(c: BPSKState, x_t):
         # --- carrier PLL PI (bpsk_synchroniser.cpp:105-126) ---
@@ -133,7 +136,7 @@ def bpsk_sync_scan(params: BPSKParams, state: BPSKState, x: jnp.ndarray):
         # trigger_cooldown.cpp:4-13: set on fire (no decrement that sample),
         # else decrement if pending
         cooldown = jnp.where(
-            fire_zcd, params.zcd_cooldown, jnp.maximum(c.cooldown - 1, 0)
+            fire_zcd, zcd_cooldown_i, jnp.maximum(c.cooldown - 1, 0)
         )
         # on zcd: sample the TED clock's timing error (cpp:131-133)
         timing = 2.0 * c.ted_ramp

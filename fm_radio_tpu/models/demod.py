@@ -132,9 +132,14 @@ def make_coeffs(cfg: DemodConfig) -> DemodCoeffs:
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "channels"))
 def demod_init_state(cfg: DemodConfig, channels: int) -> dict:
     """The complete cross-block carry (SURVEY.md §5.4): FIR tails, IIR
-    histories, AGC gains, loop scalars.  Everything [C, ...]."""
+    histories, AGC gains, loop scalars.  Everything [C, ...].
+
+    Jitted so the complex/int zero leaves are created ON device — the axon
+    tunnel cannot transfer non-f32 constants from host (utils/transfer.py).
+    """
     r = cfg.rates
     c = channels
     nn_in = cfg.order_poly_ds_lpf_fm_out
@@ -318,12 +323,14 @@ class BroadcastFMDemod:
 
     def process(self, x: np.ndarray, include_taps: bool = False) -> dict:
         """x: [C, B] complex64 centered baseband. Returns outs dict (numpy)."""
+        from fm_radio_tpu.utils.transfer import device_put_complex, fetch_tree
+
         if x.ndim == 1:
             x = x[None, :]
         self.state, outs = demod_block(
-            self.cfg, self.coeffs, self.state, jnp.asarray(x), include_taps
+            self.cfg, self.coeffs, self.state, device_put_complex(x), include_taps
         )
-        outs = jax.tree.map(np.asarray, outs)
+        outs = fetch_tree(outs)
         if include_taps:
             self.last_taps = outs.get("taps")
         return outs

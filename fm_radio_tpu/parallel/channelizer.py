@@ -35,8 +35,10 @@ def make_channelizer_taps(
 
 
 def channelizer_init_state(num_channels: int, taps_per_phase: int) -> jnp.ndarray:
-    """Carried raw-IQ tail of (K-1)*M samples."""
-    return jnp.zeros(((taps_per_phase - 1) * num_channels,), jnp.complex64)
+    """Carried raw-IQ tail of (K-1)*M samples (created on device — complex
+    constants cannot cross the axon host boundary, utils/transfer.py)."""
+    n = (taps_per_phase - 1) * num_channels
+    return jax.jit(lambda: jnp.zeros((n,), jnp.complex64))()
 
 
 def channelize(taps, state: jnp.ndarray, x: jnp.ndarray, num_channels: int):

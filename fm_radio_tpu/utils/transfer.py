@@ -1,0 +1,75 @@
+"""Float32-only host<->device transfer shims.
+
+The tunneled TPU backend in this environment (axon) implements host<->device
+transfers ONLY for float32: complex64, int32 and bool transfers raise
+UNIMPLEMENTED, and so does eager creation of non-f32 constants (it embeds them
+via a transfer).  These shims keep every host boundary f32:
+
+  * complex arrays cross as stacked (real, imag) f32 pairs and are
+    (re)combined inside a jitted program;
+  * non-f32 device arrays are fetched by casting to f32 on device first;
+  * state pytrees with complex/int leaves are *initialized inside jit* so the
+    zeros never cross the boundary.
+
+On CPU (tests) these are near-zero-cost pass-throughs.  This is also just
+good TPU hygiene: complex support on TPU is emulated as f32 pairs anyway.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def _combine_complex(ri: jnp.ndarray) -> jnp.ndarray:
+    """[2, ...] f32 -> [...] complex64 (on device)."""
+    return jax.lax.complex(ri[0], ri[1])
+
+
+@jax.jit
+def _split_complex(x: jnp.ndarray) -> jnp.ndarray:
+    """[...] complex64 -> [2, ...] f32 (on device)."""
+    return jnp.stack([jnp.real(x), jnp.imag(x)])
+
+
+@jax.jit
+def _to_f32(x: jnp.ndarray) -> jnp.ndarray:
+    return x.astype(jnp.float32)
+
+
+def device_put_complex(x: np.ndarray) -> jnp.ndarray:
+    """Host complex -> device complex64, crossing the wire as f32 pairs."""
+    ri = np.ascontiguousarray(
+        np.stack([np.real(x), np.imag(x)]), dtype=np.float32
+    )
+    return _combine_complex(jnp.asarray(ri))
+
+
+def fetch(x) -> np.ndarray:
+    """Device array -> host numpy, using only f32 transfers."""
+    if isinstance(x, np.ndarray):
+        return x
+    dtype = x.dtype
+    if dtype == jnp.float32:
+        return np.asarray(x)
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        ri = np.asarray(_split_complex(x))
+        return (ri[0] + 1j * ri[1]).astype(np.complex64)
+    # bool / ints / f64: go through f32 (values in our pipelines are small
+    # counters and flags, exactly representable)
+    out = np.asarray(_to_f32(x))
+    return out.astype(np.dtype(dtype.name))
+
+
+def fetch_tree(tree):
+    return jax.tree.map(fetch, tree)
+
+
+def init_on_device(init_fn, *args, **static_kwargs):
+    """Run a zeros/constants-building init function inside jit so non-f32
+    constants never cross the host boundary."""
+    return jax.jit(functools.partial(init_fn, *args, **static_kwargs))()

@@ -1,0 +1,134 @@
+"""Native C++ runtime tests: build, then A/B against the Python reference
+implementations (pcm reblock, WAV format, Manchester, CRC10, group sync)."""
+
+import numpy as np
+import pytest
+
+from fm_radio_tpu import runtime
+from fm_radio_tpu.io.pcm import c64_to_u8
+from fm_radio_tpu.io.synth import encode_rds_group, rds_bits_to_symbols
+from fm_radio_tpu.io.wav import read_wav_int16, write_wav_int16
+from fm_radio_tpu.rds.crc import crc10_bitserial
+from fm_radio_tpu.rds.manchester import DifferentialManchesterDecoder
+
+pytestmark = pytest.mark.skipif(
+    not runtime.available(), reason="native runtime not buildable"
+)
+
+RNG = np.random.default_rng(11)
+
+
+def test_u8_convert_matches_python():
+    import ctypes
+
+    lib = runtime.load()
+    raw = RNG.integers(0, 256, size=2 * 1000, dtype=np.uint8)
+    out = np.empty(2000, dtype=np.float32)
+    lib.rt_u8_to_f32_center(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        1000,
+    )
+    np.testing.assert_array_equal(out, raw.astype(np.float32) - 127.0)
+
+
+def test_pcm_reader_reblocks(tmp_path):
+    n = 3 * 4096 + 777  # non-multiple: final partial block dropped
+    iq = (RNG.standard_normal(n) + 1j * RNG.standard_normal(n)).astype(np.complex64)
+    iq = iq / np.abs(iq).max() * 100
+    path = tmp_path / "x.pcm"
+    c64_to_u8(iq).tofile(path)
+
+    reader = runtime.NativePcmReader(str(path), block_size=4096)
+    blocks = [b.copy() for b in reader]
+    reader.close()
+    assert len(blocks) == 3
+    got = np.concatenate(blocks)
+    expect = (c64_to_u8(iq[: 3 * 4096]).astype(np.float32) - 127.0)
+    expect = expect[..., 0] + 1j * expect[..., 1]
+    np.testing.assert_allclose(got, expect, atol=0)
+
+
+def test_wav_writer_matches_python(tmp_path):
+    audio = (RNG.standard_normal((500, 2)) * 0.5).astype(np.float32)
+    p_native = tmp_path / "n.wav"
+    p_python = tmp_path / "p.wav"
+    w = runtime.NativeWavWriter(str(p_native), 32000, 2)
+    w.write(audio[:200])
+    w.write(audio[200:])
+    w.close()
+    write_wav_int16(str(p_python), audio, 32000)
+    a1, fs1 = read_wav_int16(str(p_native))
+    a2, fs2 = read_wav_int16(str(p_python))
+    assert fs1 == fs2 == 32000
+    np.testing.assert_array_equal(a1, a2)
+    assert open(p_native, "rb").read() == open(p_python, "rb").read()
+
+
+def test_crc10_native_matches_python():
+    import ctypes  # noqa: F401
+
+    lib = runtime.load()
+    for _ in range(200):
+        x = int(RNG.integers(0, 1 << 26))
+        assert lib.rt_crc10(x) == crc10_bitserial(x)
+
+
+def test_native_rds_decoder_matches_python_chain():
+    groups_in = [
+        (0x1234, (0 << 12) | 5, 0xAAAA, 0x4142),
+        (0x1234, (2 << 12) | 1, 0x4344, 0x4546),
+    ] * 3
+    bits = np.concatenate([encode_rds_group(g) for g in groups_in])
+    symbols = rds_bits_to_symbols(bits).astype(np.float32)
+
+    native = runtime.NativeRDSBitDecoder()
+    got = []
+    # feed in awkward chunk sizes to exercise carried state
+    for chunk in np.split(symbols, [131, 517, 1033]):
+        got.extend(native.process_symbols(chunk))
+
+    full = [g["data"] for g in got if all(g["valid"])]
+    assert list(groups_in[0]) in full
+    assert list(groups_in[1]) in full
+
+    # python chain agreement on the same symbols
+    from fm_radio_tpu.rds.chain import RDSFullChain
+
+    py = RDSFullChain()
+    py.process_symbols(symbols)
+    py_full = [
+        [b.data for b in g]
+        for g in py.chain.groups
+        if all(b.is_valid for b in g)
+    ]
+    # the python chain only sees 16-byte multiples (app.cpp:16), so the
+    # native path (which consumes every full byte) may decode extra trailing
+    # groups; the common prefix must agree exactly
+    native_full = [g["data"] for g in got if all(g["valid"])]
+    assert native_full[: len(py_full)] == py_full
+    assert len(native_full) >= len(py_full)
+
+
+def test_manchester_native_matches_python():
+    import ctypes
+
+    lib = runtime.load()
+    sym = RNG.standard_normal(4096).astype(np.float32)
+    h = lib.rt_manchester_new()
+    out = np.zeros(4096 // 16 + 2, dtype=np.uint8)
+    nbits = lib.rt_manchester_process(
+        h,
+        sym.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(sym),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        0,
+    )
+    lib.rt_manchester_free(h)
+
+    emitted = []
+    dec = DifferentialManchesterDecoder(buf_size=16, on_bytes=lambda b: emitted.append(b))
+    dec.process(sym)
+    py_bytes = np.concatenate(emitted)
+    assert nbits == 2048
+    np.testing.assert_array_equal(out[: len(py_bytes)], py_bytes)
