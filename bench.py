@@ -47,18 +47,26 @@ def main() -> None:
             st, outs = demod_block(cfg, coeffs, st, blk)
             return st, (outs["audio"], outs["rds_pred"], outs["rds_valid"])
 
-        return jax.lax.scan(step, state, xb)
+        state, outs = jax.lax.scan(step, state, xb)
+        # a scalar that depends on every output: fetching it forces true
+        # completion (block_until_ready alone is unreliable over the tunnel)
+        probe = (
+            jnp.sum(outs[0])
+            + jnp.sum(outs[1])
+            + jnp.sum(outs[2].astype(jnp.float32))
+        )
+        return state, outs, probe
 
     state = demod_init_state(cfg, channels)
     # compile + warm up
-    out = run(state, xb)
-    jax.block_until_ready(out)
+    _, _, probe = run(state, xb)
+    float(np.asarray(probe))
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = run(state, xb)
-        jax.block_until_ready(out)
+        _, _, probe = run(state, xb)
+        float(np.asarray(probe))
         best = min(best, time.perf_counter() - t0)
 
     total_samples = channels * block * n_blocks

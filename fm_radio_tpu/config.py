@@ -143,6 +143,11 @@ class DemodConfig:
     # Early roll-off on decimating LPFs (broadcast_fm_demod.cpp:129)
     downsampling_rolloff_factor: float = 0.95
 
+    # Feedback-loop implementation: "scan" (lax.scan, reference-exact debug
+    # taps), "pallas" (fused TPU kernel), or "auto" (pallas on TPU when taps
+    # aren't requested and channels tile the lane width; scan otherwise).
+    loop_impl: str = "auto"
+
     # Runtime-controllable (GUI controls in the reference; jit-static here).
     audio_out: str = AudioOut.STEREO
     audio_stereo_mix_factor: float = 1.0

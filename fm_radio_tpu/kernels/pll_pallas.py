@@ -1,0 +1,180 @@
+"""Pallas kernel for the 19 kHz pilot PLL.
+
+Same recurrence as :func:`fm_radio_tpu.models.pilot_pll.pilot_pll_scan`
+(parity: ``broadcast_fm_demod.cpp:418-456``), but the whole 8192-step loop is
+ONE kernel: the 5-scalar-per-channel carry lives in vector registers, the
+pilot samples stream from VMEM, and each step is a single fused VPU program
+(Chebyshev phasor + complex multiply + atan2).  Channels ride the lane axis —
+a [1, C] row per step — so throughput is flat in C up to the lane width and
+scales with channel tiles beyond it.
+
+Grid: one program per channel tile (``ct`` lanes).  Loop constants enter as
+Python floats (static), so a config change recompiles — same policy as the
+jit-static ``DemodConfig``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fm_radio_tpu.models.pilot_pll import PilotPLLParams, PilotPLLState
+
+_STATE_ROWS = 5  # lpf_x1, lpf_y1, integ, nco_t, prev_pe
+
+
+def _cheb(x):
+    # chebyshev_sine inlined (ops/cmath.py) — keep f32 literals
+    a0, a1, a2, a3, a4, a5 = (
+        -25.13274193, 64.83583069, -67.07687378, 38.50016403, -14.07150173, 3.20396066,
+    )
+    z = x * x
+    b = jnp.float32(a5)
+    b = b * z + jnp.float32(a4)
+    b = b * z + jnp.float32(a3)
+    b = b * z + jnp.float32(a2)
+    b = b * z + jnp.float32(a1)
+    b = b * z + jnp.float32(a0)
+    return b * (z - jnp.float32(0.25)) * x
+
+
+def _wrap(t):
+    return t - jnp.round(t)
+
+
+# atan(r)/r as a degree-8 polynomial in s = r^2 on [0, 1]; max f32 error
+# 1.1e-7 rad (Chebyshev-node least squares).  Pallas TPU has no atan2
+# primitive, so we build it: range-reduce via min/max + quadrant fixup.
+_ATAN_C = (
+    0.9999999916871788, -0.3333312973773711, 0.19993671634515528,
+    -0.14211695469412014, 0.10672057031714136, -0.07570506873136391,
+    0.04347725565574077, -0.016555949161686706, 0.0029729183139991255,
+)
+
+
+def _atan2(y, x):
+    """Four-quadrant arctangent on the VPU (matches C atan2 conventions:
+    atan2(0, -1) = +pi, atan2(0, 0) = 0)."""
+    pi = jnp.float32(jnp.pi)
+    half_pi = jnp.float32(jnp.pi / 2.0)
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    r = mn / jnp.maximum(mx, jnp.float32(1e-37))
+    s = r * r
+    p = jnp.float32(_ATAN_C[-1])
+    for c in _ATAN_C[-2::-1]:
+        p = p * s + jnp.float32(c)
+    a = p * r
+    a = jnp.where(ay > ax, half_pi - a, a)
+    a = jnp.where(x < 0.0, pi - a, a)
+    return jnp.where(y < 0.0, -a, a)
+
+
+def _pll_kernel(
+    x_re_ref, x_im_ref, st_ref, dt_ref, out_st_ref,
+    *, n_steps: int, ts: float, f_center: float, f_gain: float, ki_ts: float, kp: float,
+    lpf_b0: float, lpf_a1: float,
+):
+    one = jnp.float32(1.0)
+    ts_f = jnp.float32(ts)
+    f_center_f = jnp.float32(f_center)
+    f_gain_f = jnp.float32(f_gain)
+    ki_ts_f = jnp.float32(ki_ts)
+    kp_f = jnp.float32(kp)
+    b0 = jnp.float32(lpf_b0)
+    a1 = jnp.float32(lpf_a1)
+
+    carry0 = tuple(st_ref[pl.ds(k, 1), :] for k in range(_STATE_ROWS))
+
+    def body(i, carry):
+        lpf_x1, lpf_y1, integ, nco_t, prev_pe = carry
+        lpf_pe = b0 * (prev_pe + lpf_x1) - a1 * lpf_y1
+        integ = jnp.clip(integ + ki_ts_f * prev_pe, -one, one)
+        pi_err = lpf_pe * kp_f + integ
+        control = jnp.clip(pi_err, -one, one)
+        t = _wrap(nco_t + ts_f * (f_center_f + control * f_gain_f))
+        c = _cheb(_wrap(t + jnp.float32(0.25)))
+        s = _cheb(t)
+        xr = x_re_ref[pl.ds(i, 1), :]
+        xi = x_im_ref[pl.ds(i, 1), :]
+        rr = xr * c - xi * s
+        ri = xr * s + xi * c
+        pe = _atan2(ri, rr)
+        dt_ref[pl.ds(i, 1), :] = t
+        return (prev_pe, lpf_pe, integ, t, pe)
+
+    final = jax.lax.fori_loop(0, n_steps, body, carry0)
+    for k in range(_STATE_ROWS):
+        out_st_ref[pl.ds(k, 1), :] = final[k]
+
+
+def pll_consts_from_cfg(cfg) -> dict:
+    """Loop constants as Python floats (host-side, cfg-derived — usable as
+    static kernel parameters inside a traced demod_block)."""
+    from fm_radio_tpu.ops.design import create_iir_single_pole_lpf
+
+    r = cfg.rates
+    ts = 1.0 / float(r.fs_fm_out)
+    k_lpf = cfg.analog.f_pilot_deviation / (r.fs_fm_out / 2.0)
+    lpf_b, lpf_a = create_iir_single_pole_lpf(k_lpf)
+    return dict(
+        ts=ts,
+        f_center=-float(cfg.analog.f_pilot),
+        f_gain=-float(cfg.analog.f_pilot_deviation),
+        ki_ts=cfg.pilot_pll_integrator_gain * ts,
+        kp=cfg.pilot_pll_proportional_gain,
+        lpf_b0=float(lpf_b[0]),
+        lpf_a1=float(lpf_a[1]),
+    )
+
+
+def pilot_pll_pallas(cfg, state: PilotPLLState, pilot: jnp.ndarray,
+                     interpret: bool = False):
+    """Drop-in for pilot_pll_scan's production output (traceable: all kernel
+    constants are static, derived from the hashable cfg).
+
+    pilot: [C, N] complex64.  Returns (state', dt [C, N] f32).
+    (The debug taps pll/raw_pe/pi_pe are only produced by the scan path.)
+    """
+    c, n = pilot.shape
+    ct = c if c <= 128 else 128
+    assert c % ct == 0, "channel count must tile by 128"
+
+    x_re = pilot.real.T  # [N, C]
+    x_im = pilot.imag.T
+    st = jnp.stack(
+        [state.lpf_x1, state.lpf_y1, state.integ, state.nco_t, state.prev_pe]
+    )  # [5, C]
+
+    kern = functools.partial(_pll_kernel, n_steps=n, **pll_consts_from_cfg(cfg))
+    grid = (c // ct,)
+    dt_t, out_st = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, ct), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, ct), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_STATE_ROWS, ct), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n, ct), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_STATE_ROWS, ct), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c), jnp.float32),
+            jax.ShapeDtypeStruct((_STATE_ROWS, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x_re, x_im, st)
+
+    new_state = PilotPLLState(
+        lpf_x1=out_st[0], lpf_y1=out_st[1], integ=out_st[2],
+        nco_t=out_st[3], prev_pe=out_st[4],
+    )
+    return new_state, dt_t.T

@@ -205,8 +205,23 @@ def demod_block(
         coeffs.peak_b, coeffs.peak_a, st["peak_pilot"], fm_out_iq
     )
     st["agc_pilot"], pilot = agc_process(st["agc_pilot"], pilot, target_power=1.0)
-    st["pll"], pll_taps = pilot_pll_scan(coeffs.pll, st["pll"], pilot)
-    dt = pll_taps["dt"]
+
+    c = x.shape[0]
+    use_pallas = cfg.loop_impl == "pallas" or (
+        cfg.loop_impl == "auto"
+        and jax.default_backend() == "tpu"
+        and not include_taps
+        and (c <= 128 or c % 128 == 0)
+    )
+    if use_pallas:
+        from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas
+
+        interp = jax.default_backend() != "tpu"
+        st["pll"], dt = pilot_pll_pallas(cfg, st["pll"], pilot, interpret=interp)
+        pll_taps = {"dt": dt}
+    else:
+        st["pll"], pll_taps = pilot_pll_scan(coeffs.pll, st["pll"], pilot)
+        dt = pll_taps["dt"]
 
     # ---- 3. Extract components -----------------------------------------
     h_lmr = cfg.analog.f_audio_lmr_center / cfg.analog.f_pilot  # 2.0
@@ -245,7 +260,14 @@ def demod_block(
     st["agc_rds"], rds_agc = agc_process(
         st["agc_rds"], rds, target_power=cfg.bpsk.agc_target_power
     )
-    st["bpsk"], bpsk_outs = bpsk_sync_scan(coeffs.bpsk, st["bpsk"], rds_agc)
+    if use_pallas:
+        from fm_radio_tpu.kernels.bpsk_pallas import bpsk_sync_pallas
+
+        st["bpsk"], bpsk_outs = bpsk_sync_pallas(
+            cfg, st["bpsk"], rds_agc, interpret=jax.default_backend() != "tpu"
+        )
+    else:
+        st["bpsk"], bpsk_outs = bpsk_sync_scan(coeffs.bpsk, st["bpsk"], rds_agc)
 
     # ---- 5. Audio mixing (cpp:549-585) ---------------------------------
     if cfg.audio_out == AudioOut.STEREO:
@@ -272,15 +294,16 @@ def demod_block(
             "fm_out_iq": fm_out_iq,
             "pilot": pilot,
             "pll_dt": dt,
-            "pll": pll_taps["pll"],
-            "pll_raw_phase_error": pll_taps["raw_pe"],
-            "pll_lpf_phase_error": pll_taps["pi_pe"],
+            # loop-internal taps exist only on the scan path
+            "pll": pll_taps.get("pll"),
+            "pll_raw_phase_error": pll_taps.get("raw_pe"),
+            "pll_lpf_phase_error": pll_taps.get("pi_pe"),
             "audio_lpr": audio_lpr,
             "audio_lmr": audio_lmr,
             "audio_lmr_iq": tmp_lmr,
             "rds": rds,
             "rds_agc": rds_agc,
-            "bpsk_iq": bpsk_outs["iq"],
+            "bpsk_iq": bpsk_outs.get("iq"),
         }
     return st, outs
 

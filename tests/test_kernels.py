@@ -1,0 +1,112 @@
+"""Pallas kernel parity tests (interpret mode on CPU) against the lax.scan
+reference implementations."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fm_radio_tpu.config import DemodConfig
+from fm_radio_tpu.kernels.bpsk_pallas import bpsk_sync_pallas
+from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas
+from fm_radio_tpu.models.bpsk import bpsk_init_state, bpsk_sync_scan, make_bpsk_params
+from fm_radio_tpu.models.pilot_pll import pilot_pll_init_state, pilot_pll_scan
+from fm_radio_tpu.models.demod import make_coeffs
+from fm_radio_tpu.utils.transfer import init_on_device
+
+RNG = np.random.default_rng(5)
+CFG = DemodConfig()
+
+
+def _pilot_signal(c, n):
+    """Noisy 19 kHz-ish pilot at Fs=128k so the loop actually locks."""
+    fs = CFG.rates.fs_fm_out
+    t = np.arange(n) / fs
+    x = np.exp(1j * (2 * np.pi * 19015.0 * t + 0.7))
+    x = x[None, :] + 0.01 * (
+        RNG.standard_normal((c, n)) + 1j * RNG.standard_normal((c, n))
+    )
+    return x.astype(np.complex64)
+
+
+def test_pll_pallas_matches_scan():
+    c, n = 4, 512
+    coeffs = make_coeffs(CFG)
+    pilot = jnp.asarray(_pilot_signal(c, n))
+    st0 = init_on_device(pilot_pll_init_state, c)
+
+    st_scan, taps = pilot_pll_scan(coeffs.pll, st0, pilot)
+    st_pal, dt = pilot_pll_pallas(CFG, st0, pilot, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(dt), np.asarray(taps["dt"]), atol=2e-6)
+    for a, b in zip(st_scan, st_pal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_pll_pallas_streaming():
+    c, n = 2, 512
+    pilot = jnp.asarray(_pilot_signal(c, n))
+    st = init_on_device(pilot_pll_init_state, c)
+    st1, dt_full = pilot_pll_pallas(CFG, st, pilot, interpret=True)
+    st2, dt_a = pilot_pll_pallas(CFG, st, pilot[:, : n // 2], interpret=True)
+    st2, dt_b = pilot_pll_pallas(CFG, st2, pilot[:, n // 2 :], interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(dt_full), np.concatenate([dt_a, dt_b], axis=1), atol=2e-6
+    )
+
+
+def _rds_signal(c, n):
+    """BPSK-ish signal at 16 kHz, 2 kHz symbols on the Q axis."""
+    sps = 8
+    syms = RNG.choice([-1.0, 1.0], size=(c, n // sps + 1))
+    d = np.repeat(syms, sps, axis=1)[:, :n]
+    x = (0.7j * d + 0.05 * (RNG.standard_normal((c, n)) + 1j * RNG.standard_normal((c, n))))
+    return x.astype(np.complex64)
+
+
+def test_bpsk_pallas_matches_scan():
+    c, n = 2, 512
+    coeffs = make_coeffs(CFG)
+    x = jnp.asarray(_rds_signal(c, n))
+    st0 = init_on_device(bpsk_init_state, c)
+
+    st_scan, outs_scan = bpsk_sync_scan(coeffs.bpsk, st0, x)
+    st_pal, outs_pal = bpsk_sync_pallas(CFG, st0, x, interpret=True)
+
+    np.testing.assert_array_equal(
+        np.asarray(outs_pal["valid"]), np.asarray(outs_scan["valid"])
+    )
+    # predicted symbols agree where valid
+    v = np.asarray(outs_scan["valid"])
+    np.testing.assert_allclose(
+        np.asarray(outs_pal["pred"])[v], np.asarray(outs_scan["pred"])[v], atol=1e-5
+    )
+    # all carried state agrees
+    for name in st_scan._fields:
+        a = np.asarray(getattr(st_scan, name))
+        b = np.asarray(getattr(st_pal, name))
+        np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
+
+
+def test_demod_block_pallas_path_matches_scan_path():
+    """Full pipeline with loop_impl=pallas (interpret) vs scan."""
+    from dataclasses import replace
+
+    from fm_radio_tpu.io.synth import FMModulator, ModulatorConfig
+    from fm_radio_tpu.models.demod import demod_block, demod_init_state
+
+    mod = FMModulator(ModulatorConfig())
+    iq = mod.generate(8192, left_hz=1000.0, right_hz=2000.0)[None, :]
+
+    cfg_scan = replace(CFG, loop_impl="scan")
+    cfg_pal = replace(CFG, loop_impl="pallas")
+    coeffs = make_coeffs(cfg_scan)
+
+    st_s, outs_s = demod_block(cfg_scan, coeffs, demod_init_state(cfg_scan, 1), jnp.asarray(iq))
+    st_p, outs_p = demod_block(cfg_pal, make_coeffs(cfg_pal), demod_init_state(cfg_pal, 1), jnp.asarray(iq))
+
+    np.testing.assert_allclose(
+        np.asarray(outs_p["audio"]), np.asarray(outs_s["audio"]), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs_p["rds_valid"]), np.asarray(outs_s["rds_valid"])
+    )

@@ -24,18 +24,52 @@ from fm_radio_tpu.ops.discriminator import fm_discriminate
 from fm_radio_tpu.ops.fir import hilbert_fir, polyphase_decimate
 from fm_radio_tpu.ops.iir import iir_filter_complex, iir_init_state
 from fm_radio_tpu.ops.mixer import apply_harmonic_pll
-from fm_radio_tpu.utils.transfer import device_put_complex
+from fm_radio_tpu.utils.transfer import device_put_complex, init_on_device
+
+
+@jax.jit
+def _tree_probe(out):
+    """Scalar depending on every leaf — fetching it forces completion
+    (block_until_ready is unreliable over the tunnel backend)."""
+    tot = jnp.float32(0)
+    for leaf in jax.tree.leaves(out):
+        if jnp.issubdtype(leaf.dtype, jnp.complexfloating):
+            tot = tot + jnp.sum(jnp.abs(leaf))
+        else:
+            tot = tot + jnp.sum(leaf.astype(jnp.float32))
+    return tot
+
+
+_LATENCY = None
+
+
+def _roundtrip_latency():
+    global _LATENCY
+    if _LATENCY is None:
+        f = jax.jit(lambda v: v.sum())
+        x = jnp.zeros((8, 128), jnp.float32)
+        float(np.asarray(f(x)))
+        _LATENCY = min(
+            _time_once(lambda: float(np.asarray(f(x)))) for _ in range(5)
+        )
+    return _LATENCY
+
+
+def _time_once(thunk):
+    t0 = time.perf_counter()
+    thunk()
+    return time.perf_counter() - t0
 
 
 def timeit(name, fn, *args, n=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    lat = _roundtrip_latency()
+    float(np.asarray(_tree_probe(fn(*args))))  # compile + warm
     best = float("inf")
     for _ in range(n):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
+        best = min(
+            best, _time_once(lambda: float(np.asarray(_tree_probe(fn(*args)))))
+        )
+    best = max(best - lat, 1e-6)  # subtract fixed tunnel roundtrip
     print(f"{name:32s} {best * 1e3:10.3f} ms", flush=True)
     return best
 
@@ -102,7 +136,7 @@ def main():
         jax.jit(lambda bb, aa, s, xx: iir_filter_complex(bb, aa, s, xx)),
         coeffs.peak_b,
         coeffs.peak_a,
-        iir_init_state(2 * c, 2),
+        init_on_device(iir_init_state, 2 * c, 2),
         x_fm_out,
     )
     timeit("agc", jax.jit(lambda g, xx: agc_process(g, xx)), agc_init_state(c), x_fm_out)
@@ -110,7 +144,7 @@ def main():
         "pilot PLL scan (B/8 steps)",
         jax.jit(lambda pp, s, xx: pilot_pll_scan(pp, s, xx)),
         coeffs.pll,
-        pilot_pll_init_state(c),
+        init_on_device(pilot_pll_init_state, c),
         x_fm_out,
     )
     timeit(
@@ -130,7 +164,7 @@ def main():
         "BPSK sync scan (B/64 steps)",
         jax.jit(lambda bp, s, xx: bpsk_sync_scan(bp, s, xx)),
         coeffs.bpsk,
-        bpsk_init_state(c),
+        init_on_device(bpsk_init_state, c),
         x_rds,
     )
 
