@@ -1,0 +1,48 @@
+// Golden-output harness: links the UNMODIFIED reference sources (read-only at
+// /root/reference) into a headless demodulator that writes raw f32 stereo
+// audio frames + RDS bytes, used by tests/test_golden.py to validate the TPU
+// framework against the reference implementation on synthetic recordings.
+//
+// Usage: golden_demod <in.pcm> <audio.f32> <rds.bin> <block_size>
+#include <cstdio>
+#include <cstdlib>
+#include <complex>
+#include <vector>
+
+#include "app.h"
+#include "audio/frame.h"
+
+int main(int argc, char** argv) {
+    if (argc < 5) {
+        fprintf(stderr, "usage: %s in.pcm audio.f32 rds.bin block_size\n", argv[0]);
+        return 1;
+    }
+    FILE* fin = fopen(argv[1], "rb");
+    FILE* faudio = fopen(argv[2], "wb");
+    FILE* frds = fopen(argv[3], "wb");
+    const int block_size = atoi(argv[4]);
+    if (!fin || !faudio || !frds || block_size <= 0) {
+        fprintf(stderr, "bad arguments\n");
+        return 1;
+    }
+
+    App app(block_size);
+    app.OnAudioBlock().Attach(
+        [&](tcb::span<const Frame<float>> x, const int Fs) {
+            (void)Fs;
+            fwrite(x.data(), sizeof(Frame<float>), x.size(), faudio);
+        });
+    app.On_RDS_Bytes().Attach([&](tcb::span<const uint8_t> x) {
+        fwrite(x.data(), 1, x.size(), frds);
+    });
+
+    std::vector<std::complex<uint8_t>> buf((size_t)block_size);
+    while (fread(buf.data(), sizeof(std::complex<uint8_t>), (size_t)block_size,
+                 fin) == (size_t)block_size) {
+        app.Process({buf.data(), (size_t)block_size});
+    }
+    fclose(fin);
+    fclose(faudio);
+    fclose(frds);
+    return 0;
+}

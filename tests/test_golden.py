@@ -1,0 +1,114 @@
+"""Golden parity vs the REFERENCE IMPLEMENTATION (BASELINE configs 1-3).
+
+Builds the unmodified reference demod chain (read-only at /root/reference,
+GUI FFTs stubbed — tests/golden/) into a headless binary, runs both it and
+this framework on the same synthetic recording, and asserts:
+  * stereo audio agreement (SNR bound, config 1/2),
+  * bit-exact RDS byte stream (config 3),
+  * group-level decode agreement (PI / text fields).
+"""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from fm_radio_tpu.io.pcm import c64_to_u8, u8_to_c64
+from fm_radio_tpu.io.synth import FMModulator, ModulatorConfig
+from fm_radio_tpu.models.app import App
+
+BLOCK = 65536
+REF = os.environ.get("REF", "/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None or not os.path.isdir(REF),
+    reason="reference tree or g++ unavailable",
+)
+
+
+@pytest.fixture(scope="module")
+def golden_binary(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("golden") / "golden_demod")
+    script = os.path.join(os.path.dirname(__file__), "golden", "build.sh")
+    r = subprocess.run(["sh", script, out], capture_output=True, timeout=300)
+    if r.returncode != 0:
+        pytest.skip(f"reference build failed: {r.stderr.decode()[:500]}")
+    return out
+
+
+@pytest.fixture(scope="module")
+def run_pair(golden_binary, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("io")
+    mod = FMModulator(ModulatorConfig())
+    groups = [
+        (0x1234, (0 << 12) | (1 << 10), 0xE101, 0x4142),
+        (0x1234, (2 << 12), 0x4845, 0x4C4C),
+    ]
+    iq = mod.generate(BLOCK * 10, left_hz=1000.0, right_hz=3000.0, rds_groups=groups)
+    u8 = c64_to_u8(iq)
+    pcm = str(tmp / "in.pcm")
+    u8.tofile(pcm)
+
+    audio_f = str(tmp / "audio.f32")
+    rds_f = str(tmp / "rds.bin")
+    r = subprocess.run(
+        [golden_binary, pcm, audio_f, rds_f, str(BLOCK)],
+        capture_output=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr.decode()[:500]
+    golden_audio = np.fromfile(audio_f, dtype=np.float32).reshape(-1, 2)
+    golden_rds = np.fromfile(rds_f, dtype=np.uint8)
+    golden_log = r.stderr.decode()
+
+    app = App(block_size=BLOCK, channels=1, decode_rds=True)
+    app.process(u8_to_c64(u8))
+    return golden_audio, golden_rds, golden_log, app
+
+
+def test_audio_matches_reference_binary(run_pair):
+    golden_audio, _, _, app = run_pair
+    ours = app.audio[0]
+    assert ours.shape == golden_audio.shape
+    settle = 32000 // 5  # skip the mutual lock-in transient
+    d = ours[settle:] - golden_audio[settle:]
+    snr = 10 * np.log10(
+        (golden_audio[settle:] ** 2).sum() / ((d**2).sum() + 1e-20)
+    )
+    # measured ~83 dB; anything above 60 dB is far inside the reference's own
+    # -ffast-math float noise
+    assert snr > 60.0, f"audio SNR vs reference only {snr:.1f} dB"
+
+
+def test_rds_bytes_bit_exact(run_pair):
+    _, golden_rds, _, app = run_pair
+    ours = app.rds_bytes(0)
+    assert len(ours) > 0
+    np.testing.assert_array_equal(ours, golden_rds[: len(ours)])
+    # at most one trailing 16-byte buffer difference (emission granularity)
+    assert abs(len(golden_rds) - len(ours)) <= 16
+
+
+def test_group_decode_matches_reference_log(run_pair):
+    _, _, golden_log, app = run_pair
+    assert "PI=1234" in golden_log
+    db = app.rds_database(0)
+    assert db.pi_code == 0x1234
+    # the reference decoded RadioText 'HELL...' — so must we
+    assert "text='HELL'" in golden_log
+    assert db.radio_text_str.startswith("HELL")
+    # our log lines carry the same group words as the reference's
+    ref_groups = {
+        line.split("[group] [")[1].split("]")[0]
+        for line in golden_log.splitlines()
+        if "[group] [" in line
+    }
+    our_groups = {
+        line.split("[group] [")[1].split("]")[0]
+        for line in app.rds_log_lines(0)
+        if "[group] [" in line
+    }
+    assert our_groups, "no groups decoded"
+    assert our_groups <= ref_groups or ref_groups <= our_groups
