@@ -192,7 +192,9 @@ def polyphase_upsample(taps, state: jnp.ndarray, x: jnp.ndarray, factor: int):
         lanes = x_pad.astype(jnp.float32)
     outs = []
     for p in range(factor):
-        wp = w[p::factor]  # [K]  (phase slice of reversed taps)
+        # phase p of the output uses taps h[u*L + p]; in reversed-tap
+        # coordinates that is w[(L-1-p)::L]
+        wp = w[factor - 1 - p :: factor]  # [K]
         y_p = _conv_mxu(lanes[:, None, :], wp[None, :])
         outs.append(y_p)
     y = jnp.stack(outs, axis=-1).reshape(lanes.shape[0], -1)  # interleave

@@ -167,3 +167,21 @@ def test_channelizer_streaming():
     np.testing.assert_allclose(
         np.asarray(y_full), np.concatenate(parts, axis=1), atol=1e-5
     )
+
+
+def test_pod_scale_channel_count():
+    """Config-5 shape scaled for CI: 1024 channels sharded over 8 devices
+    (on a pod this mesh extends over hosts via DCN; the program is
+    identical — only the Mesh construction changes)."""
+    cfg = DemodConfig()
+    coeffs = make_coeffs(cfg)
+    c, block = 1024, 4096
+    rng = np.random.default_rng(0)
+    ph = np.cumsum(rng.standard_normal((c, block)) * 0.5, -1)
+    x = (100 * np.exp(1j * ph)).astype(np.complex64)
+    mesh = make_mesh(8, 1)
+    state = demod_init_state(cfg, c)
+    _, outs = demod_channels_sharded(cfg, coeffs, state, jnp.asarray(x), mesh)
+    audio = np.asarray(outs["audio"])
+    assert audio.shape == (c, block // 32, 2)
+    assert np.isfinite(audio).all()
