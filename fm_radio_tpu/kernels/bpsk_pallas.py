@@ -164,19 +164,21 @@ def bpsk_consts_from_cfg(cfg) -> dict:
 def bpsk_sync_pallas(cfg, state: BPSKState, x: jnp.ndarray, interpret: bool = False):
     """Drop-in for bpsk_sync_scan's production outputs.
 
-    x: [C, N] complex64.  Returns (state', outs) with outs keys
-    sym / pred / valid (the iq debug tap is scan-path only).
+    x: [C, N] complex64 or a plane tuple (re, im) of f32 [C, N].
+    Returns (state', outs) with outs keys sym / pred / valid (the iq debug
+    tap is scan-path only).
     """
     from fm_radio_tpu.kernels.pll_pallas import pick_time_chunk
 
-    c, n = x.shape
+    xr, xi = x if isinstance(x, tuple) else (x.real, x.imag)
+    c, n = xr.shape
     ct = c if c <= 256 else 256
     assert c % ct == 0
     nc = pick_time_chunk(n, ct)
     n_chunks = n // nc
 
-    x_re = x.real.T
-    x_im = x.imag.T
+    x_re = xr.T
+    x_im = xi.T
     st = _pack_state(state)
 
     kern = functools.partial(

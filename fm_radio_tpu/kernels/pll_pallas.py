@@ -159,17 +159,19 @@ def pilot_pll_pallas(cfg, state: PilotPLLState, pilot: jnp.ndarray,
     """Drop-in for pilot_pll_scan's production output (traceable: all kernel
     constants are static, derived from the hashable cfg).
 
-    pilot: [C, N] complex64.  Returns (state', dt [C, N] f32).
+    pilot: [C, N] complex64 or a plane tuple (re, im) of f32 [C, N].
+    Returns (state', dt [C, N] f32).
     (The debug taps pll/raw_pe/pi_pe are only produced by the scan path.)
     """
-    c, n = pilot.shape
+    pr, pi = pilot if isinstance(pilot, tuple) else (pilot.real, pilot.imag)
+    c, n = pr.shape
     ct = c if c <= 256 else 256
     assert c % ct == 0, "channel count must tile by 256"
     nc = pick_time_chunk(n, ct)
     n_chunks = n // nc
 
-    x_re = pilot.real.T  # [N, C]
-    x_im = pilot.imag.T
+    x_re = pr.T  # [N, C]
+    x_im = pi.T
     st = jnp.stack(
         [state.lpf_x1, state.lpf_y1, state.integ, state.nco_t, state.prev_pe]
     )  # [5, C]

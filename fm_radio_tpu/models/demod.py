@@ -45,17 +45,21 @@ from fm_radio_tpu.models.pilot_pll import (
     pilot_pll_init_state,
     pilot_pll_scan,
 )
-from fm_radio_tpu.ops.agc import agc_init_state, agc_process
+from fm_radio_tpu.ops.agc import agc_init_state, agc_process_p
 from fm_radio_tpu.ops.design import (
     create_fir_hilbert,
     create_fir_lpf,
     create_iir_peak_1_filter,
     create_iir_single_pole_lpf,
 )
-from fm_radio_tpu.ops.discriminator import fm_discriminate
-from fm_radio_tpu.ops.fir import hilbert_fir, polyphase_decimate
-from fm_radio_tpu.ops.iir import iir_filter, iir_filter_complex, iir_init_state
-from fm_radio_tpu.ops.mixer import apply_harmonic_pll
+from fm_radio_tpu.ops.discriminator import fm_discriminate_p
+from fm_radio_tpu.ops.fir import (
+    hilbert_fir_p,
+    polyphase_decimate,
+    polyphase_decimate_p,
+)
+from fm_radio_tpu.ops.iir import iir_filter, iir_filter_planes, iir_init_state
+from fm_radio_tpu.ops.mixer import apply_harmonic_pll_p
 
 
 class DemodCoeffs(NamedTuple):
@@ -174,22 +178,34 @@ def demod_block(
 ):
     """Demodulate one baseband block.
 
-    x: [C, B] complex64 (centered IQ, i.e. u8 - 127 per app.cpp:57-63).
+    x: [C, B] complex64 (centered IQ, i.e. u8 - 127 per app.cpp:57-63), or
+    the plane form [2, C, B] f32 (re, im) which skips the real()/imag()
+    extraction passes — preferred at production block sizes.
     Returns (state', outs): outs["audio"] [C, B/32, 2] f32,
     outs["rds_pred"]/[C, B/64] soft symbols with outs["rds_valid"] mask.
     With include_taps=True every named intermediate is returned too (the
     GUI tap-point API of broadcast_fm_demod.h:240-268).
+
+    Internally every complex signal travels as a (re, im) tuple of f32
+    planes: TPU complex support is emulated as f32 pairs, so explicit planes
+    avoid one full-array extraction/reconstruction per stage.
     """
     r = cfg.rates
     st = dict(state)
     taps: dict[str, Any] = {}
 
+    if jnp.iscomplexobj(x):
+        xp = (x.real, x.imag)
+    else:  # [2, C, B] plane form
+        assert x.ndim == 3 and x.shape[0] == 2
+        xp = (x[0], x[1])
+
     # ---- 1. FM demodulation --------------------------------------------
-    st["ds_fm_in"], fm_in = polyphase_decimate(
-        coeffs.taps_fm_in, st["ds_fm_in"], x, r.ds_fm_in
+    st["ds_fm_in"], fm_in_p = polyphase_decimate_p(
+        coeffs.taps_fm_in, st["ds_fm_in"], xp, r.ds_fm_in
     )
-    st["disc_prev_theta"], fm_demod = fm_discriminate(
-        st["disc_prev_theta"], fm_in, cfg.analog.f_wbfm_deviation, float(r.fs_fm_in)
+    st["disc_prev_theta"], fm_demod = fm_discriminate_p(
+        st["disc_prev_theta"], fm_in_p, cfg.analog.f_wbfm_deviation, float(r.fs_fm_in)
     )
     st["ds_fm_out"], fm_out = polyphase_decimate(
         coeffs.taps_fm_out, st["ds_fm_out"], fm_demod, r.ds_fm_out
@@ -198,15 +214,19 @@ def demod_block(
         st["deemph"], fm_out = iir_filter(
             coeffs.deemph_b, coeffs.deemph_a, st["deemph"], fm_out
         )
-    st["hilbert"], fm_out_iq = hilbert_fir(coeffs.taps_hilbert, st["hilbert"], fm_out)
+    st["hilbert"], fm_out_iq_p = hilbert_fir_p(
+        coeffs.taps_hilbert, st["hilbert"], fm_out
+    )
 
     # ---- 2. Lock onto pilot --------------------------------------------
-    st["peak_pilot"], pilot = iir_filter_complex(
-        coeffs.peak_b, coeffs.peak_a, st["peak_pilot"], fm_out_iq
+    st["peak_pilot"], pilot_p = iir_filter_planes(
+        coeffs.peak_b, coeffs.peak_a, st["peak_pilot"], fm_out_iq_p
     )
-    st["agc_pilot"], pilot = agc_process(st["agc_pilot"], pilot, target_power=1.0)
+    st["agc_pilot"], pilot_p = agc_process_p(
+        st["agc_pilot"], pilot_p, target_power=1.0
+    )
 
-    c = x.shape[0]
+    c = fm_out.shape[0]
     use_pallas = cfg.loop_impl == "pallas" or (
         cfg.loop_impl == "auto"
         and jax.default_backend() == "tpu"
@@ -217,57 +237,61 @@ def demod_block(
         from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas
 
         interp = jax.default_backend() != "tpu"
-        st["pll"], dt = pilot_pll_pallas(cfg, st["pll"], pilot, interpret=interp)
+        st["pll"], dt = pilot_pll_pallas(cfg, st["pll"], pilot_p, interpret=interp)
         pll_taps = {"dt": dt}
     else:
-        st["pll"], pll_taps = pilot_pll_scan(coeffs.pll, st["pll"], pilot)
+        pilot_c = jax.lax.complex(*pilot_p)
+        st["pll"], pll_taps = pilot_pll_scan(coeffs.pll, st["pll"], pilot_c)
         dt = pll_taps["dt"]
 
     # ---- 3. Extract components -----------------------------------------
     h_lmr = cfg.analog.f_audio_lmr_center / cfg.analog.f_pilot  # 2.0
     h_rds = cfg.analog.f_rds_center / cfg.analog.f_pilot        # 3.0
 
-    # L+R
-    st["ds_audio_lpr"], tmp_lpr = polyphase_decimate(
-        coeffs.taps_audio_lpr, st["ds_audio_lpr"], fm_out_iq, r.ds_audio
+    # L+R: Re of the decimated analytic signal (the imag output is dead)
+    st["ds_audio_lpr"], audio_lpr = polyphase_decimate_p(
+        coeffs.taps_audio_lpr, st["ds_audio_lpr"], fm_out_iq_p, r.ds_audio,
+        imag_out=False,
     )
-    audio_lpr = tmp_lpr.real
 
     # L-R: mix with harmonic 2 using the *current* carried phase offset,
     # then update the offset from the mixed+decimated signal
     # (broadcast_fm_demod.cpp:483-521, exact order preserved)
-    mixed_lmr = apply_harmonic_pll(dt, fm_out_iq, h_lmr, st["lmr_phase_err"])
-    st["ds_audio_lmr"], tmp_lmr = polyphase_decimate(
-        coeffs.taps_audio_lmr, st["ds_audio_lmr"], mixed_lmr, r.ds_audio
+    mixed_lmr_p = apply_harmonic_pll_p(dt, fm_out_iq_p, h_lmr, st["lmr_phase_err"])
+    st["ds_audio_lmr"], tmp_lmr_p = polyphase_decimate_p(
+        coeffs.taps_audio_lmr, st["ds_audio_lmr"], mixed_lmr_p, r.ds_audio
     )
     stride = cfg.audio_lmr_phase_read_stride
-    v = tmp_lmr[:, ::stride]
-    phase = jnp.arctan2(v.imag, v.real)
+    vr = tmp_lmr_p[0][:, ::stride]
+    vi = tmp_lmr_p[1][:, ::stride]
+    phase = jnp.arctan2(vi, vr)
     half_pi = jnp.float32(jnp.pi / 2.0)
     est = jnp.where(phase > 0.0, half_pi - phase, -half_pi - phase)
     avg = jnp.mean(est, axis=-1)
     new_off = st["lmr_phase_err"] + jnp.float32(cfg.audio_lmr_phase_beta) * avg
     st["lmr_phase_err"] = jnp.fmod(new_off, jnp.float32(2.0 * jnp.pi))
-    audio_lmr = tmp_lmr.imag
+    audio_lmr = tmp_lmr_p[1]
 
     # RDS: mix with harmonic 3, zero offset
-    mixed_rds = apply_harmonic_pll(dt, fm_out_iq, h_rds, 0.0)
-    st["ds_rds"], rds = polyphase_decimate(
-        coeffs.taps_rds, st["ds_rds"], mixed_rds, r.ds_rds
+    mixed_rds_p = apply_harmonic_pll_p(dt, fm_out_iq_p, h_rds, 0.0)
+    st["ds_rds"], rds_p = polyphase_decimate_p(
+        coeffs.taps_rds, st["ds_rds"], mixed_rds_p, r.ds_rds
     )
 
     # ---- 4. RDS synchronisation ----------------------------------------
-    st["agc_rds"], rds_agc = agc_process(
-        st["agc_rds"], rds, target_power=cfg.bpsk.agc_target_power
+    st["agc_rds"], rds_agc_p = agc_process_p(
+        st["agc_rds"], rds_p, target_power=cfg.bpsk.agc_target_power
     )
     if use_pallas:
         from fm_radio_tpu.kernels.bpsk_pallas import bpsk_sync_pallas
 
         st["bpsk"], bpsk_outs = bpsk_sync_pallas(
-            cfg, st["bpsk"], rds_agc, interpret=jax.default_backend() != "tpu"
+            cfg, st["bpsk"], rds_agc_p, interpret=jax.default_backend() != "tpu"
         )
     else:
-        st["bpsk"], bpsk_outs = bpsk_sync_scan(coeffs.bpsk, st["bpsk"], rds_agc)
+        st["bpsk"], bpsk_outs = bpsk_sync_scan(
+            coeffs.bpsk, st["bpsk"], jax.lax.complex(*rds_agc_p)
+        )
 
     # ---- 5. Audio mixing (cpp:549-585) ---------------------------------
     if cfg.audio_out == AudioOut.STEREO:
@@ -288,11 +312,11 @@ def demod_block(
     }
     if include_taps:
         outs["taps"] = {
-            "fm_in": fm_in,
+            "fm_in": jax.lax.complex(*fm_in_p),
             "fm_demod": fm_demod,
             "fm_out": fm_out,
-            "fm_out_iq": fm_out_iq,
-            "pilot": pilot,
+            "fm_out_iq": jax.lax.complex(*fm_out_iq_p),
+            "pilot": jax.lax.complex(*pilot_p),
             "pll_dt": dt,
             # loop-internal taps exist only on the scan path
             "pll": pll_taps.get("pll"),
@@ -300,9 +324,9 @@ def demod_block(
             "pll_lpf_phase_error": pll_taps.get("pi_pe"),
             "audio_lpr": audio_lpr,
             "audio_lmr": audio_lmr,
-            "audio_lmr_iq": tmp_lmr,
-            "rds": rds,
-            "rds_agc": rds_agc,
+            "audio_lmr_iq": jax.lax.complex(*tmp_lmr_p),
+            "rds": jax.lax.complex(*rds_p),
+            "rds_agc": jax.lax.complex(*rds_agc_p),
             "bpsk_iq": bpsk_outs.get("iq"),
         }
     return st, outs

@@ -17,6 +17,33 @@ def agc_init_state(channels: int) -> jnp.ndarray:
     return jnp.full((channels,), 0.1, dtype=jnp.float32)
 
 
+def _agc_gain(gain, avg_power, target_power, beta):
+    # Guard: on silence (e.g. the zero warm-up halo of time-shard 0) hold the
+    # gain instead of driving it to inf/NaN — the reference never sees zero
+    # input so it has no such branch.
+    safe_power = jnp.maximum(avg_power, jnp.float32(1e-20))
+    target_gain = jnp.sqrt(jnp.float32(target_power) / safe_power)
+    return jnp.where(
+        avg_power > jnp.float32(1e-12),
+        gain + jnp.float32(beta) * (target_gain - gain),
+        gain,
+    )
+
+
+def agc_process_p(
+    gain: jnp.ndarray,
+    xp,
+    target_power: float = 1.0,
+    beta: float = 0.2,
+):
+    """Plane-tuple variant: xp = (re, im) f32. Returns (new_gain, (yr, yi))."""
+    xr, xi = xp
+    avg_power = jnp.mean(xr * xr + xi * xi, axis=-1)
+    new_gain = _agc_gain(gain, avg_power, target_power, beta)
+    g = new_gain[:, None]
+    return new_gain, (xr * g, xi * g)
+
+
 def agc_process(
     gain: jnp.ndarray,
     x: jnp.ndarray,
@@ -25,14 +52,5 @@ def agc_process(
 ):
     """x: [C, N] complex. Returns (new_gain [C], y [C, N])."""
     avg_power = jnp.mean(x.real**2 + x.imag**2, axis=-1)  # [C]
-    # Guard: on silence (e.g. the zero warm-up halo of time-shard 0) hold the
-    # gain instead of driving it to inf/NaN — the reference never sees zero
-    # input so it has no such branch.
-    safe_power = jnp.maximum(avg_power, jnp.float32(1e-20))
-    target_gain = jnp.sqrt(jnp.float32(target_power) / safe_power)
-    new_gain = jnp.where(
-        avg_power > jnp.float32(1e-12),
-        gain + jnp.float32(beta) * (target_gain - gain),
-        gain,
-    )
+    new_gain = _agc_gain(gain, avg_power, target_power, beta)
     return new_gain, x * new_gain[:, None]

@@ -202,12 +202,28 @@ def iir_filter(b, a, state: dict, x: jnp.ndarray, method: str = "toeplitz"):
     return {"x_hist": x_hist, "y_hist": y_hist}, y
 
 
+def iir_filter_planes(b, a, state_ri: dict, xp, method: str = "toeplitz"):
+    """Real-coefficient IIR on a plane-tuple complex signal xp = (re, im).
+
+    ``state_ri`` holds stacked [2C, order] histories (re rows then im rows).
+    Filters the planes as two independent real streams — no [2C, T] concat.
+    """
+    xr, xi = xp
+    c = xr.shape[0]
+    st_r = {k: v[:c] for k, v in state_ri.items()}
+    st_i = {k: v[c:] for k, v in state_ri.items()}
+    st_r, yr = iir_filter(b, a, st_r, xr, method=method)
+    st_i, yi = iir_filter(b, a, st_i, xi, method=method)
+    new = {k: jnp.concatenate([st_r[k], st_i[k]], axis=0) for k in st_r}
+    return new, (yr, yi)
+
+
 def iir_filter_complex(b, a, state_ri: dict, x: jnp.ndarray, method: str = "toeplitz"):
     """Real-coefficient IIR on a complex signal: filter re/im independently.
 
     ``state_ri`` holds stacked [2C, order] histories.
     """
-    c = x.shape[0]
-    xr = jnp.concatenate([x.real, x.imag], axis=0)
-    state_ri, y = iir_filter(b, a, state_ri, xr, method=method)
-    return state_ri, jax.lax.complex(y[:c], y[c:])
+    state_ri, (yr, yi) = iir_filter_planes(
+        b, a, state_ri, (x.real, x.imag), method=method
+    )
+    return state_ri, jax.lax.complex(yr, yi)

@@ -21,13 +21,21 @@ import jax.numpy as jnp
 from fm_radio_tpu.ops.cmath import chebyshev_sine, wrap_cycles
 
 
-def apply_harmonic_pll(dt: jnp.ndarray, x: jnp.ndarray, harmonic: float, offset):
-    """dt: [C, N] NCO phase in cycles; x: [C, N] complex; offset: scalar or [C]."""
+def apply_harmonic_pll_p(dt: jnp.ndarray, xp, harmonic: float, offset):
+    """Plane-tuple variant: xp = (re, im) f32. Returns (yr, yi)."""
     offset = jnp.asarray(offset, jnp.float32)
     if offset.ndim == 1:
         offset = offset[:, None]
+    xr, xi = xp
     dt_sin = dt * jnp.float32(harmonic) + offset
     dt_cos = wrap_cycles(dt_sin + jnp.float32(0.25))
     dt_sin = wrap_cycles(dt_sin)
-    pll = jax.lax.complex(chebyshev_sine(dt_cos), chebyshev_sine(dt_sin))
-    return x * pll
+    c = chebyshev_sine(dt_cos)
+    s = chebyshev_sine(dt_sin)
+    return xr * c - xi * s, xr * s + xi * c
+
+
+def apply_harmonic_pll(dt: jnp.ndarray, x: jnp.ndarray, harmonic: float, offset):
+    """dt: [C, N] NCO phase in cycles; x: [C, N] complex; offset: scalar or [C]."""
+    yr, yi = apply_harmonic_pll_p(dt, (x.real, x.imag), harmonic, offset)
+    return jax.lax.complex(yr, yi)
