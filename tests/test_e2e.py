@@ -137,3 +137,108 @@ def test_multichannel_batch_consistency():
     app.process(x)
     audio = app.audio
     np.testing.assert_allclose(audio[0], audio[1], atol=1e-5)
+
+
+def test_input_chunking_invariance():
+    """Feeding the stream in odd-sized chunks (through the reconstruction
+    buffer, app.cpp:39-50) is bitwise identical to feeding it in one shot —
+    blocking into block_size is the only thing that matters."""
+    mod = FMModulator(ModulatorConfig())
+    n = BLOCK * 4
+    iq = mod.generate(n, left_hz=1000.0, right_hz=3000.0)
+
+    app1 = App(block_size=BLOCK, channels=1, decode_rds=False)
+    app1.process(iq)
+
+    app2 = App(block_size=BLOCK, channels=1, decode_rds=False)
+    pos, step = 0, 10007  # prime-sized chunks
+    while pos < n:
+        app2.process(iq[pos : pos + step])
+        pos += step
+
+    np.testing.assert_array_equal(app1.audio, app2.audio)
+
+
+def test_block_size_rds_robustness():
+    """Audio depends (slightly) on block_size because AGC gains and the L-R
+    phase offset update once per *block* — exactly like the reference
+    (agc.h:6-31 updates per process() call).  The decoded RDS hard symbol
+    decisions, however, must be identical."""
+    import jax.numpy as jnp
+
+    from fm_radio_tpu.models.demod import demod_block, demod_init_state, make_coeffs
+
+    mod = FMModulator(ModulatorConfig())
+    groups = [(0x1234, (0 << 12) | (1 << 10), 0xE101, 0x4142)]
+    n = 8192 * 8
+    iq = mod.generate(n, left_hz=1000.0, right_hz=3000.0, rds_groups=groups)[None, :]
+
+    cfg = DemodConfig()
+    coeffs = make_coeffs(cfg)
+
+    def run(block):
+        st = demod_init_state(cfg, 1)
+        pred, valid = [], []
+        for i in range(n // block):
+            st, outs = demod_block(
+                cfg, coeffs, st, jnp.asarray(iq[:, i * block : (i + 1) * block])
+            )
+            pred.append(np.asarray(outs["rds_pred"]))
+            valid.append(np.asarray(outs["rds_valid"]))
+        return np.concatenate(pred, axis=1), np.concatenate(valid, axis=1)
+
+    p1, v1 = run(8192)
+    p2, v2 = run(32768)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(np.sign(p1[v1]), np.sign(p2[v2]))
+
+
+def test_plane_input_matches_complex_input():
+    """demod_block([2, C, B] f32 planes) == demod_block([C, B] complex64)."""
+    import jax.numpy as jnp
+
+    from fm_radio_tpu.models.demod import demod_block, demod_init_state, make_coeffs
+
+    mod = FMModulator(ModulatorConfig())
+    iq = mod.generate(16384, left_hz=1000.0, right_hz=3000.0)[None, :]
+    cfg = DemodConfig()
+    coeffs = make_coeffs(cfg)
+
+    st_c, outs_c = demod_block(cfg, coeffs, demod_init_state(cfg, 1), jnp.asarray(iq))
+    planes = jnp.asarray(np.stack([iq.real, iq.imag]).astype(np.float32))
+    st_p, outs_p = demod_block(cfg, coeffs, demod_init_state(cfg, 1), planes)
+
+    np.testing.assert_array_equal(np.asarray(outs_c["audio"]), np.asarray(outs_p["audio"]))
+    np.testing.assert_array_equal(np.asarray(outs_c["rds_pred"]), np.asarray(outs_p["rds_pred"]))
+
+
+def test_deemphasis_path():
+    """De-emphasis IIR engages and attenuates high audio frequencies more
+    than low ones (broadcast_fm_demod.cpp:403-406)."""
+    from dataclasses import replace
+
+    mod = FMModulator(ModulatorConfig())
+    n = BLOCK * 6
+    iq = mod.generate(n, left_hz=400.0, right_hz=8000.0)
+    cfg = replace(DemodConfig(), use_deemphasis_filter=True, deemphasis_cutoff_us=50)
+    app = App(block_size=BLOCK, cfg=cfg, channels=1, decode_rds=False)
+    app.process(iq)
+    audio = app.audio[0]
+    fs_audio = app.demod.fs_audio
+    settle = int(0.1 * fs_audio)
+
+    app2 = App(block_size=BLOCK, channels=1, decode_rds=False)
+    app2.process(iq)
+    audio2 = app2.audio[0]
+
+    def tone_amp(x, f0):
+        spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+        freqs = np.fft.rfftfreq(len(x), 1 / fs_audio)
+        return spec[np.argmin(np.abs(freqs - f0))]
+
+    # 50 us de-emphasis (1-pole LPF at 1/(2*pi*50us) = 3.2 kHz; the
+    # reference default Tus=1 is a no-op in the audio band) cuts 8 kHz much
+    # more than 400 Hz relative to the flat chain
+    lo_ratio = tone_amp(audio[settle:, 0], 400.0) / tone_amp(audio2[settle:, 0], 400.0)
+    hi_ratio = tone_amp(audio[settle:, 1], 8000.0) / tone_amp(audio2[settle:, 1], 8000.0)
+    assert hi_ratio < 0.5 * lo_ratio, (lo_ratio, hi_ratio)

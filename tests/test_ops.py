@@ -238,3 +238,39 @@ def test_harmonic_pll_mixer():
     y = apply_harmonic_pll(jnp.asarray(dt), jnp.asarray(x), 2.0, 0.1)
     ref = x * np.exp(1j * 2 * np.pi * (dt * 2.0 + 0.1))
     np.testing.assert_allclose(np.asarray(y), ref, atol=1e-5)
+
+
+def test_polyphase_decimate_planes_matches_complex():
+    from fm_radio_tpu.ops.fir import polyphase_decimate, polyphase_decimate_p
+
+    taps = create_fir_lpf(64, 0.2)
+    x = (RNG.standard_normal((3, 1024)) + 1j * RNG.standard_normal((3, 1024))).astype(
+        np.complex64
+    )
+    st0 = jnp.zeros((3, 60), jnp.complex64)
+    st_c, y_c = polyphase_decimate(taps, st0, jnp.asarray(x), 4)
+    st_p, (yr, yi) = polyphase_decimate_p(
+        taps, st0, (jnp.asarray(x.real), jnp.asarray(x.imag)), 4
+    )
+    np.testing.assert_array_equal(np.asarray(y_c.real), np.asarray(yr))
+    np.testing.assert_array_equal(np.asarray(y_c.imag), np.asarray(yi))
+    np.testing.assert_array_equal(np.asarray(st_c), np.asarray(st_p))
+
+    # imag_out=False: same real output, same carried state
+    st_p2, yr2 = polyphase_decimate_p(
+        taps, st0, (jnp.asarray(x.real), jnp.asarray(x.imag)), 4, imag_out=False
+    )
+    np.testing.assert_array_equal(np.asarray(yr2), np.asarray(yr))
+    np.testing.assert_array_equal(np.asarray(st_p2), np.asarray(st_p))
+
+
+def test_hilbert_planes_matches_complex():
+    from fm_radio_tpu.ops.fir import hilbert_fir, hilbert_fir_p, hilbert_init_state
+
+    taps = create_fir_hilbert(65)
+    x = RNG.standard_normal((2, 700)).astype(np.float32)
+    st0 = hilbert_init_state(2, 65)
+    _, y = hilbert_fir(taps, st0, jnp.asarray(x))
+    _, (re, im) = hilbert_fir_p(taps, st0, jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(y.real), np.asarray(re))
+    np.testing.assert_array_equal(np.asarray(y.imag), np.asarray(im))
