@@ -87,11 +87,22 @@ def pick_time_chunk(n: int, ct: int, budget_elems: int = 1 << 18) -> int:
 
 
 def _pll_kernel(
-    x_re_ref, x_im_ref, st_ref, dt_ref, out_st_ref, carry_ref,
+    theta_ref, st_ref, dt_ref, out_st_ref, carry_ref,
     *, n_steps: int, n_chunks: int, ts: float, f_center: float, f_gain: float,
     ki_ts: float, kp: float, lpf_b0: float, lpf_a1: float,
 ):
+    """Serial PI+NCO loop over precomputed pilot phase angles.
+
+    The reference rotates the pilot by the NCO phasor and measures
+    atan2(Im, Re) of the product (broadcast_fm_demod.cpp:430-456).  Since
+    atan2(x * e^{j2pi t}) = wrap_pi(angle(x) + 2pi t), the angle(x) part is
+    data-parallel and computed OUTSIDE the kernel; the serial chain keeps
+    only the loop filter + NCO + one wrap — ~3x shorter critical path per
+    step than the direct Chebyshev-phasor + in-loop-atan2 translation, and
+    one f32 stream instead of two.
+    """
     one = jnp.float32(1.0)
+    two_pi = jnp.float32(2.0 * jnp.pi)
     ts_f = jnp.float32(ts)
     f_center_f = jnp.float32(f_center)
     f_gain_f = jnp.float32(f_gain)
@@ -115,13 +126,8 @@ def _pll_kernel(
         pi_err = lpf_pe * kp_f + integ
         control = jnp.clip(pi_err, -one, one)
         t = _wrap(nco_t + ts_f * (f_center_f + control * f_gain_f))
-        c = _cheb(_wrap(t + jnp.float32(0.25)))
-        s = _cheb(t)
-        xr = x_re_ref[pl.ds(i, 1), :]
-        xi = x_im_ref[pl.ds(i, 1), :]
-        rr = xr * c - xi * s
-        ri = xr * s + xi * c
-        pe = _atan2(ri, rr)
+        th = theta_ref[pl.ds(i, 1), :]
+        pe = two_pi * _wrap(th + t)
         dt_ref[pl.ds(i, 1), :] = t
         return (prev_pe, lpf_pe, integ, t, pe)
 
@@ -170,8 +176,8 @@ def pilot_pll_pallas(cfg, state: PilotPLLState, pilot: jnp.ndarray,
     nc = pick_time_chunk(n, ct)
     n_chunks = n // nc
 
-    x_re = pr.T  # [N, C]
-    x_im = pi.T
+    # data-parallel part of the phase detector: angle(pilot) in cycles
+    theta = jnp.arctan2(pi, pr).T * jnp.float32(1.0 / (2.0 * jnp.pi))  # [N, C]
     st = jnp.stack(
         [state.lpf_x1, state.lpf_y1, state.integ, state.nco_t, state.prev_pe]
     )  # [5, C]
@@ -180,13 +186,12 @@ def pilot_pll_pallas(cfg, state: PilotPLLState, pilot: jnp.ndarray,
         _pll_kernel, n_steps=nc, n_chunks=n_chunks, **pll_consts_from_cfg(cfg)
     )
     # time chunks innermost: the VMEM carry scratch threads loop state from
-    # chunk to chunk while x/dt blocks stream through double-buffered VMEM
+    # chunk to chunk while theta/dt blocks stream through double-buffered VMEM
     grid = (c // ct, n_chunks)
     dt_t, out_st = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((nc, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((nc, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (_STATE_ROWS, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM
@@ -204,7 +209,7 @@ def pilot_pll_pallas(cfg, state: PilotPLLState, pilot: jnp.ndarray,
         ],
         scratch_shapes=[pltpu.VMEM((_STATE_ROWS, ct), jnp.float32)],
         interpret=interpret,
-    )(x_re, x_im, st)
+    )(theta, st)
 
     new_state = PilotPLLState(
         lpf_x1=out_st[0], lpf_y1=out_st[1], integ=out_st[2],

@@ -77,6 +77,7 @@ def test_audio_matches_reference_binary(run_pair):
     snr = 10 * np.log10(
         (golden_audio[settle:] ** 2).sum() / ((d**2).sum() + 1e-20)
     )
+    print(f"golden audio SNR vs reference: {snr:.1f} dB")
     # measured ~83 dB; anything above 60 dB is far inside the reference's own
     # -ffast-math float noise
     assert snr > 60.0, f"audio SNR vs reference only {snr:.1f} dB"

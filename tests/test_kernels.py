@@ -104,8 +104,13 @@ def test_demod_block_pallas_path_matches_scan_path():
     st_s, outs_s = demod_block(cfg_scan, coeffs, demod_init_state(cfg_scan, 1), jnp.asarray(iq))
     st_p, outs_p = demod_block(cfg_pal, make_coeffs(cfg_pal), demod_init_state(cfg_pal, 1), jnp.asarray(iq))
 
+    # The kernel evaluates the PLL phase detector as wrap(angle(x) + 2pi*t)
+    # (exact) while the scan path mirrors the reference's Chebyshev-phasor +
+    # atan2-polynomial arithmetic (~1e-7/step); through the feedback loop and
+    # the harmonic mixers this shows up as ~1e-4 audio differences.  The
+    # golden test (83 dB vs the compiled reference) is the accuracy gate.
     np.testing.assert_allclose(
-        np.asarray(outs_p["audio"]), np.asarray(outs_s["audio"]), atol=1e-5
+        np.asarray(outs_p["audio"]), np.asarray(outs_s["audio"]), atol=1e-3
     )
     np.testing.assert_array_equal(
         np.asarray(outs_p["rds_valid"]), np.asarray(outs_s["rds_valid"])
