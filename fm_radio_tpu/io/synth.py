@@ -139,9 +139,11 @@ class FMModulator:
         sym = None
         if rds_groups is not None:
             bits = np.concatenate([encode_rds_group(g) for g in rds_groups])
-            sym = rds_bits_to_symbols(bits)
-            # repeat the symbol stream to cover the duration
-            need = int(np.ceil(n_samples / (cfg.fs / (2 * cfg.rds_symbol_rate)))) + 1
-            reps = int(np.ceil(need / len(sym)))
-            sym = np.tile(sym, max(reps, 1))
+            # repeat the BIT stream, then differentially encode once:
+            # tiling the encoded symbols instead would break differential
+            # continuity at every repetition seam (one bit error per ~104
+            # bits unless the final encoded level happens to be 0)
+            need_sym = int(np.ceil(n_samples / (cfg.fs / (2 * cfg.rds_symbol_rate)))) + 1
+            reps = max(int(np.ceil(need_sym / (2 * len(bits)))), 1)
+            sym = rds_bits_to_symbols(np.tile(bits, reps))
         return self.modulate(self.multiplex(left, right, sym))

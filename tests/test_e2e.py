@@ -40,7 +40,8 @@ def stereo_run():
         (0x1234, (0 << 12) | (1 << 10) | 0b00000, 0xE101, 0x4142),  # 0A
         (0x1234, (2 << 12) | 0b00000, 0x4845, 0x4C4C),              # 2A
     ]
-    n = BLOCK * 16  # 0.5 s
+    n = BLOCK * 24  # 0.75 s: TED/PLL lock plus margin for a false block-A
+    # lock (3 burned groups) before real groups decode
     iq = mod.generate(
         n, left_hz=1000.0, right_hz=3000.0, rds_groups=groups
     )
@@ -100,7 +101,7 @@ def test_rds_group_roundtrip(stereo_run):
         for g in app.rds_chains[0].chain.groups
         if all(blk.is_valid for blk in g)
     ]
-    # ~5.7 groups fit in 0.5 s at 11.4 groups/s minus TED/PLL lock time
+    # ~8.5 groups fit in 0.75 s at 11.4 groups/s minus TED/PLL lock time
     assert len(decoded) >= 2, f"only {len(decoded)} valid groups decoded"
     for g in groups:
         assert g in decoded, f"group {g} not recovered"
