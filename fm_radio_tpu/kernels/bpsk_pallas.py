@@ -172,7 +172,7 @@ def bpsk_sync_pallas(cfg, state: BPSKState, x: jnp.ndarray, interpret: bool = Fa
 
     xr, xi = x if isinstance(x, tuple) else (x.real, x.imag)
     c, n = xr.shape
-    ct = c if c <= 256 else 256
+    ct = c if c <= 512 else 512
     assert c % ct == 0
     nc = pick_time_chunk(n, ct)
     n_chunks = n // nc

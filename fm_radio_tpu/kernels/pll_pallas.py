@@ -171,8 +171,8 @@ def pilot_pll_pallas(cfg, state: PilotPLLState, pilot: jnp.ndarray,
     """
     pr, pi = pilot if isinstance(pilot, tuple) else (pilot.real, pilot.imag)
     c, n = pr.shape
-    ct = c if c <= 256 else 256
-    assert c % ct == 0, "channel count must tile by 256"
+    ct = c if c <= 512 else 512
+    assert c % ct == 0, "channel count must tile by 512"
     nc = pick_time_chunk(n, ct)
     n_chunks = n // nc
 

@@ -231,7 +231,7 @@ def demod_block(
         cfg.loop_impl == "auto"
         and jax.default_backend() == "tpu"
         and not include_taps
-        and (c <= 256 or c % 256 == 0)
+        and (c <= 512 or c % 512 == 0)
     )
     if use_pallas:
         from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas
