@@ -39,3 +39,39 @@ def fft_mag_update(
     if mode == MODE_MAX_HOLD:
         return jnp.maximum(prev, mag)
     raise ValueError(f"unknown mode {mode}")
+
+
+TRIGGER_ALWAYS = "always"
+TRIGGER_SINGLE = "single"
+
+
+class SpectrumView:
+    """Stateful per-tap spectrum display, completing ``Calculate_FFT_Mag``
+    parity (``calculate_fft_mag.h:6-29``): mode (NORMAL/AVERAGE/MAX_HOLD) +
+    trigger (ALWAYS / SINGLE, the GUI's pull-one-then-hold behavior at
+    ``calculate_fft_mag.h:25-28``) + the carried display buffer."""
+
+    def __init__(self, mode: str = MODE_AVERAGE, trigger: str = TRIGGER_ALWAYS,
+                 beta: float = 0.1):
+        self.mode = mode
+        self.trigger = trigger
+        self.beta = beta
+        self._buf = None
+        self._armed = True  # SINGLE: armed until one update lands
+
+    def arm(self) -> None:
+        """Request one update in SINGLE-trigger mode (GUI button press)."""
+        self._armed = True
+
+    def update(self, x) -> None:
+        """Offer a new block of the tapped signal; consumed per trigger."""
+        if self.trigger == TRIGGER_SINGLE and not self._armed:
+            return
+        self._buf = fft_mag_update(self._buf, x, self.mode, self.beta)
+        self._armed = self.trigger != TRIGGER_SINGLE
+
+    @property
+    def buffer(self):
+        """Current display spectrum (``GetBuffer``), or None before first
+        update."""
+        return self._buf

@@ -78,3 +78,33 @@ def test_fft_mag_modes():
     hold = fft_mag_update(avg, jnp.asarray(x * 2), mode="max_hold")
     assert np.all(np.asarray(hold) >= np.asarray(avg) - 1e-5)
     assert np.all(np.asarray(avg2) >= np.asarray(avg) - 1e-5)
+
+
+def test_spectrum_view_triggers():
+    from fm_radio_tpu.ops.spectrum import (
+        MODE_MAX_HOLD,
+        TRIGGER_SINGLE,
+        SpectrumView,
+        fft_mag_db,
+    )
+
+    x1 = np.exp(2j * np.pi * 0.1 * np.arange(64)).astype(np.complex64)
+    x2 = np.exp(2j * np.pi * 0.2 * np.arange(64)).astype(np.complex64)
+
+    # SINGLE: first update lands, further ones ignored until re-armed
+    v = SpectrumView(mode="normal", trigger=TRIGGER_SINGLE)
+    v.update(jnp.asarray(x1))
+    first = np.asarray(v.buffer).copy()
+    v.update(jnp.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(v.buffer), first)
+    v.arm()
+    v.update(jnp.asarray(x2))
+    assert not np.array_equal(np.asarray(v.buffer), first)
+
+    # MAX_HOLD keeps the envelope of both tones
+    m = SpectrumView(mode=MODE_MAX_HOLD)
+    m.update(jnp.asarray(x1))
+    m.update(jnp.asarray(x2))
+    env = np.asarray(m.buffer)
+    for x in (x1, x2):
+        assert env.max() >= np.asarray(fft_mag_db(jnp.asarray(x))).max() - 1e-3
