@@ -211,6 +211,63 @@ def cmd_channelize(args) -> None:
     print(f"wrote {m} channel files to {args.output}")
 
 
+def cmd_stations(args) -> None:
+    """Wideband IQ -> channelize -> ONE channel-batched demod of every
+    station -> per-station WAV + RDS database.
+
+    This is the framework's headline path (no reference analogue: the
+    reference tunes one station per process, fm_demod_tuner.cpp:136): the
+    polyphase FFT filterbank splits the capture and all M stations ride the
+    batch axis of a single demod program.
+    """
+    from fm_radio_tpu.io.pcm import u8_to_c64
+    from fm_radio_tpu.io.wav import write_wav_int16
+    from fm_radio_tpu.models.app import App
+    from fm_radio_tpu.parallel.channelizer import (
+        channelize,
+        channelizer_init_state,
+        make_channelizer_taps,
+    )
+    from fm_radio_tpu.utils.transfer import device_put_complex, fetch
+
+    m = args.num_channels
+    block = power_ceil(args.block_size)
+    iq = u8_to_c64(_read_input_u8(args.input))
+    n = (len(iq) // m) * m
+
+    taps = make_channelizer_taps(m, args.taps_per_phase)
+    st = channelizer_init_state(m, args.taps_per_phase)
+    _, y = channelize(taps, st, device_put_complex(iq[:n]), m)
+    stations = fetch(y) / m  # undo DFT scaling -> per-station baseband
+
+    select = (
+        sorted(int(s) for s in args.select.split(","))
+        if args.select
+        else list(range(m))
+    )
+    x = np.stack([stations[k] for k in select]).astype(np.complex64)
+
+    app = App(block_size=block, channels=len(select), decode_rds=True)
+    app.process(x)
+
+    os.makedirs(args.output, exist_ok=True)
+    summary = []
+    for i, k in enumerate(select):
+        wav_path = os.path.join(args.output, f"station_{k:02d}.wav")
+        write_wav_int16(wav_path, app.audio[i], app.demod.fs_audio)
+        db = app.rds_database(i)
+        summary.append(
+            {
+                "channel": k,
+                "wav": wav_path,
+                "pi_code": f"{db.pi_code:04X}",
+                "service_name": db.service_name_str,
+                "radio_text": db.radio_text_str,
+            }
+        )
+    print(json.dumps(summary, indent=1))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fmtpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -245,6 +302,20 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("-m", "--num-channels", type=int, default=16)
     c.add_argument("--taps-per-phase", type=int, default=16)
     c.set_defaults(fn=cmd_channelize)
+
+    st = sub.add_parser(
+        "stations",
+        help="wideband IQ -> channelize -> batched demod of every station",
+    )
+    st.add_argument("-i", "--input", default=None)
+    st.add_argument("-o", "--output", required=True)
+    st.add_argument("-m", "--num-channels", type=int, default=16)
+    st.add_argument("-b", "--block-size", type=int, default=65536)
+    st.add_argument("--taps-per-phase", type=int, default=16)
+    st.add_argument(
+        "--select", default=None, help="comma-separated channel indices to keep"
+    )
+    st.set_defaults(fn=cmd_stations)
     return p
 
 

@@ -76,3 +76,30 @@ def test_bench_runs_tiny():
     assert out.returncode == 0, out.stderr.decode()
     info = json.loads(out.stdout.decode().strip().splitlines()[-1])
     assert info["aggregate_msps"] > 0
+
+
+def test_stations_pipeline(tmp_path):
+    """Wideband capture -> `fmtpu stations`: channelize + batched demod of
+    every station in one command (the framework's headline path)."""
+    m, fs_ch = 4, 1_024_000
+    n_ch = BLOCK * 40  # ~0.64 s
+    n_wide = n_ch * m
+    mod = FMModulator(ModulatorConfig())
+    groups = [(0xCAFE, (0 << 12) | (1 << 10), 0xE101, 0x5A5A)]
+    iq = mod.generate(n_ch, left_hz=800.0, right_hz=1600.0, rds_groups=groups)
+    t = np.arange(n_wide) / (fs_ch * m)
+    wide = (np.repeat(iq, m)[:n_wide] * np.exp(2j * np.pi * fs_ch * t)).astype(
+        np.complex64
+    )
+    wide /= np.abs(wide).max() / 100.0
+    path = tmp_path / "wide.pcm"
+    c64_to_u8(wide).tofile(path)
+
+    out = tmp_path / "stations"
+    r = run_cli("stations", "-i", str(path), "-o", str(out), "-m", str(m),
+                "--select", "1")
+    assert r.returncode == 0, r.stderr.decode()
+    summary = json.loads(r.stdout.decode())
+    assert summary[0]["pi_code"] == "CAFE"
+    audio, fs = read_wav_int16(str(out / "station_01.wav"))
+    assert fs == 32000 and audio.shape[0] == n_ch // 32
