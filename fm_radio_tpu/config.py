@@ -148,6 +148,16 @@ class DemodConfig:
     # aren't requested and channels tile the lane width; scan otherwise).
     loop_impl: str = "auto"
 
+    # Block-parallel pilot PLL (SURVEY.md §7): split each block's serial loop
+    # into G time chunks riding the kernel's lane axis, warm-up re-locked and
+    # NCO-phase-seeded from the signal.  1 (default) = exact sequential
+    # reference order.  G>1 trades ~3e-3-cycle rms dt deviation (RDS
+    # decisions unchanged, audio ~-35 dB vs sequential) for ~G-fold fewer
+    # serial steps — worthwhile at LOW channel counts where lanes are free
+    # (C*G <= 128), e.g. single-station latency.
+    pll_time_chunks: int = 1
+    pll_chunk_warmup: int = 4096
+
     # Runtime-controllable (GUI controls in the reference; jit-static here).
     audio_out: str = AudioOut.STEREO
     audio_stereo_mix_factor: float = 1.0

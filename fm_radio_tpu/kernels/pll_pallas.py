@@ -77,11 +77,13 @@ def _atan2(y, x):
 
 
 def pick_time_chunk(n: int, ct: int, budget_elems: int = 1 << 18) -> int:
-    """Largest power-of-2 divisor of n with chunk*ct <= budget_elems (1 MB of
-    f32 per VMEM buffer by default) — keeps the streamed blocks well inside
-    VMEM regardless of total block size."""
+    """Largest power-of-2 divisor of n with chunk*ct_padded <= budget_elems
+    (1 MB of f32 per VMEM buffer by default) — keeps the streamed blocks well
+    inside VMEM regardless of total block size.  The lane axis is budgeted at
+    its VMEM-padded width (multiples of 128), not the logical ct."""
+    ct_pad = -(-ct // 128) * 128
     nc = 1
-    while nc < n and (nc * 2) * ct <= budget_elems and n % (nc * 2) == 0:
+    while nc < n and (nc * 2) * ct_pad <= budget_elems and n % (nc * 2) == 0:
         nc *= 2
     return nc
 
@@ -168,16 +170,33 @@ def pilot_pll_pallas(cfg, state: PilotPLLState, pilot: jnp.ndarray,
     pilot: [C, N] complex64 or a plane tuple (re, im) of f32 [C, N].
     Returns (state', dt [C, N] f32).
     (The debug taps pll/raw_pe/pi_pe are only produced by the scan path.)
+
+    With ``cfg.pll_time_chunks > 1`` the block's serial loop is split into G
+    time chunks that ride the LANE axis (C*G lanes in one kernel pass) — see
+    :func:`_pilot_pll_chunked`.
     """
     pr, pi = pilot if isinstance(pilot, tuple) else (pilot.real, pilot.imag)
     c, n = pr.shape
-    ct = c if c <= 512 else 512
-    assert c % ct == 0, "channel count must tile by 512"
+    # data-parallel part of the phase detector: angle(pilot) in cycles
+    theta_cn = jnp.arctan2(pi, pr) * jnp.float32(1.0 / (2.0 * jnp.pi))  # [C, N]
+
+    g = int(getattr(cfg, "pll_time_chunks", 1))
+    if g > 1 and n % g == 0 and n // g > int(getattr(cfg, "pll_chunk_warmup", 4096)):
+        return _pilot_pll_chunked(cfg, state, theta_cn, interpret=interpret)
+
+    return _pilot_pll_run(cfg, state, theta_cn, interpret=interpret)
+
+
+def _pilot_pll_run(cfg, state: PilotPLLState, theta_cn: jnp.ndarray,
+                   interpret: bool = False):
+    """Sequential kernel over the whole time axis (exact reference order)."""
+    c, n = theta_cn.shape
+    ct = c if c <= 2048 else 2048
+    assert c % ct == 0, "channel count must tile by 2048"
     nc = pick_time_chunk(n, ct)
     n_chunks = n // nc
 
-    # data-parallel part of the phase detector: angle(pilot) in cycles
-    theta = jnp.arctan2(pi, pr).T * jnp.float32(1.0 / (2.0 * jnp.pi))  # [N, C]
+    theta = theta_cn.T  # [N, C]
     st = jnp.stack(
         [state.lpf_x1, state.lpf_y1, state.integ, state.nco_t, state.prev_pe]
     )  # [5, C]
@@ -216,3 +235,146 @@ def pilot_pll_pallas(cfg, state: PilotPLLState, pilot: jnp.ndarray,
         nco_t=out_st[3], prev_pe=out_st[4],
     )
     return new_state, dt_t.T
+
+
+def _pilot_pll_chunked(cfg, state: PilotPLLState, theta_cn: jnp.ndarray,
+                       interpret: bool = False):
+    """Block-parallel PLL (SURVEY.md §7 "the hard parts"): the N-step serial
+    loop is split into G time chunks processed SIMULTANEOUSLY as extra lanes
+    of one kernel pass (C*G lanes, N/G + W steps).
+
+    Soundness: the pilot PLL is an *observer* of a strong 19 kHz tone — every
+    locked state tracks the same NCO phase trajectory, so a chunk that starts
+    from an approximate state converges to the sequential dt within the
+    warm-up W (loop bandwidth ~100 Hz at Fs=128 kHz: phase re-acquires in
+    ~1-2k samples).  Chunk 0 starts from the TRUE carried state with no
+    warm-up (bit-exact stream head); chunks 1..G-1 start from the replicated
+    entry state (already near lock in streaming steady state) and their first
+    W outputs are discarded in favor of the left chunk's tail.  The block's
+    carried-out state comes from the last chunk, so the next block continues
+    from a locked state exactly as the sequential path would.
+
+    Cost: (N/G + W) serial steps instead of N, at G-fold lane width.  The
+    VPU step is issue-bound above ~256 lanes, so this pays off when C*G
+    stays within a couple of vector registers — i.e. it is a LOW-channel-
+    count accelerator (single-station CLI demod: C=1, G=8 -> ~6x fewer
+    serial cycles), not a batch-throughput one.
+
+    Accuracy: chunk 0 is exact; later chunks agree with the sequential dt to
+    ~3e-3 cycles rms (the loops see identical inputs from slightly different
+    states; the difference decays with the proportional time constant
+    1/(2*pi*f_dev*Kp) ~ 20k samples, longer than a chunk).  RDS hard
+    decisions are unchanged; audio differs from the sequential path at the
+    -35 dB level — a scanning/monitoring trade, which is why the default is
+    pll_time_chunks=1 (exact).
+    """
+    c, n = theta_cn.shape
+    g = int(cfg.pll_time_chunks)
+    w = int(cfg.pll_chunk_warmup)
+    l = n // g
+    assert n % g == 0 and w < l
+
+    # chunk g input: theta[gL - W : gL + L] (chunk 0: [0 : L + W], no warmup)
+    starts = [max(gg * l - w, 0) for gg in range(g)]
+    xw = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(theta_cn, s, l + w, axis=1) for s in starts]
+    )  # [G, C, L+W]
+    xw = xw.reshape(g * c, l + w)
+
+    # Initial states: chunk 0 true; chunks 1..G-1 replicate the entry state
+    # (loop-filter + integrator carry the frequency information) but seed the
+    # NCO phase FROM THE SIGNAL: a locked loop satisfies t = -theta (mod 1),
+    # so nco_t = -theta[start] - ts*f_center makes the first phase error ~
+    # loop-noise sized instead of uniformly random.  With the proportional
+    # time constant at 1/(2*pi*f_dev*Kp) ~ 20k samples, seeding is what makes
+    # a short warm-up sufficient.
+    consts = pll_consts_from_cfg(cfg)
+    st_rows = jnp.stack(
+        [state.lpf_x1, state.lpf_y1, state.integ, state.nco_t, state.prev_pe]
+    )  # [5, C]
+    st_all = jnp.tile(st_rows, (1, g))  # [5, G*C] (chunk-major lanes)
+    seed_t = jnp.concatenate(
+        [state.nco_t[None, :]]
+        + [
+            (-theta_cn[:, s] - jnp.float32(consts["ts"] * consts["f_center"]))[None, :]
+            for s in starts[1:]
+        ],
+        axis=0,
+    ).reshape(-1)  # [G*C] chunk-major
+    seed_t = seed_t - jnp.round(seed_t)
+    st_all = st_all.at[3, :].set(seed_t)
+    # NOTE: the integrator (frequency memory) is deliberately NOT re-seeded
+    # from a local frequency estimate: any estimate error becomes a
+    # *persistent* frequency offset (the integrator time constant is far
+    # longer than a chunk), i.e. a phase ramp.  The replicated entry
+    # integrator is correct by continuity — the pilot frequency drifts far
+    # slower than one block.
+
+    cg = g * c
+    ct = cg if cg <= 2048 else 2048
+    assert cg % ct == 0
+    nc = pick_time_chunk(l + w, ct)
+    # pad steps up to a multiple of the VMEM chunk (outputs past L+W unused)
+    steps = -(-(l + w) // nc) * nc
+    if steps != l + w:
+        xw = jnp.pad(xw, ((0, 0), (0, steps - (l + w))))
+    n_chunks = steps // nc
+
+    kern = functools.partial(
+        _pll_kernel, n_steps=nc, n_chunks=n_chunks, **pll_consts_from_cfg(cfg)
+    )
+    dt_t, out_st = pl.pallas_call(
+        kern,
+        grid=(cg // ct, n_chunks),
+        in_specs=[
+            pl.BlockSpec((nc, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (_STATE_ROWS, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((nc, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (_STATE_ROWS, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((steps, cg), jnp.float32),
+            jax.ShapeDtypeStruct((_STATE_ROWS, cg), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((_STATE_ROWS, ct), jnp.float32)],
+        interpret=interpret,
+    )(xw.T, st_all)
+
+    dt_all = dt_t.T.reshape(g, c, steps)  # chunk-major
+    # keep the payload [gL, gL+L) of each chunk: offset gL - start into its dt
+    kept = [
+        jax.lax.dynamic_slice_in_dim(dt_all[gg], gg * l - starts[gg], l, axis=1)
+        for gg in range(g)
+    ]
+    dt = jnp.concatenate(kept, axis=1)  # [C, N]
+
+    # carried-out state: the LAST chunk's state at the end of its payload.
+    # Its input ends exactly at sample N when the step padding is zero; with
+    # padding, the extra steps integrate zeros of theta — roll the state back
+    # by rerunning nothing: instead take the final state only when pad == 0,
+    # else recompute the tail strictly (tiny sequential cost).
+    if steps == l + w:
+        fin = out_st[:, (g - 1) * c :]
+        new_state = PilotPLLState(
+            lpf_x1=fin[0], lpf_y1=fin[1], integ=fin[2], nco_t=fin[3], prev_pe=fin[4]
+        )
+    else:
+        # run the last pad-free tail sequentially from the last chunk's
+        # entry to get an un-padded carry (rare path; tail is < nc steps)
+        tail_state = PilotPLLState(
+            lpf_x1=st_all[0, (g - 1) * c :],
+            lpf_y1=st_all[1, (g - 1) * c :],
+            integ=st_all[2, (g - 1) * c :],
+            nco_t=st_all[3, (g - 1) * c :],
+            prev_pe=st_all[4, (g - 1) * c :],
+        )
+        new_state, _ = _pilot_pll_run(
+            cfg, tail_state, theta_cn[:, starts[-1] :], interpret=interpret
+        )
+    return new_state, dt

@@ -115,3 +115,33 @@ def test_demod_block_pallas_path_matches_scan_path():
     np.testing.assert_array_equal(
         np.asarray(outs_p["rds_valid"]), np.asarray(outs_s["rds_valid"])
     )
+
+
+def test_pll_chunked_matches_sequential():
+    """Block-parallel PLL (pll_time_chunks>1): chunk 0 exact, later chunks
+    within the documented ~3e-3-cycle band of the sequential trajectory."""
+    from dataclasses import replace
+
+    c, n, g = 2, 32768, 4
+    t = np.arange(n) / 128000.0
+    ph = 2 * np.pi * 19000 * t
+    x = (np.exp(1j * ph)[None, :] * np.ones((c, 1))).astype(np.complex64)
+    pilot = jnp.asarray(x)
+
+    cfg_par = replace(CFG, pll_time_chunks=g, pll_chunk_warmup=4096)
+    st0 = init_on_device(pilot_pll_init_state, c)
+    # several warm blocks so the entry state is fully locked (the loop's
+    # proportional time constant is ~20k samples)
+    st1 = st0
+    for _ in range(4):
+        st1, _ = pilot_pll_pallas(CFG, st1, pilot, interpret=True)
+    _, dt_seq = pilot_pll_pallas(CFG, st1, pilot, interpret=True)
+    _, dt_par = pilot_pll_pallas(cfg_par, st1, pilot, interpret=True)
+
+    e = np.angle(
+        np.exp(2j * np.pi * (np.asarray(dt_par) - np.asarray(dt_seq)))
+    ) / (2 * np.pi)
+    l = n // g
+    np.testing.assert_array_equal(e[:, :l], 0.0)  # chunk 0 bit-exact
+    assert np.abs(e).max() < 1e-2, np.abs(e).max()
+    assert np.sqrt((e**2).mean()) < 4e-3
