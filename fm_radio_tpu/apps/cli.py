@@ -49,7 +49,28 @@ def cmd_demod(args) -> None:
     block = power_ceil(args.block_size)
     iq = u8_to_c64(_read_input_u8(args.input))
     app = App(block_size=block, channels=1, decode_rds=not args.no_rds)
+    if args.resume_state:
+        from fm_radio_tpu.models.demod import demod_init_state
+        from fm_radio_tpu.utils.checkpoint import load_state
+
+        app.demod.state, extras = load_state(
+            args.resume_state, demod_init_state(app.demod.cfg, 1)
+        )
+        print(
+            f"resumed from {args.resume_state} "
+            f"(block_index={int(extras.get('block_index', -1))})",
+            file=sys.stderr,
+        )
     app.process(iq)
+    if args.save_state:
+        from fm_radio_tpu.utils.checkpoint import save_state
+
+        save_state(
+            args.save_state,
+            app.demod.state,
+            extra={"block_index": len(iq) // block},
+        )
+        print(f"saved stream state to {args.save_state}", file=sys.stderr)
 
     if args.output_wav:
         write_wav_int16(args.output_wav, app.audio[0], app.demod.fs_audio)
@@ -278,6 +299,14 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("-o", "--output-wav", default=None)
     d.add_argument("--taps", default=None, help="dump tap-point buffers to dir")
     d.add_argument("--no-rds", action="store_true")
+    d.add_argument(
+        "--save-state",
+        default=None,
+        help="checkpoint the carried stream state (.npz) after processing — "
+        "resume a stream mid-file with --resume-state (the reference cannot, "
+        "SURVEY.md 5.4); audio continues bit-identically, RDS re-syncs",
+    )
+    d.add_argument("--resume-state", default=None, help="load a stream-state checkpoint")
     d.set_defaults(fn=cmd_demod)
 
     s = sub.add_parser("scrape", help="IQ pcm -> WAV + RDS bytes artifacts")

@@ -103,3 +103,32 @@ def test_stations_pipeline(tmp_path):
     assert summary[0]["pi_code"] == "CAFE"
     audio, fs = read_wav_int16(str(out / "station_01.wav"))
     assert fs == 32000 and audio.shape[0] == n_ch // 32
+
+
+def test_demod_checkpoint_resume(pcm_file, tmp_path):
+    """Split a stream at a block boundary, checkpoint, resume in a new
+    process: concatenated audio == single-pass audio (bit-identical)."""
+    data = np.fromfile(pcm_file, np.uint8)
+    block_bytes = BLOCK * 2
+    split = (len(data) // (2 * block_bytes)) * block_bytes
+    p1, p2 = tmp_path / "a.pcm", tmp_path / "b.pcm"
+    data[:split].tofile(p1)
+    data[split:].tofile(p2)
+    ckpt = tmp_path / "state.npz"
+
+    w_full = tmp_path / "full.wav"
+    r = run_cli("demod", "-i", pcm_file, "-b", str(BLOCK), "-o", str(w_full), "--no-rds")
+    assert r.returncode == 0, r.stderr.decode()
+
+    w1, w2 = tmp_path / "p1.wav", tmp_path / "p2.wav"
+    r = run_cli("demod", "-i", str(p1), "-b", str(BLOCK), "-o", str(w1),
+                "--no-rds", "--save-state", str(ckpt))
+    assert r.returncode == 0, r.stderr.decode()
+    r = run_cli("demod", "-i", str(p2), "-b", str(BLOCK), "-o", str(w2),
+                "--no-rds", "--resume-state", str(ckpt))
+    assert r.returncode == 0, r.stderr.decode()
+
+    full, _ = read_wav_int16(str(w_full))
+    a, _ = read_wav_int16(str(w1))
+    b, _ = read_wav_int16(str(w2))
+    np.testing.assert_array_equal(full, np.concatenate([a, b]))
