@@ -26,6 +26,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from fm_radio_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from fm_radio_tpu.config import DemodConfig
     from fm_radio_tpu.models.demod import demod_block, demod_init_state, make_coeffs
 

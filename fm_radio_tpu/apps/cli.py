@@ -349,6 +349,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from fm_radio_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     args.fn(args)
 

@@ -60,6 +60,45 @@ class App:
             self._run_block(blk)
         self._pending = buf[:, n_blocks * self.block_size :]
 
+    def process_all(self, x: np.ndarray) -> None:
+        """Batch fast path: identical outputs to :meth:`process`, but all
+        complete blocks run as ONE device dispatch (``demod_stream`` lax.scan)
+        — per-dispatch latency is paid once per call instead of once per
+        block.  Worth it when the (n_blocks, block_size) shape is reused
+        across calls (production streaming); a ONE-SHOT call at a fresh shape
+        pays a long scan compile, so the CLI sticks to :meth:`process`."""
+        if x.ndim == 1:
+            x = x[None, :]
+        buf = (
+            np.concatenate([self._pending, x], axis=-1)
+            if self._pending.size
+            else np.asarray(x)
+        )
+        n_blocks = buf.shape[-1] // self.block_size
+        if n_blocks == 0:
+            self._pending = buf
+            return
+        t = n_blocks * self.block_size
+        final_state, outs = demod_stream(
+            self.cfg,
+            np.ascontiguousarray(buf[:, :t]).astype(np.complex64),
+            self.block_size,
+            state=self.demod.state,
+        )
+        self.demod.state = final_state
+        from fm_radio_tpu.utils.transfer import fetch, fetch_tree
+
+        audio = fetch(outs["audio"])
+        self.audio_blocks.append(audio)
+        if self.decode_rds:
+            pred = fetch(outs["rds_pred"])
+            valid = fetch(outs["rds_valid"])
+            for c in range(self.channels):
+                sym = pred[c][valid[c]]
+                if sym.size:
+                    self.rds_chains[c].process_symbols(sym)
+        self._pending = buf[:, t:]
+
     # -- core --------------------------------------------------------------
 
     def _run_block(self, blk: np.ndarray) -> None:

@@ -243,3 +243,25 @@ def test_deemphasis_path():
     lo_ratio = tone_amp(audio[settle:, 0], 400.0) / tone_amp(audio2[settle:, 0], 400.0)
     hi_ratio = tone_amp(audio[settle:, 1], 8000.0) / tone_amp(audio2[settle:, 1], 8000.0)
     assert hi_ratio < 0.5 * lo_ratio, (lo_ratio, hi_ratio)
+
+
+def test_process_all_matches_process():
+    """App.process_all (one-dispatch lax.scan) == App.process (block loop),
+    bitwise, including RDS chain state."""
+    mod = FMModulator(ModulatorConfig())
+    groups = [(0x1234, (0 << 12) | (1 << 10), 0xE101, 0x4142)]
+    iq = mod.generate(BLOCK * 6 + 1234, left_hz=1000.0, right_hz=3000.0,
+                      rds_groups=groups)  # non-multiple length: leaves a tail
+
+    a1 = App(block_size=BLOCK, channels=1)
+    a1.process(iq)
+    a2 = App(block_size=BLOCK, channels=1)
+    a2.process_all(iq)
+
+    # audio: identical up to XLA fusion-order f32 rounding (~1e-7); the
+    # RDS byte stream (hard decisions) must match exactly
+    np.testing.assert_allclose(a1.audio, a2.audio, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(a1._pending), np.asarray(a2._pending)
+    )
+    assert a1.rds_bytes(0).tobytes() == a2.rds_bytes(0).tobytes()
