@@ -3,7 +3,9 @@
 // audio frames + RDS bytes, used by tests/test_golden.py to validate the TPU
 // framework against the reference implementation on synthetic recordings.
 //
-// Usage: golden_demod <in.pcm> <audio.f32> <rds.bin> <block_size>
+// Usage: golden_demod <in.pcm> <audio.f32> <rds.bin> <block_size> [deemph_us]
+//   deemph_us > 0 enables the reference's de-emphasis IIR with that cutoff
+//   (mirrors the GUI checkbox + slider, render_fm_demod.cpp:358-366).
 #include <cstdio>
 #include <cstdlib>
 #include <complex>
@@ -11,6 +13,7 @@
 
 #include "app.h"
 #include "audio/frame.h"
+#include "fm_demod/broadcast_fm_demod.h"
 
 int main(int argc, char** argv) {
     if (argc < 5) {
@@ -27,6 +30,14 @@ int main(int argc, char** argv) {
     }
 
     App app(block_size);
+    if (argc > 5) {
+        const int deemph_us = atoi(argv[5]);
+        if (deemph_us > 0) {
+            auto& controls = app.GetFMDemod().GetControls();
+            controls.is_use_deemphasis_filter = true;
+            controls.filt_deemphasis_cutoff.SetValue(deemph_us);
+        }
+    }
     app.OnAudioBlock().Attach(
         [&](tcb::span<const Frame<float>> x, const int Fs) {
             (void)Fs;

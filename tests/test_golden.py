@@ -113,3 +113,41 @@ def test_group_decode_matches_reference_log(run_pair):
     }
     assert our_groups, "no groups decoded"
     assert our_groups <= ref_groups or ref_groups <= our_groups
+
+
+def test_audio_matches_reference_with_deemphasis(golden_binary, tmp_path):
+    """Config-2 extension: the de-emphasis IIR path (off by default in both
+    implementations) compared against the reference with Tus=50."""
+    from dataclasses import replace
+
+    from fm_radio_tpu.config import DemodConfig
+
+    mod = FMModulator(ModulatorConfig())
+    iq = mod.generate(BLOCK * 8, left_hz=1000.0, right_hz=6000.0)
+    u8 = c64_to_u8(iq)
+    pcm = str(tmp_path / "in.pcm")
+    u8.tofile(pcm)
+
+    audio_f = str(tmp_path / "audio.f32")
+    rds_f = str(tmp_path / "rds.bin")
+    r = subprocess.run(
+        [golden_binary, pcm, audio_f, rds_f, str(BLOCK), "50"],
+        capture_output=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr.decode()[:500]
+    golden_audio = np.fromfile(audio_f, dtype=np.float32).reshape(-1, 2)
+
+    cfg = replace(
+        DemodConfig(), use_deemphasis_filter=True, deemphasis_cutoff_us=50
+    )
+    app = App(block_size=BLOCK, cfg=cfg, channels=1, decode_rds=False)
+    app.process(u8_to_c64(u8))
+    ours = app.audio[0]
+    assert ours.shape == golden_audio.shape
+
+    settle = 32000 // 5
+    d = ours[settle:] - golden_audio[settle:]
+    snr = 10 * np.log10((golden_audio[settle:] ** 2).sum() / ((d**2).sum() + 1e-20))
+    print(f"golden audio SNR (deemphasis 50us): {snr:.1f} dB")
+    assert snr > 60.0, f"deemphasis-path SNR vs reference only {snr:.1f} dB"
