@@ -368,6 +368,33 @@ class BroadcastFMDemod:
     def fs_audio(self):
         return self.cfg.rates.fs_audio
 
+    def update_controls(self, **changes) -> None:
+        """Runtime-mutable controls, mirroring the reference's GUI dirty-flag
+        redesign (``EditableControl`` + ``UpdateFilters``,
+        ``broadcast_fm_demod.cpp:330-389``): change cutoffs / audio mode /
+        de-emphasis mid-stream; coefficients are re-designed on host and the
+        carried state is preserved (filter ORDERS are compile-time constants
+        in the reference too, so state shapes never change).
+
+        e.g. ``d.update_controls(audio_out="lpr", use_deemphasis_filter=True,
+        deemphasis_cutoff_us=50, audio_lpr_cutoff_hz=12000)``
+        """
+        import dataclasses
+
+        allowed = {
+            "audio_out",
+            "audio_stereo_mix_factor",
+            "use_deemphasis_filter",
+            "deemphasis_cutoff_us",
+            "audio_lpr_cutoff_hz",
+            "audio_lmr_cutoff_hz",
+        }
+        bad = set(changes) - allowed
+        if bad:
+            raise ValueError(f"not runtime-mutable: {sorted(bad)}")
+        self.cfg = dataclasses.replace(self.cfg, **changes)
+        self.coeffs = make_coeffs(self.cfg)  # state shapes unchanged
+
     def process(self, x: np.ndarray, include_taps: bool = False) -> dict:
         """x: [C, B] complex64 centered baseband. Returns outs dict (numpy)."""
         from fm_radio_tpu.utils.transfer import device_put_complex, fetch_tree

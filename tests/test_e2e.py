@@ -265,3 +265,28 @@ def test_process_all_matches_process():
         np.asarray(a1._pending), np.asarray(a2._pending)
     )
     assert a1.rds_bytes(0).tobytes() == a2.rds_bytes(0).tobytes()
+
+
+def test_update_controls_midstream():
+    """Runtime control changes (the reference's GUI dirty-flag redesign,
+    broadcast_fm_demod.cpp:330-389): flip to LPR-only and enable de-emphasis
+    mid-stream; the carried state survives and the change takes effect."""
+    from fm_radio_tpu.models.demod import BroadcastFMDemod
+
+    mod = FMModulator(ModulatorConfig())
+    iq = mod.generate(BLOCK * 6, left_hz=1000.0, right_hz=3000.0)[None, :]
+
+    d = BroadcastFMDemod(DemodConfig(), channels=1)
+    out1 = d.process(iq[:, : BLOCK * 3])
+    # stereo: L != R
+    assert not np.array_equal(out1["audio"][..., 0], out1["audio"][..., 1])
+
+    d.update_controls(audio_out="lpr", use_deemphasis_filter=True,
+                      deemphasis_cutoff_us=50)
+    out2 = d.process(iq[:, BLOCK * 3 :])
+    # LPR: both channels identical from the switch on
+    np.testing.assert_array_equal(out2["audio"][..., 0], out2["audio"][..., 1])
+
+    import pytest
+    with pytest.raises(ValueError):
+        d.update_controls(order_fir_hilbert=129)  # orders are not mutable
