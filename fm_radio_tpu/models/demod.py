@@ -222,9 +222,18 @@ def demod_block(
     st["peak_pilot"], pilot_p = iir_filter_planes(
         coeffs.peak_b, coeffs.peak_a, st["peak_pilot"], fm_out_iq_p
     )
-    st["agc_pilot"], pilot_p = agc_process_p(
-        st["agc_pilot"], pilot_p, target_power=1.0
-    )
+    if include_taps:
+        st["agc_pilot"], pilot_p = agc_process_p(
+            st["agc_pilot"], pilot_p, target_power=1.0
+        )
+    else:
+        # The PLL phase detector is amplitude-invariant (atan2(g*im, g*re) ==
+        # atan2(im, re), g > 0), so on the fast path the AGC gain state is
+        # tracked (exact parity for checkpoints) but the scaling pass over
+        # the pilot — a pure HBM round trip — is skipped.
+        from fm_radio_tpu.ops.agc import agc_update_gain
+
+        st["agc_pilot"] = agc_update_gain(st["agc_pilot"], pilot_p, 1.0)
 
     c = fm_out.shape[0]
     use_pallas = cfg.loop_impl == "pallas" or (

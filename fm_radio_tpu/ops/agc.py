@@ -30,6 +30,23 @@ def _agc_gain(gain, avg_power, target_power, beta):
     )
 
 
+def agc_update_gain(
+    gain: jnp.ndarray,
+    xp,
+    target_power: float = 1.0,
+    beta: float = 0.2,
+) -> jnp.ndarray:
+    """Track the gain state WITHOUT applying it (one fused reduction, no
+    scaling pass).  Used where the downstream consumer is amplitude-invariant
+    — the pilot PLL's phase detector satisfies atan2(g*im, g*re) == atan2(im,
+    re) for g > 0, so scaling the pilot is a mathematical no-op there; the
+    gain state still evolves exactly as ``AGC_Filter`` (agc.h:6-31) for
+    checkpoint/tap parity."""
+    xr, xi = xp
+    avg_power = jnp.mean(xr * xr + xi * xi, axis=-1)
+    return _agc_gain(gain, avg_power, target_power, beta)
+
+
 def agc_process_p(
     gain: jnp.ndarray,
     xp,

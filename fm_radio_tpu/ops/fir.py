@@ -64,6 +64,9 @@ def _banded_matrix(w: jnp.ndarray, m: int, no: int) -> jnp.ndarray:
 # ~83 dB vs the reference, so HIGH is lossless for every acceptance bound.
 FIR_PRECISION = jax.lax.Precision.HIGH
 
+# Outputs per banded-matmul tile (see _apply_real_taps).
+TILE_OUTPUTS = 128
+
 
 def _conv_small(lanes: jnp.ndarray, w: jnp.ndarray, m: int) -> jnp.ndarray:
     """Polyphase decimation as a plain conv (one output feature): fine for
@@ -104,7 +107,10 @@ def _apply_real_taps(x_pad: jnp.ndarray, w: jnp.ndarray, m: int) -> jnp.ndarray:
     else:
         lanes = x_pad.astype(jnp.float32)
 
-    no = 128
+    # Tile width (outputs per banded matmul).  Trade-off: larger tiles mean a
+    # smaller overlap-tail re-read (nn-m of every no*m input samples) but more
+    # zero-padding FLOPs in the band (density nn/(no*m + nn - m)).
+    no = TILE_OUTPUTS
     width = no * m + nn - m
     t_full = 0
     if n_out >= 16 and t_pad >= width:

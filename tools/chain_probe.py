@@ -1,0 +1,217 @@
+"""Cumulative-prefix timing of demod_block: where does the time go?
+
+Replicates demod_block stage by stage (same ops, same order) and times
+prefix 0..N inside a scanned multi-block dispatch (the only reliable
+measurement over the tunnel — see tools/stage_probe.py header).  The delta
+between consecutive prefixes is that stage's true marginal cost inside the
+full fused graph.
+
+Usage: python tools/chain_probe.py [channels] [block] [n_blocks]
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fm_radio_tpu.config import DemodConfig
+from fm_radio_tpu.models.demod import demod_block, demod_init_state, make_coeffs
+from fm_radio_tpu.ops.agc import agc_process_p
+from fm_radio_tpu.ops.discriminator import fm_discriminate_p
+from fm_radio_tpu.ops.fir import hilbert_fir_p, polyphase_decimate, polyphase_decimate_p
+from fm_radio_tpu.ops.iir import iir_filter_planes
+from fm_radio_tpu.ops.mixer import apply_harmonic_pll_p
+
+
+def chain_prefix(cfg, coeffs, state, xp, upto: int):
+    """Stages 1..upto of demod_block; returns (state', probe_scalar)."""
+    r = cfg.rates
+    st = dict(state)
+    probe = xp[0][0, -1] + xp[1][0, -1]
+    k = 0
+
+    def done():
+        return st, probe
+
+    k += 1  # 1: ds_fm_in
+    if upto < k:
+        return done()
+    st["ds_fm_in"], fm_in_p = polyphase_decimate_p(
+        coeffs.taps_fm_in, st["ds_fm_in"], xp, r.ds_fm_in
+    )
+    probe = jnp.sum(fm_in_p[0]) + jnp.sum(fm_in_p[1])
+
+    k += 1  # 2: discriminator
+    if upto < k:
+        return done()
+    st["disc_prev_theta"], fm_demod = fm_discriminate_p(
+        st["disc_prev_theta"], fm_in_p, cfg.analog.f_wbfm_deviation, float(r.fs_fm_in)
+    )
+    probe = jnp.sum(fm_demod)
+
+    k += 1  # 3: ds_fm_out
+    if upto < k:
+        return done()
+    st["ds_fm_out"], fm_out = polyphase_decimate(
+        coeffs.taps_fm_out, st["ds_fm_out"], fm_demod, r.ds_fm_out
+    )
+    probe = jnp.sum(fm_out)
+
+    k += 1  # 4: hilbert
+    if upto < k:
+        return done()
+    st["hilbert"], fm_out_iq_p = hilbert_fir_p(
+        coeffs.taps_hilbert, st["hilbert"], fm_out
+    )
+    probe = jnp.sum(fm_out_iq_p[0]) + jnp.sum(fm_out_iq_p[1])
+
+    k += 1  # 5: peak IIR + AGC
+    if upto < k:
+        return done()
+    st["peak_pilot"], pilot_p = iir_filter_planes(
+        coeffs.peak_b, coeffs.peak_a, st["peak_pilot"], fm_out_iq_p
+    )
+    st["agc_pilot"], pilot_p = agc_process_p(st["agc_pilot"], pilot_p, target_power=1.0)
+    probe = jnp.sum(pilot_p[0]) + jnp.sum(pilot_p[1])
+
+    k += 1  # 6: pilot PLL (pallas)
+    if upto < k:
+        return done()
+    from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas
+
+    st["pll"], dt = pilot_pll_pallas(cfg, st["pll"], pilot_p)
+    probe = jnp.sum(dt)
+
+    k += 1  # 7: LPR decimate
+    if upto < k:
+        return done()
+    st["ds_audio_lpr"], audio_lpr = polyphase_decimate_p(
+        coeffs.taps_audio_lpr, st["ds_audio_lpr"], fm_out_iq_p, r.ds_audio,
+        imag_out=False,
+    )
+    probe = probe + jnp.sum(audio_lpr)
+
+    k += 1  # 8: LMR mix + decimate + phase corr
+    if upto < k:
+        return done()
+    h_lmr = cfg.analog.f_audio_lmr_center / cfg.analog.f_pilot
+    mixed_lmr_p = apply_harmonic_pll_p(dt, fm_out_iq_p, h_lmr, st["lmr_phase_err"])
+    st["ds_audio_lmr"], tmp_lmr_p = polyphase_decimate_p(
+        coeffs.taps_audio_lmr, st["ds_audio_lmr"], mixed_lmr_p, r.ds_audio
+    )
+    stride = cfg.audio_lmr_phase_read_stride
+    vr = tmp_lmr_p[0][:, ::stride]
+    vi = tmp_lmr_p[1][:, ::stride]
+    phase = jnp.arctan2(vi, vr)
+    half_pi = jnp.float32(jnp.pi / 2.0)
+    est = jnp.where(phase > 0.0, half_pi - phase, -half_pi - phase)
+    avg = jnp.mean(est, axis=-1)
+    new_off = st["lmr_phase_err"] + jnp.float32(cfg.audio_lmr_phase_beta) * avg
+    st["lmr_phase_err"] = jnp.fmod(new_off, jnp.float32(2.0 * jnp.pi))
+    probe = probe + jnp.sum(tmp_lmr_p[1])
+
+    k += 1  # 9: RDS mix + decimate
+    if upto < k:
+        return done()
+    h_rds = cfg.analog.f_rds_center / cfg.analog.f_pilot
+    mixed_rds_p = apply_harmonic_pll_p(dt, fm_out_iq_p, h_rds, 0.0)
+    st["ds_rds"], rds_p = polyphase_decimate_p(
+        coeffs.taps_rds, st["ds_rds"], mixed_rds_p, r.ds_rds
+    )
+    probe = probe + jnp.sum(rds_p[0]) + jnp.sum(rds_p[1])
+
+    k += 1  # 10: RDS AGC + BPSK
+    if upto < k:
+        return done()
+    st["agc_rds"], rds_agc_p = agc_process_p(
+        st["agc_rds"], rds_p, target_power=cfg.bpsk.agc_target_power
+    )
+    from fm_radio_tpu.kernels.bpsk_pallas import bpsk_sync_pallas
+
+    st["bpsk"], bpsk_outs = bpsk_sync_pallas(cfg, st["bpsk"], rds_agc_p)
+    probe = probe + jnp.sum(bpsk_outs["pred"])
+
+    return st, probe
+
+
+STAGES = [
+    "nothing (scan overhead)",
+    "ds x4 c64 (fm_in)",
+    "+ discriminator",
+    "+ ds x2 f32 (fm_out)",
+    "+ hilbert 65",
+    "+ peak IIR + AGC",
+    "+ pilot PLL pallas",
+    "+ LPR ds x4",
+    "+ LMR mix + ds x4 + phase",
+    "+ RDS mix + ds x8",
+    "+ RDS AGC + BPSK pallas",
+]
+
+
+def main():
+    channels = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    block = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 20
+    n_blocks = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+
+    cfg = DemodConfig()
+    coeffs = make_coeffs(cfg)
+    state = demod_init_state(cfg, channels)
+
+    rng = np.random.default_rng(0)
+    phase = np.cumsum(
+        rng.standard_normal((channels, block)).astype(np.float32) * 0.5, axis=-1
+    )
+    xp = np.stack([100.0 * np.cos(phase), 100.0 * np.sin(phase)]).astype(np.float32)
+    x = jnp.asarray(xp)
+
+    def timed(fn, *args):
+        out = fn(*args)
+        float(np.asarray(out))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            float(np.asarray(out))
+            best = min(best, time.perf_counter() - t0)
+        return best / n_blocks
+
+    print(f"channels={channels} block={block} n_blocks={n_blocks} "
+          f"device={jax.devices()[0].device_kind}")
+
+    prev = 0.0
+    for upto, name in enumerate(STAGES):
+        @functools.partial(jax.jit, static_argnames=())
+        def run(state, x, _upto=upto):
+            def step(st, _):
+                st, probe = chain_prefix(cfg, coeffs, st, (x[0], x[1]), _upto)
+                return st, probe
+            st, probes = jax.lax.scan(step, state, None, length=n_blocks)
+            return jnp.sum(probes)
+
+        dt = timed(run, state, x)
+        print(f"{name:34s} {dt*1e3:9.2f} ms/block   (delta {1e3*(dt-prev):+8.2f} ms)")
+        prev = dt
+
+    # full demod_block for comparison
+    @jax.jit
+    def run_full(state, x):
+        def step(st, _):
+            st, outs = demod_block(cfg, coeffs, st, x)
+            return st, (jnp.sum(outs["audio"]), jnp.sum(outs["rds_pred"]))
+        st, probes = jax.lax.scan(step, state, None, length=n_blocks)
+        return sum(jnp.sum(p) for p in probes)
+
+    dt = timed(run_full, state, x)
+    print(f"{'full demod_block (+mix, probes)':34s} {dt*1e3:9.2f} ms/block")
+    msps = channels * block / dt / 1e6
+    print(f"=> {msps:.0f} Msps aggregate")
+
+
+if __name__ == "__main__":
+    main()
