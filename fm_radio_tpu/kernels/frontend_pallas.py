@@ -1,0 +1,230 @@
+"""Fused front-end kernel: polyphase ds x4 + FM discriminator in ONE pass.
+
+Parity: stages 1-2 of ``Broadcast_FM_Demod::Run_FM_Demodulate``
+(``broadcast_fm_demod.cpp:391-398``) — the ds x4 LPF (``polyphase_filter.h:
+36-64``) and the quadrature discriminator (``fm_demod.cpp:30-45``).
+
+Why fused: at production block sizes the chain is HBM-bound (~200-400 GB/s
+effective on this chip), and the XLA path writes + re-reads the full-rate
+``fm_in`` intermediate (~1 GB per 256ch x 1M block each way).  This kernel
+streams the baseband planes through VMEM once: in-VMEM banded MXU matmuls
+produce the decimated IQ tile, the polynomial atan2 + wrap runs on the VPU,
+and only the 4x-decimated ``fm_demod`` real signal ever returns to HBM.
+
+Layout: channels on sublanes, time on lanes.  Grid (channel tiles, time
+tiles) with time innermost and sequential; the filter history (the last
+TB=128 input samples) and the discriminator's previous phase are carried in
+VMEM scratch between time tiles, exactly the overlap-save state of the
+unfused ops.
+
+The banded matrix trick (see ops/fir.py::_apply_real_taps) is retuned for
+alignment: every sub-matmul reads a 128-aligned [c, 640] window of the
+tail-extended buffer, with the tap band placed at row TB - halo + 4j + k so
+no unaligned lane shifts are ever emitted.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fm_radio_tpu.kernels.pll_pallas import _atan2
+
+_M = 4          # decimation factor (fm_in stage is always x4)
+_NO = 128       # outputs per banded sub-matmul
+_TB = 128       # carried-tail buffer width (lane-aligned); requires nn-_M <= _TB
+_W = _NO * _M + _TB  # aligned window width per sub-matmul
+
+
+def _band_matrix(taps) -> jnp.ndarray:
+    """[_W, _NO] band for y[j] = sum_k w_rev[k] x_buf[TB - halo + 4j + k].
+
+    Traceable (taps may be a jit-traced coefficient array)."""
+    taps = jnp.asarray(taps, jnp.float32)
+    nn = taps.shape[0]
+    halo = nn - _M
+    assert halo <= _TB, "filter too long for the carried tail"
+    w_rev = taps[::-1]
+    rows = jnp.arange(_W)[:, None]
+    cols = jnp.arange(_NO)[None, :]
+    k = rows - (_TB - halo + _M * cols)
+    valid = (k >= 0) & (k < nn)
+    return jnp.where(valid, jnp.take(w_rev, jnp.clip(k, 0, nn - 1)), 0.0)
+
+
+def _split_bf16(x):
+    """bf16x2 split: x ~ hi + lo with hi, lo bf16 (rel err ~2^-16 of lo)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(x_hi, x_lo, b_hi, b_lo):
+    """bf16x3 matmul (Mosaic has no Precision.HIGH): hi*hi + hi*lo + lo*hi
+    with f32 accumulation — relative error ~2^-21, 3 MXU passes instead of
+    HIGHEST's 6."""
+    f32 = jnp.float32
+    return (
+        jnp.dot(x_hi, b_hi, preferred_element_type=f32)
+        + jnp.dot(x_hi, b_lo, preferred_element_type=f32)
+        + jnp.dot(x_lo, b_hi, preferred_element_type=f32)
+    )
+
+
+def _ds4_disc_kernel(
+    xr_ref, xi_ref, tail_ref, prev_ref, band_ref,
+    y_ref, out_tail_ref, out_prev_ref,
+    bufr_ref, bufi_ref, carry_ref,
+    *, t_blk: int, n_tt: int, scale: float,
+):
+    ti = pl.program_id(1)
+    n_sub = t_blk // (_NO * _M)
+    n_out = t_blk // _M
+
+    @pl.when(ti == 0)
+    def _init():
+        bufr_ref[:, :_TB] = tail_ref[0]
+        bufi_ref[:, :_TB] = tail_ref[1]
+        carry_ref[...] = prev_ref[...]
+
+    bufr_ref[:, _TB:] = xr_ref[...]
+    bufi_ref[:, _TB:] = xi_ref[...]
+
+    b_hi, b_lo = _split_bf16(band_ref[...])
+    xr_hi, xr_lo = _split_bf16(bufr_ref[...])
+    xi_hi, xi_lo = _split_bf16(bufi_ref[...])
+    # decimated IQ tile, built 128 outputs at a time from aligned windows
+    for s in range(n_sub):
+        w0 = s * _NO * _M
+        fr = _dot3(xr_hi[:, w0 : w0 + _W], xr_lo[:, w0 : w0 + _W], b_hi, b_lo)
+        fi = _dot3(xi_hi[:, w0 : w0 + _W], xi_lo[:, w0 : w0 + _W], b_hi, b_lo)
+        if s == 0:
+            fm_r, fm_i = fr, fi
+        else:
+            fm_r = jnp.concatenate([fm_r, fr], axis=-1)
+            fm_i = jnp.concatenate([fm_i, fi], axis=-1)
+
+    # discriminator: wrap(theta[n] - theta[n-1]) * scale  (fm_demod.cpp:30-45)
+    theta = _atan2(fm_i, fm_r)
+    prev = jnp.concatenate([carry_ref[:, :1], theta[:, : n_out - 1]], axis=-1)
+    d = theta - prev
+    pi = jnp.float32(np.pi)
+    two_pi = jnp.float32(2.0 * np.pi)
+    d = jnp.where(d >= pi, d - two_pi, d)
+    d = jnp.where(d <= -pi, d + two_pi, d)
+    y_ref[...] = d * jnp.float32(scale)
+
+    # carry: last input samples + last phase
+    carry_ref[...] = theta[:, n_out - 1 :]
+    bufr_ref[:, :_TB] = bufr_ref[:, t_blk:]
+    bufi_ref[:, :_TB] = bufi_ref[:, t_blk:]
+
+    @pl.when(ti == n_tt - 1)
+    def _finish():
+        out_tail_ref[0] = bufr_ref[:, :_TB]
+        out_tail_ref[1] = bufi_ref[:, :_TB]
+        out_prev_ref[...] = carry_ref[...]
+
+
+def pick_tiles(c: int, b: int) -> tuple[int, int] | None:
+    """(c_blk, t_blk) or None if shapes don't fit the kernel's contract."""
+    if b % (_NO * _M) != 0:
+        return None
+    # 2048 keeps (2 planes x double-buffered input) + 2 tail-extended scratch
+    # buffers + outputs well inside the 16 MB scoped-VMEM budget at c_blk=128
+    t_blk = _NO * _M
+    while t_blk * 2 <= 2048 and b % (t_blk * 2) == 0:
+        t_blk *= 2
+    c_blk = c if c <= 128 else 128
+    if c % c_blk != 0:
+        return None
+    return c_blk, t_blk
+
+
+def ds4_disc_pallas(
+    taps,
+    tail_p: tuple[jnp.ndarray, jnp.ndarray],
+    prev_theta: jnp.ndarray,
+    xp: tuple[jnp.ndarray, jnp.ndarray],
+    fd: float,
+    fs_out: float,
+    interpret: bool = False,
+):
+    """Fused polyphase-ds4 + FM discriminator.
+
+    taps: [NN] natural-order LPF taps (NN % 4 == 0, NN <= 132);
+    tail_p: (re, im) [C, NN-4] carried input tail (overlap-save state);
+    prev_theta: [C] carried discriminator phase; xp: (re, im) [C, B] planes.
+    Returns ((new_tail_re, new_tail_im), new_prev_theta, fm_demod [C, B/4]).
+
+    Matches polyphase_decimate_p + fm_discriminate_p to ~1e-6 (poly atan2,
+    bf16x3 matmuls — both far below the 83 dB golden audio budget).
+    """
+    xr, xi = xp
+    c, b = xr.shape
+    tiles = pick_tiles(c, b)
+    assert tiles is not None, "shape not supported; gate with pick_tiles"
+    c_blk, t_blk = tiles
+    n_tt = b // t_blk
+
+    nn = taps.shape[0]
+    halo = nn - _M
+    # band stays f32 on the wire (the tunneled backend only transfers f32);
+    # the bf16 hi/lo split happens in-kernel (tiny VPU cost on [640, 128])
+    band = _band_matrix(taps)
+
+    # tail padded left into the TB-wide aligned buffer head
+    tr, tim = tail_p
+    tail = jnp.zeros((2, c, _TB), jnp.float32)
+    tail = tail.at[0, :, _TB - halo :].set(tr)
+    tail = tail.at[1, :, _TB - halo :].set(tim)
+
+    scale = 1.0 / (2.0 * np.pi * fd * (1.0 / fs_out)) * 0.5
+
+    kern = functools.partial(
+        _ds4_disc_kernel, t_blk=t_blk, n_tt=n_tt, scale=scale
+    )
+    grid = (c // c_blk, n_tt)
+    y, out_tail, out_prev = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((c_blk, t_blk), lambda ci, ti: (ci, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_blk, t_blk), lambda ci, ti: (ci, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c_blk, _TB), lambda ci, ti: (0, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_blk, 1), lambda ci, ti: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_W, _NO), lambda ci, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((c_blk, t_blk // _M), lambda ci, ti: (ci, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c_blk, _TB), lambda ci, ti: (0, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_blk, 1), lambda ci, ti: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, b // _M), jnp.float32),
+            jax.ShapeDtypeStruct((2, c, _TB), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c_blk, _TB + t_blk), jnp.float32),
+            pltpu.VMEM((c_blk, _TB + t_blk), jnp.float32),
+            pltpu.VMEM((c_blk, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xr, xi, tail, prev_theta[:, None], band)
+
+    new_tail = (out_tail[0, :, _TB - halo :], out_tail[1, :, _TB - halo :])
+    return new_tail, out_prev[:, 0], y

@@ -200,13 +200,46 @@ def demod_block(
         assert x.ndim == 3 and x.shape[0] == 2
         xp = (x[0], x[1])
 
+    c = xp[0].shape[0]
+    b = xp[0].shape[-1]
+    use_pallas = cfg.loop_impl == "pallas" or (
+        cfg.loop_impl == "auto"
+        and jax.default_backend() == "tpu"
+        and not include_taps
+        and (c <= 512 or c % 512 == 0)
+    )
+
     # ---- 1. FM demodulation --------------------------------------------
-    st["ds_fm_in"], fm_in_p = polyphase_decimate_p(
-        coeffs.taps_fm_in, st["ds_fm_in"], xp, r.ds_fm_in
+    from fm_radio_tpu.kernels.frontend_pallas import ds4_disc_pallas, pick_tiles
+
+    fuse_front = (
+        use_pallas
+        and not include_taps
+        and r.ds_fm_in == 4
+        and coeffs.taps_fm_in.shape[0] - 4 <= 128
+        and pick_tiles(c, b) is not None
     )
-    st["disc_prev_theta"], fm_demod = fm_discriminate_p(
-        st["disc_prev_theta"], fm_in_p, cfg.analog.f_wbfm_deviation, float(r.fs_fm_in)
-    )
+    if fuse_front:
+        # one HBM pass: ds x4 + discriminator fused (kernels/frontend_pallas)
+        tail, prev, fm_demod = ds4_disc_pallas(
+            coeffs.taps_fm_in,
+            (st["ds_fm_in"].real, st["ds_fm_in"].imag),
+            st["disc_prev_theta"],
+            xp,
+            cfg.analog.f_wbfm_deviation,
+            float(r.fs_fm_in),
+            interpret=jax.default_backend() != "tpu",
+        )
+        st["ds_fm_in"] = jax.lax.complex(*tail)
+        st["disc_prev_theta"] = prev
+    else:
+        st["ds_fm_in"], fm_in_p = polyphase_decimate_p(
+            coeffs.taps_fm_in, st["ds_fm_in"], xp, r.ds_fm_in
+        )
+        st["disc_prev_theta"], fm_demod = fm_discriminate_p(
+            st["disc_prev_theta"], fm_in_p,
+            cfg.analog.f_wbfm_deviation, float(r.fs_fm_in),
+        )
     st["ds_fm_out"], fm_out = polyphase_decimate(
         coeffs.taps_fm_out, st["ds_fm_out"], fm_demod, r.ds_fm_out
     )
@@ -235,13 +268,6 @@ def demod_block(
 
         st["agc_pilot"] = agc_update_gain(st["agc_pilot"], pilot_p, 1.0)
 
-    c = fm_out.shape[0]
-    use_pallas = cfg.loop_impl == "pallas" or (
-        cfg.loop_impl == "auto"
-        and jax.default_backend() == "tpu"
-        and not include_taps
-        and (c <= 512 or c % 512 == 0)
-    )
     if use_pallas:
         from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas
 

@@ -145,3 +145,58 @@ def test_pll_chunked_matches_sequential():
     np.testing.assert_array_equal(e[:, :l], 0.0)  # chunk 0 bit-exact
     assert np.abs(e).max() < 1e-2, np.abs(e).max()
     assert np.sqrt((e**2).mean()) < 4e-3
+
+
+def test_ds4_disc_pallas_matches_ops():
+    """Fused ds4+discriminator kernel (kernels/frontend_pallas.py) vs the
+    unfused ops (polyphase_decimate_p + fm_discriminate_p), streaming split
+    included (the carried tail + prev_theta must hand off exactly)."""
+    from fm_radio_tpu.kernels.frontend_pallas import ds4_disc_pallas
+    from fm_radio_tpu.ops.discriminator import fm_discriminate_p
+    from fm_radio_tpu.ops.fir import polyphase_decimate_p
+
+    c, b = 3, 4096
+    cfg = CFG
+    co = make_coeffs(cfg)
+    nn = int(np.asarray(co.taps_fm_in).shape[0])
+    rng = np.random.default_rng(7)
+    phase = np.cumsum(rng.standard_normal((c, 2 * b)).astype(np.float32) * 0.4, -1)
+    xr = (100 * np.cos(phase)).astype(np.float32)
+    xi = (100 * np.sin(phase)).astype(np.float32)
+
+    # reference: unfused ops over two consecutive blocks
+    st = jnp.zeros((c, nn - 4), jnp.complex64)
+    pt = jnp.zeros((c,), jnp.float32)
+    ys = []
+    for blk in range(2):
+        sl = slice(blk * b, (blk + 1) * b)
+        st, fm_in_p = polyphase_decimate_p(
+            co.taps_fm_in, st, (jnp.asarray(xr[:, sl]), jnp.asarray(xi[:, sl])), 4
+        )
+        pt, y = fm_discriminate_p(
+            pt, fm_in_p, cfg.analog.f_wbfm_deviation, float(cfg.rates.fs_fm_in)
+        )
+        ys.append(np.asarray(y))
+    y_ref = np.concatenate(ys, axis=-1)
+
+    # kernel: same two blocks, carried tail/prev handed between calls
+    tail = (jnp.zeros((c, nn - 4), jnp.float32), jnp.zeros((c, nn - 4), jnp.float32))
+    ptk = jnp.zeros((c,), jnp.float32)
+    yk = []
+    for blk in range(2):
+        sl = slice(blk * b, (blk + 1) * b)
+        tail, ptk, y = ds4_disc_pallas(
+            co.taps_fm_in, tail, ptk,
+            (jnp.asarray(xr[:, sl]), jnp.asarray(xi[:, sl])),
+            cfg.analog.f_wbfm_deviation, float(cfg.rates.fs_fm_in),
+            interpret=True,
+        )
+        yk.append(np.asarray(y))
+    y_k = np.concatenate(yk, axis=-1)
+
+    assert np.max(np.abs(y_k - y_ref)) < 2e-5
+    # carried states agree too
+    st_np = np.asarray(st)
+    np.testing.assert_allclose(np.asarray(tail[0]), st_np.real, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(tail[1]), st_np.imag, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ptk), np.asarray(pt), atol=2e-5)
