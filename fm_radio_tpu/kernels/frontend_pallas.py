@@ -57,8 +57,19 @@ def _band_matrix(taps) -> jnp.ndarray:
     return jnp.where(valid, jnp.take(w_rev, jnp.clip(k, 0, nn - 1)), 0.0)
 
 
-def _split_bf16(x):
-    """bf16x2 split: x ~ hi + lo with hi, lo bf16 (rel err ~2^-16 of lo)."""
+def _split_bf16(x, interpret: bool = False):
+    """bf16x2 split: x ~ hi + lo with hi, lo bf16 (rel err ~2^-16 of lo).
+
+    Backend-dependent rounding, because no single formulation survives both
+    compilers (measured, kernel parity tests cover both):
+    - Mosaic (real TPU): plain convert-to-bf16-and-back — honored literally.
+    - interpret / XLA: the SAME round trip is DELETED by XLA's
+      excess-precision folding (lo becomes 0 and every downstream matmul
+      silently degrades to plain bf16), so use lax.reduce_precision, which
+      XLA cannot fold (Mosaic, in turn, does not implement it)."""
+    if interpret:
+        hi_f32 = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+        return hi_f32.astype(jnp.bfloat16), (x - hi_f32).astype(jnp.bfloat16)
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
@@ -80,7 +91,7 @@ def _ds4_disc_kernel(
     xr_ref, xi_ref, tail_ref, prev_ref, band_ref,
     y_ref, out_tail_ref, out_prev_ref,
     bufr_ref, bufi_ref, carry_ref,
-    *, t_blk: int, n_tt: int, scale: float,
+    *, t_blk: int, n_tt: int, scale: float, interp: bool,
 ):
     ti = pl.program_id(1)
     n_sub = t_blk // (_NO * _M)
@@ -95,9 +106,9 @@ def _ds4_disc_kernel(
     bufr_ref[:, _TB:] = xr_ref[...]
     bufi_ref[:, _TB:] = xi_ref[...]
 
-    b_hi, b_lo = _split_bf16(band_ref[...])
-    xr_hi, xr_lo = _split_bf16(bufr_ref[...])
-    xi_hi, xi_lo = _split_bf16(bufi_ref[...])
+    b_hi, b_lo = _split_bf16(band_ref[...], interp)
+    xr_hi, xr_lo = _split_bf16(bufr_ref[...], interp)
+    xi_hi, xi_lo = _split_bf16(bufi_ref[...], interp)
     # decimated IQ tile, built 128 outputs at a time from aligned windows
     for s in range(n_sub):
         w0 = s * _NO * _M
@@ -187,7 +198,7 @@ def ds4_disc_pallas(
     scale = 1.0 / (2.0 * np.pi * fd * (1.0 / fs_out)) * 0.5
 
     kern = functools.partial(
-        _ds4_disc_kernel, t_blk=t_blk, n_tt=n_tt, scale=scale
+        _ds4_disc_kernel, t_blk=t_blk, n_tt=n_tt, scale=scale, interp=interpret
     )
     grid = (c // c_blk, n_tt)
     y, out_tail, out_prev = pl.pallas_call(

@@ -176,10 +176,17 @@ def pilot_pll_pallas(cfg, state: PilotPLLState, pilot: jnp.ndarray,
     :func:`_pilot_pll_chunked`.
     """
     pr, pi = pilot if isinstance(pilot, tuple) else (pilot.real, pilot.imag)
-    c, n = pr.shape
     # data-parallel part of the phase detector: angle(pilot) in cycles
     theta_cn = jnp.arctan2(pi, pr) * jnp.float32(1.0 / (2.0 * jnp.pi))  # [C, N]
+    return pilot_pll_pallas_theta(cfg, state, theta_cn, interpret=interpret)
 
+
+def pilot_pll_pallas_theta(cfg, state: PilotPLLState, theta_cn: jnp.ndarray,
+                           interpret: bool = False):
+    """PLL loop over a PRECOMPUTED pilot phase (cycles).  Entry point for the
+    fused mid-end kernel (kernels/midend_pallas.py), which already emits
+    angle(pilot)/2pi — skips one full arctan2 pass over HBM."""
+    c, n = theta_cn.shape
     g = int(getattr(cfg, "pll_time_chunks", 1))
     if g > 1 and n % g == 0 and n // g > int(getattr(cfg, "pll_chunk_warmup", 4096)):
         return _pilot_pll_chunked(cfg, state, theta_cn, interpret=interpret)

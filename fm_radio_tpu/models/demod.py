@@ -240,44 +240,76 @@ def demod_block(
             st["disc_prev_theta"], fm_in_p,
             cfg.analog.f_wbfm_deviation, float(r.fs_fm_in),
         )
-    st["ds_fm_out"], fm_out = polyphase_decimate(
-        coeffs.taps_fm_out, st["ds_fm_out"], fm_demod, r.ds_fm_out
-    )
-    if cfg.use_deemphasis_filter:
-        st["deemph"], fm_out = iir_filter(
-            coeffs.deemph_b, coeffs.deemph_a, st["deemph"], fm_out
-        )
-    st["hilbert"], fm_out_iq_p = hilbert_fir_p(
-        coeffs.taps_hilbert, st["hilbert"], fm_out
-    )
+    from fm_radio_tpu.kernels.midend_pallas import midend_pallas, pick_tiles_mid
 
-    # ---- 2. Lock onto pilot --------------------------------------------
-    st["peak_pilot"], pilot_p = iir_filter_planes(
-        coeffs.peak_b, coeffs.peak_a, st["peak_pilot"], fm_out_iq_p
+    b4 = fm_demod.shape[-1]
+    fuse_mid = (
+        use_pallas
+        and not include_taps
+        and r.ds_fm_out == 2
+        and coeffs.taps_fm_out.shape[0] - 2 <= 128
+        and coeffs.taps_hilbert.shape[0] - 1 <= 128
+        and pick_tiles_mid(c, b4) is not None
     )
-    if include_taps:
-        st["agc_pilot"], pilot_p = agc_process_p(
-            st["agc_pilot"], pilot_p, target_power=1.0
-        )
-    else:
-        # The PLL phase detector is amplitude-invariant (atan2(g*im, g*re) ==
-        # atan2(im, re), g > 0), so on the fast path the AGC gain state is
-        # tracked (exact parity for checkpoints) but the scaling pass over
-        # the pilot — a pure HBM round trip — is skipped.
-        from fm_radio_tpu.ops.agc import agc_update_gain
-
-        st["agc_pilot"] = agc_update_gain(st["agc_pilot"], pilot_p, 1.0)
-
-    if use_pallas:
-        from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas
+    if fuse_mid:
+        # one HBM pass: ds x2 + de-emphasis + Hilbert + peak IIR + pilot
+        # phase fused (kernels/midend_pallas.py); the AGC gain state updates
+        # from the in-kernel power sum (scaling skipped — phase detector is
+        # amplitude-invariant), and the PLL consumes theta directly.
+        from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas_theta
 
         interp = jax.default_backend() != "tpu"
-        st["pll"], dt = pilot_pll_pallas(cfg, st["pll"], pilot_p, interpret=interp)
+        st2, fm_out_iq_p, theta_cn = midend_pallas(
+            coeffs, cfg, st, fm_demod, interpret=interp
+        )
+        for k in ("ds_fm_out", "deemph", "hilbert", "peak_pilot", "agc_pilot"):
+            st[k] = st2[k]
+        st["pll"], dt = pilot_pll_pallas_theta(
+            cfg, st["pll"], theta_cn, interpret=interp
+        )
         pll_taps = {"dt": dt}
     else:
-        pilot_c = jax.lax.complex(*pilot_p)
-        st["pll"], pll_taps = pilot_pll_scan(coeffs.pll, st["pll"], pilot_c)
-        dt = pll_taps["dt"]
+        st["ds_fm_out"], fm_out = polyphase_decimate(
+            coeffs.taps_fm_out, st["ds_fm_out"], fm_demod, r.ds_fm_out
+        )
+        if cfg.use_deemphasis_filter:
+            st["deemph"], fm_out = iir_filter(
+                coeffs.deemph_b, coeffs.deemph_a, st["deemph"], fm_out
+            )
+        st["hilbert"], fm_out_iq_p = hilbert_fir_p(
+            coeffs.taps_hilbert, st["hilbert"], fm_out
+        )
+
+        # ---- 2. Lock onto pilot ----------------------------------------
+        st["peak_pilot"], pilot_p = iir_filter_planes(
+            coeffs.peak_b, coeffs.peak_a, st["peak_pilot"], fm_out_iq_p
+        )
+        if include_taps:
+            st["agc_pilot"], pilot_p = agc_process_p(
+                st["agc_pilot"], pilot_p, target_power=1.0
+            )
+        else:
+            # The PLL phase detector is amplitude-invariant (atan2(g*im,
+            # g*re) == atan2(im, re), g > 0), so on the fast path the AGC
+            # gain state is tracked (exact parity for checkpoints) but the
+            # scaling pass over the pilot — a pure HBM round trip — is
+            # skipped.
+            from fm_radio_tpu.ops.agc import agc_update_gain
+
+            st["agc_pilot"] = agc_update_gain(st["agc_pilot"], pilot_p, 1.0)
+
+        if use_pallas:
+            from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas
+
+            interp = jax.default_backend() != "tpu"
+            st["pll"], dt = pilot_pll_pallas(
+                cfg, st["pll"], pilot_p, interpret=interp
+            )
+            pll_taps = {"dt": dt}
+        else:
+            pilot_c = jax.lax.complex(*pilot_p)
+            st["pll"], pll_taps = pilot_pll_scan(coeffs.pll, st["pll"], pilot_c)
+            dt = pll_taps["dt"]
 
     # ---- 3. Extract components -----------------------------------------
     h_lmr = cfg.analog.f_audio_lmr_center / cfg.analog.f_pilot  # 2.0

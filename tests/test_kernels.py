@@ -200,3 +200,62 @@ def test_ds4_disc_pallas_matches_ops():
     np.testing.assert_allclose(np.asarray(tail[0]), st_np.real, atol=1e-4)
     np.testing.assert_allclose(np.asarray(tail[1]), st_np.imag, atol=1e-4)
     np.testing.assert_allclose(np.asarray(ptk), np.asarray(pt), atol=2e-5)
+
+
+@pytest.mark.parametrize("use_deemph", [False, True])
+def test_midend_pallas_matches_ops(use_deemph):
+    """Fused ds2+deemph+hilbert+peak+theta kernel (kernels/midend_pallas.py)
+    vs the unfused ops, streaming split included."""
+    from dataclasses import replace
+
+    from fm_radio_tpu.kernels.midend_pallas import midend_pallas
+    from fm_radio_tpu.models.demod import demod_init_state
+    from fm_radio_tpu.ops.agc import agc_update_gain
+    from fm_radio_tpu.ops.fir import hilbert_fir_p, polyphase_decimate
+    from fm_radio_tpu.ops.iir import iir_filter, iir_filter_planes
+
+    cfg = replace(CFG, use_deemphasis_filter=use_deemph)
+    co = make_coeffs(cfg)
+    c, b4 = 3, 2048
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((c, 2 * b4)).astype(np.float32) * 0.3
+
+    st_ref = demod_init_state(cfg, c)
+    st_k = demod_init_state(cfg, c)
+    for blk in range(2):
+        xb = jnp.asarray(x[:, blk * b4 : (blk + 1) * b4])
+
+        # unfused reference
+        st_ref = dict(st_ref)
+        st_ref["ds_fm_out"], fm_out = polyphase_decimate(
+            co.taps_fm_out, st_ref["ds_fm_out"], xb, 2
+        )
+        if use_deemph:
+            st_ref["deemph"], fm_out = iir_filter(
+                co.deemph_b, co.deemph_a, st_ref["deemph"], fm_out
+            )
+        st_ref["hilbert"], iq_p = hilbert_fir_p(
+            co.taps_hilbert, st_ref["hilbert"], fm_out
+        )
+        st_ref["peak_pilot"], pk_p = iir_filter_planes(
+            co.peak_b, co.peak_a, st_ref["peak_pilot"], iq_p
+        )
+        st_ref["agc_pilot"] = agc_update_gain(st_ref["agc_pilot"], pk_p, 1.0)
+        th_ref = np.arctan2(np.asarray(pk_p[1]), np.asarray(pk_p[0])) / (2 * np.pi)
+
+        # fused kernel
+        st_k, iq_k, th_k = midend_pallas(co, cfg, st_k, xb, interpret=True)
+
+        np.testing.assert_allclose(
+            np.asarray(iq_k[0]), np.asarray(iq_p[0]), atol=5e-5)
+        np.testing.assert_allclose(
+            np.asarray(iq_k[1]), np.asarray(iq_p[1]), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(th_k), th_ref, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(st_k["agc_pilot"]), np.asarray(st_ref["agc_pilot"]),
+            rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(st_k["hilbert"]), np.asarray(st_ref["hilbert"]), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(st_k["peak_pilot"]["y_hist"]),
+            np.asarray(st_ref["peak_pilot"]["y_hist"]), atol=2e-4)
