@@ -1,0 +1,230 @@
+"""Fused extraction kernel: L+R / L-R / RDS band extraction in ONE HBM pass.
+
+Parity: ``Broadcast_FM_Demod::ExtractComponents`` (``broadcast_fm_demod.cpp:
+463-536``) — the L+R ds x4 (Re path), the harmonic-2 mix + ds x4 (L-R), and
+the harmonic-3 mix + ds x8 (RDS).
+
+The three unfused stages each re-read the analytic signal fm_out_iq and the
+PLL track dt from HBM; this kernel reads them once, evaluates both harmonic
+phasors with the reference's Chebyshev polynomial (``chebyshev_sine.h``),
+mixes, and runs all five decimating banded matmuls from VMEM.  The mixed
+signals (which exist only here) carry their own overlap-save tails in VMEM
+scratch across the sequential time grid, emitted at the end as the
+``ds_audio_lmr`` / ``ds_rds`` states.
+
+The per-block L-R phase-error estimate (strided arctan2 average,
+``broadcast_fm_demod.cpp:496-517``) stays outside: it needs the decimated
+L-R IQ, which is an output of this kernel anyway, and runs on arrays 32x
+smaller than the input.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fm_radio_tpu.kernels.frontend_pallas import _dot3, _split_bf16
+from fm_radio_tpu.kernels.midend_pallas import _band_m, _NO, _TB
+
+_CHEB = (
+    -25.13274193, 64.83583069, -67.07687378, 38.50016403, -14.07150173,
+    3.20396066,
+)
+
+
+def _cheb_sine(x):
+    """sin(2*pi*x), x in [-0.5, 0.5] — the reference's polynomial
+    (chebyshev_sine.h:13-46), inlined for the VPU."""
+    z = x * x
+    b = jnp.float32(_CHEB[5])
+    for c in _CHEB[4::-1]:
+        b = b * z + jnp.float32(c)
+    return b * (z - jnp.float32(0.25)) * x
+
+
+def _wrapc(t):
+    return t - jnp.round(t)
+
+
+def _extract_kernel(
+    re_ref, im_ref, dt_ref, off_ref, tails_ref, ba_ref, bm_ref, br_ref,
+    lpr_ref, lmr_re_ref, lmr_im_ref, rds_re_ref, rds_im_ref, out_tails_ref,
+    blpr_ref, blmr_r_ref, blmr_i_ref, brds_r_ref, brds_i_ref,
+    *, t_blk: int, n_tt: int, h_lmr: float, h_rds: float, interp: bool,
+):
+    ti = pl.program_id(1)
+    na = t_blk // (_NO * 4)   # audio sub-matmuls (m=4)
+    nr = t_blk // (_NO * 8)   # rds sub-matmuls (m=8)
+
+    @pl.when(ti == 0)
+    def _init():
+        blpr_ref[:, :_TB] = tails_ref[0]
+        blmr_r_ref[:, :_TB] = tails_ref[1]
+        blmr_i_ref[:, :_TB] = tails_ref[2]
+        brds_r_ref[:, :_TB] = tails_ref[3]
+        brds_i_ref[:, :_TB] = tails_ref[4]
+
+    xr = re_ref[...]
+    xi = im_ref[...]
+    dt = dt_ref[...]
+    off = off_ref[...]  # [c, 1] broadcasts
+
+    # harmonic phasors (apply_harmonic_pll.cpp:11-24 arithmetic)
+    t2 = dt * jnp.float32(h_lmr) + off
+    c2 = _cheb_sine(_wrapc(t2 + jnp.float32(0.25)))
+    s2 = _cheb_sine(_wrapc(t2))
+    t3 = dt * jnp.float32(h_rds)
+    c3 = _cheb_sine(_wrapc(t3 + jnp.float32(0.25)))
+    s3 = _cheb_sine(_wrapc(t3))
+
+    blpr_ref[:, _TB:] = xr
+    blmr_r_ref[:, _TB:] = xr * c2 - xi * s2
+    blmr_i_ref[:, _TB:] = xr * s2 + xi * c2
+    brds_r_ref[:, _TB:] = xr * c3 - xi * s3
+    brds_i_ref[:, _TB:] = xr * s3 + xi * c3
+
+    ba_hi, ba_lo = _split_bf16(ba_ref[...], interp)
+    bm_hi, bm_lo = _split_bf16(bm_ref[...], interp)
+    br_hi, br_lo = _split_bf16(br_ref[...], interp)
+
+    def dec(buf_ref, b_hi, b_lo, m, n_sub):
+        w = _NO * m + _TB
+        x_hi, x_lo = _split_bf16(buf_ref[...], interp)
+        parts = []
+        for s in range(n_sub):
+            w0 = s * _NO * m
+            parts.append(_dot3(x_hi[:, w0 : w0 + w], x_lo[:, w0 : w0 + w],
+                               b_hi, b_lo))
+        return parts[0] if n_sub == 1 else jnp.concatenate(parts, axis=-1)
+
+    lpr_ref[...] = dec(blpr_ref, ba_hi, ba_lo, 4, na)
+    lmr_re_ref[...] = dec(blmr_r_ref, bm_hi, bm_lo, 4, na)
+    lmr_im_ref[...] = dec(blmr_i_ref, bm_hi, bm_lo, 4, na)
+    rds_re_ref[...] = dec(brds_r_ref, br_hi, br_lo, 8, nr)
+    rds_im_ref[...] = dec(brds_i_ref, br_hi, br_lo, 8, nr)
+
+    for buf in (blpr_ref, blmr_r_ref, blmr_i_ref, brds_r_ref, brds_i_ref):
+        buf[:, :_TB] = buf[:, t_blk:]
+
+    @pl.when(ti == n_tt - 1)
+    def _finish():
+        out_tails_ref[0] = blpr_ref[:, :_TB]
+        out_tails_ref[1] = blmr_r_ref[:, :_TB]
+        out_tails_ref[2] = blmr_i_ref[:, :_TB]
+        out_tails_ref[3] = brds_r_ref[:, :_TB]
+        out_tails_ref[4] = brds_i_ref[:, :_TB]
+
+
+def pick_tiles_ext(c: int, b8: int) -> tuple[int, int] | None:
+    if b8 % (_NO * 8) != 0:
+        return None
+    # 1024 fits the 5 tail-extended scratch buffers + bf16 splits + 3 input
+    # streams inside the 16 MB scoped-VMEM budget (2048 overflows by ~1.8 MB)
+    t_blk = _NO * 8
+    c_blk = c if c <= 128 else 128
+    if c % c_blk != 0:
+        return None
+    return c_blk, t_blk
+
+
+def extract_pallas(
+    coeffs,
+    cfg,
+    state: dict,
+    iq_p: tuple[jnp.ndarray, jnp.ndarray],
+    dt: jnp.ndarray,
+    interpret: bool = False,
+):
+    """Fused L+R / L-R / RDS extraction.
+
+    Uses/updates state keys ds_audio_lpr, ds_audio_lmr, ds_rds (the
+    lmr_phase_err offset is READ here but updated by the caller from the
+    decimated L-R IQ, exactly like the unfused path).
+    Returns (state', audio_lpr [C, B/32], (lmr_re, lmr_im) [C, B/32],
+    (rds_re, rds_im) [C, B/64]).
+    """
+    xr, xi = iq_p
+    c, b8 = xr.shape
+    tiles = pick_tiles_ext(c, b8)
+    assert tiles is not None
+    c_blk, t_blk = tiles
+    n_tt = b8 // t_blk
+    nn_a = coeffs.taps_audio_lpr.shape[0]
+    assert coeffs.taps_audio_lmr.shape[0] == nn_a
+    nn_r = coeffs.taps_rds.shape[0]
+    halo_a = nn_a - 4
+    halo_r = nn_r - 8
+    h_lmr = cfg.analog.f_audio_lmr_center / cfg.analog.f_pilot
+    h_rds = cfg.analog.f_rds_center / cfg.analog.f_pilot
+
+    ba = _band_m(coeffs.taps_audio_lpr, 4)
+    bm = _band_m(coeffs.taps_audio_lmr, 4)
+    br = _band_m(coeffs.taps_rds, 8)
+
+    tails = jnp.zeros((5, c, _TB), jnp.float32)
+    tails = tails.at[0, :, _TB - halo_a :].set(state["ds_audio_lpr"].real)
+    tails = tails.at[1, :, _TB - halo_a :].set(state["ds_audio_lmr"].real)
+    tails = tails.at[2, :, _TB - halo_a :].set(state["ds_audio_lmr"].imag)
+    tails = tails.at[3, :, _TB - halo_r :].set(state["ds_rds"].real)
+    tails = tails.at[4, :, _TB - halo_r :].set(state["ds_rds"].imag)
+
+    kern = functools.partial(
+        _extract_kernel, t_blk=t_blk, n_tt=n_tt, h_lmr=h_lmr, h_rds=h_rds,
+        interp=interpret,
+    )
+    grid = (c // c_blk, n_tt)
+    rowspec = lambda w: pl.BlockSpec((c_blk, w), lambda ci, ti: (ci, 0),
+                                     memory_space=pltpu.VMEM)
+    tspec = lambda div: pl.BlockSpec((c_blk, t_blk // div),
+                                     lambda ci, ti: (ci, ti),
+                                     memory_space=pltpu.VMEM)
+    (lpr, lmr_re, lmr_im, rds_re, rds_im, out_tails) = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            tspec(1), tspec(1), tspec(1),
+            rowspec(1),
+            pl.BlockSpec((5, c_blk, _TB), lambda ci, ti: (0, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_NO * 4 + _TB, _NO), lambda ci, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_NO * 4 + _TB, _NO), lambda ci, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_NO * 8 + _TB, _NO), lambda ci, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            tspec(4), tspec(4), tspec(4), tspec(8), tspec(8),
+            pl.BlockSpec((5, c_blk, _TB), lambda ci, ti: (0, ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, b8 // 4), jnp.float32),
+            jax.ShapeDtypeStruct((c, b8 // 4), jnp.float32),
+            jax.ShapeDtypeStruct((c, b8 // 4), jnp.float32),
+            jax.ShapeDtypeStruct((c, b8 // 8), jnp.float32),
+            jax.ShapeDtypeStruct((c, b8 // 8), jnp.float32),
+            jax.ShapeDtypeStruct((5, c, _TB), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c_blk, _TB + t_blk), jnp.float32) for _ in range(5)
+        ],
+        interpret=interpret,
+    )(xr, xi, dt, state["lmr_phase_err"][:, None], tails, ba, bm, br)
+
+    new_state = dict(state)
+    new_state["ds_audio_lpr"] = jax.lax.complex(
+        xr[:, b8 - halo_a :], xi[:, b8 - halo_a :]
+    )
+    new_state["ds_audio_lmr"] = jax.lax.complex(
+        out_tails[1, :, _TB - halo_a :], out_tails[2, :, _TB - halo_a :]
+    )
+    new_state["ds_rds"] = jax.lax.complex(
+        out_tails[3, :, _TB - halo_r :], out_tails[4, :, _TB - halo_r :]
+    )
+    return new_state, lpr, (lmr_re, lmr_im), (rds_re, rds_im)

@@ -315,19 +315,43 @@ def demod_block(
     h_lmr = cfg.analog.f_audio_lmr_center / cfg.analog.f_pilot  # 2.0
     h_rds = cfg.analog.f_rds_center / cfg.analog.f_pilot        # 3.0
 
-    # L+R: Re of the decimated analytic signal (the imag output is dead)
-    st["ds_audio_lpr"], audio_lpr = polyphase_decimate_p(
-        coeffs.taps_audio_lpr, st["ds_audio_lpr"], fm_out_iq_p, r.ds_audio,
-        imag_out=False,
-    )
+    from fm_radio_tpu.kernels.extract_pallas import extract_pallas, pick_tiles_ext
 
-    # L-R: mix with harmonic 2 using the *current* carried phase offset,
-    # then update the offset from the mixed+decimated signal
-    # (broadcast_fm_demod.cpp:483-521, exact order preserved)
-    mixed_lmr_p = apply_harmonic_pll_p(dt, fm_out_iq_p, h_lmr, st["lmr_phase_err"])
-    st["ds_audio_lmr"], tmp_lmr_p = polyphase_decimate_p(
-        coeffs.taps_audio_lmr, st["ds_audio_lmr"], mixed_lmr_p, r.ds_audio
+    b8 = fm_out_iq_p[0].shape[-1]
+    fuse_ext = (
+        use_pallas
+        and not include_taps
+        and r.ds_audio == 4
+        and r.ds_rds == 8
+        and coeffs.taps_audio_lpr.shape[0] - 4 <= 128
+        and coeffs.taps_audio_lmr.shape[0] == coeffs.taps_audio_lpr.shape[0]
+        and coeffs.taps_rds.shape[0] - 8 <= 128
+        and pick_tiles_ext(c, b8) is not None
     )
+    if fuse_ext:
+        # one HBM pass: L+R ds + harmonic-2 mix/ds + harmonic-3 mix/ds fused
+        st2, audio_lpr, tmp_lmr_p, rds_p = extract_pallas(
+            coeffs, cfg, st, fm_out_iq_p, dt,
+            interpret=jax.default_backend() != "tpu",
+        )
+        for k in ("ds_audio_lpr", "ds_audio_lmr", "ds_rds"):
+            st[k] = st2[k]
+    else:
+        # L+R: Re of the decimated analytic signal (the imag output is dead)
+        st["ds_audio_lpr"], audio_lpr = polyphase_decimate_p(
+            coeffs.taps_audio_lpr, st["ds_audio_lpr"], fm_out_iq_p, r.ds_audio,
+            imag_out=False,
+        )
+
+        # L-R: mix with harmonic 2 using the *current* carried phase offset,
+        # then update the offset from the mixed+decimated signal
+        # (broadcast_fm_demod.cpp:483-521, exact order preserved)
+        mixed_lmr_p = apply_harmonic_pll_p(
+            dt, fm_out_iq_p, h_lmr, st["lmr_phase_err"]
+        )
+        st["ds_audio_lmr"], tmp_lmr_p = polyphase_decimate_p(
+            coeffs.taps_audio_lmr, st["ds_audio_lmr"], mixed_lmr_p, r.ds_audio
+        )
     stride = cfg.audio_lmr_phase_read_stride
     vr = tmp_lmr_p[0][:, ::stride]
     vi = tmp_lmr_p[1][:, ::stride]
@@ -339,11 +363,12 @@ def demod_block(
     st["lmr_phase_err"] = jnp.fmod(new_off, jnp.float32(2.0 * jnp.pi))
     audio_lmr = tmp_lmr_p[1]
 
-    # RDS: mix with harmonic 3, zero offset
-    mixed_rds_p = apply_harmonic_pll_p(dt, fm_out_iq_p, h_rds, 0.0)
-    st["ds_rds"], rds_p = polyphase_decimate_p(
-        coeffs.taps_rds, st["ds_rds"], mixed_rds_p, r.ds_rds
-    )
+    if not fuse_ext:
+        # RDS: mix with harmonic 3, zero offset
+        mixed_rds_p = apply_harmonic_pll_p(dt, fm_out_iq_p, h_rds, 0.0)
+        st["ds_rds"], rds_p = polyphase_decimate_p(
+            coeffs.taps_rds, st["ds_rds"], mixed_rds_p, r.ds_rds
+        )
 
     # ---- 4. RDS synchronisation ----------------------------------------
     st["agc_rds"], rds_agc_p = agc_process_p(

@@ -259,3 +259,60 @@ def test_midend_pallas_matches_ops(use_deemph):
         np.testing.assert_allclose(
             np.asarray(st_k["peak_pilot"]["y_hist"]),
             np.asarray(st_ref["peak_pilot"]["y_hist"]), atol=2e-4)
+
+
+def test_extract_pallas_matches_ops():
+    """Fused extraction kernel (kernels/extract_pallas.py) vs the unfused
+    LPR/LMR/RDS ops, streaming split included."""
+    from fm_radio_tpu.kernels.extract_pallas import extract_pallas
+    from fm_radio_tpu.models.demod import demod_init_state
+    from fm_radio_tpu.ops.fir import polyphase_decimate_p
+    from fm_radio_tpu.ops.mixer import apply_harmonic_pll_p
+
+    cfg = CFG
+    co = make_coeffs(cfg)
+    c, b8 = 3, 2048
+    rng = np.random.default_rng(13)
+    xr = rng.standard_normal((c, 2 * b8)).astype(np.float32) * 0.4
+    xi = rng.standard_normal((c, 2 * b8)).astype(np.float32) * 0.4
+    dt = (rng.random((c, 2 * b8)).astype(np.float32) - 0.5)
+    off = rng.standard_normal((c,)).astype(np.float32) * 0.1
+    h_lmr = cfg.analog.f_audio_lmr_center / cfg.analog.f_pilot
+    h_rds = cfg.analog.f_rds_center / cfg.analog.f_pilot
+
+    st_r = demod_init_state(cfg, c)
+    st_r = dict(st_r, lmr_phase_err=jnp.asarray(off))
+    st_k = demod_init_state(cfg, c)
+    st_k = dict(st_k, lmr_phase_err=jnp.asarray(off))
+    for blk in range(2):
+        sl = slice(blk * b8, (blk + 1) * b8)
+        iq = (jnp.asarray(xr[:, sl]), jnp.asarray(xi[:, sl]))
+        dtb = jnp.asarray(dt[:, sl])
+
+        st_r = dict(st_r)
+        st_r["ds_audio_lpr"], lpr_r = polyphase_decimate_p(
+            co.taps_audio_lpr, st_r["ds_audio_lpr"], iq, 4, imag_out=False
+        )
+        mix2 = apply_harmonic_pll_p(dtb, iq, h_lmr, st_r["lmr_phase_err"])
+        st_r["ds_audio_lmr"], lmr_r = polyphase_decimate_p(
+            co.taps_audio_lmr, st_r["ds_audio_lmr"], mix2, 4
+        )
+        mix3 = apply_harmonic_pll_p(dtb, iq, h_rds, 0.0)
+        st_r["ds_rds"], rds_r = polyphase_decimate_p(
+            co.taps_rds, st_r["ds_rds"], mix3, 8
+        )
+
+        st_k, lpr_k, lmr_k, rds_k = extract_pallas(
+            co, cfg, st_k, iq, dtb, interpret=True
+        )
+
+        np.testing.assert_allclose(np.asarray(lpr_k), np.asarray(lpr_r), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(lmr_k[0]), np.asarray(lmr_r[0]), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(lmr_k[1]), np.asarray(lmr_r[1]), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(rds_k[0]), np.asarray(rds_r[0]), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(rds_k[1]), np.asarray(rds_r[1]), atol=5e-5)
+        for key in ("ds_audio_lpr", "ds_audio_lmr", "ds_rds"):
+            np.testing.assert_allclose(
+                np.asarray(st_k[key].real), np.asarray(st_r[key].real), atol=5e-5)
+            np.testing.assert_allclose(
+                np.asarray(st_k[key].imag), np.asarray(st_r[key].imag), atol=5e-5)
