@@ -38,7 +38,7 @@ def main() -> None:
 
     channels = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     block = 1 << 20
-    n_blocks = 4
+    n_blocks = 8
 
     rng = np.random.default_rng(0)
     # FM-like signal: constant envelope, random phase walk (cheap to make)

@@ -89,9 +89,10 @@ def pick_time_chunk(n: int, ct: int, budget_elems: int = 1 << 18) -> int:
 
 
 def _pll_kernel(
-    theta_ref, st_ref, dt_ref, out_st_ref, carry_ref,
+    theta_ref, st_ref, dt_ref, out_st_ref, carry_ref, th_t_ref, dt_t_ref,
     *, n_steps: int, n_chunks: int, ts: float, f_center: float, f_gain: float,
     ki_ts: float, kp: float, lpf_b0: float, lpf_a1: float,
+    channel_major: bool = False,
 ):
     """Serial PI+NCO loop over precomputed pilot phase angles.
 
@@ -121,6 +122,15 @@ def _pll_kernel(
 
     carry0 = tuple(carry_ref[pl.ds(k, 1), :] for k in range(_STATE_ROWS))
 
+    if channel_major:
+        # HBM blocks stay [C, nc] (the producers' native layout); the flips
+        # to/from the loop's [nc, C] layout happen in VMEM on the transpose
+        # unit instead of costing two full XLA transpose passes over HBM.
+        th_t_ref[...] = theta_ref[...].T  # [nc, ct]
+        src, dst = th_t_ref, dt_t_ref
+    else:
+        src, dst = theta_ref, dt_ref
+
     def body(i, carry):
         lpf_x1, lpf_y1, integ, nco_t, prev_pe = carry
         lpf_pe = b0 * (prev_pe + lpf_x1) - a1 * lpf_y1
@@ -128,12 +138,14 @@ def _pll_kernel(
         pi_err = lpf_pe * kp_f + integ
         control = jnp.clip(pi_err, -one, one)
         t = _wrap(nco_t + ts_f * (f_center_f + control * f_gain_f))
-        th = theta_ref[pl.ds(i, 1), :]
+        th = src[pl.ds(i, 1), :]
         pe = two_pi * _wrap(th + t)
-        dt_ref[pl.ds(i, 1), :] = t
+        dst[pl.ds(i, 1), :] = t
         return (prev_pe, lpf_pe, integ, t, pe)
 
     final = jax.lax.fori_loop(0, n_steps, body, carry0)
+    if channel_major:
+        dt_ref[...] = dt_t_ref[...].T  # [nc, ct] -> [ct, nc]
     for k in range(_STATE_ROWS):
         carry_ref[pl.ds(k, 1), :] = final[k]
 
@@ -196,44 +208,63 @@ def pilot_pll_pallas_theta(cfg, state: PilotPLLState, theta_cn: jnp.ndarray,
 
 def _pilot_pll_run(cfg, state: PilotPLLState, theta_cn: jnp.ndarray,
                    interpret: bool = False):
-    """Sequential kernel over the whole time axis (exact reference order)."""
+    """Sequential kernel over the whole time axis (exact reference order).
+
+    HBM layout is channel-major [C, N] end to end (the native layout of the
+    producing/consuming kernels); the flips to the loop's time-major form
+    happen in VMEM inside the kernel — no XLA transpose passes."""
     c, n = theta_cn.shape
     ct = c if c <= 2048 else 2048
     assert c % ct == 0, "channel count must tile by 2048"
     nc = pick_time_chunk(n, ct)
     n_chunks = n // nc
+    channel_major = ct % 8 == 0  # in-VMEM transpose wants full sublane tiles
 
-    theta = theta_cn.T  # [N, C]
     st = jnp.stack(
         [state.lpf_x1, state.lpf_y1, state.integ, state.nco_t, state.prev_pe]
     )  # [5, C]
 
     kern = functools.partial(
-        _pll_kernel, n_steps=nc, n_chunks=n_chunks, **pll_consts_from_cfg(cfg)
+        _pll_kernel, n_steps=nc, n_chunks=n_chunks,
+        channel_major=channel_major, **pll_consts_from_cfg(cfg)
     )
     # time chunks innermost: the VMEM carry scratch threads loop state from
     # chunk to chunk while theta/dt blocks stream through double-buffered VMEM
     grid = (c // ct, n_chunks)
-    dt_t, out_st = pl.pallas_call(
+    if channel_major:
+        io_spec = pl.BlockSpec((ct, nc), lambda j, i: (j, i),
+                               memory_space=pltpu.VMEM)
+        io_shape = jax.ShapeDtypeStruct((c, n), jnp.float32)
+        t_scratch = pltpu.VMEM((nc, ct), jnp.float32)
+    else:
+        io_spec = pl.BlockSpec((nc, ct), lambda j, i: (i, j),
+                               memory_space=pltpu.VMEM)
+        io_shape = jax.ShapeDtypeStruct((n, c), jnp.float32)
+        t_scratch = pltpu.VMEM((8, 128), jnp.float32)
+    theta = theta_cn if channel_major else theta_cn.T
+
+    dt_io, out_st = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((nc, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            io_spec,
             pl.BlockSpec(
                 (_STATE_ROWS, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
-            pl.BlockSpec((nc, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            io_spec,
             pl.BlockSpec(
                 (_STATE_ROWS, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, c), jnp.float32),
+            io_shape,
             jax.ShapeDtypeStruct((_STATE_ROWS, c), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((_STATE_ROWS, ct), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((_STATE_ROWS, ct), jnp.float32), t_scratch, t_scratch
+        ],
         interpret=interpret,
     )(theta, st)
 
@@ -241,7 +272,7 @@ def _pilot_pll_run(cfg, state: PilotPLLState, theta_cn: jnp.ndarray,
         lpf_x1=out_st[0], lpf_y1=out_st[1], integ=out_st[2],
         nco_t=out_st[3], prev_pe=out_st[4],
     )
-    return new_state, dt_t.T
+    return new_state, (dt_io if channel_major else dt_io.T)
 
 
 def _pilot_pll_chunked(cfg, state: PilotPLLState, theta_cn: jnp.ndarray,
@@ -349,7 +380,11 @@ def _pilot_pll_chunked(cfg, state: PilotPLLState, theta_cn: jnp.ndarray,
             jax.ShapeDtypeStruct((steps, cg), jnp.float32),
             jax.ShapeDtypeStruct((_STATE_ROWS, cg), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((_STATE_ROWS, ct), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((_STATE_ROWS, ct), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
+        ],
         interpret=interpret,
     )(xw.T, st_all)
 
