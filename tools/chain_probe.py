@@ -1,12 +1,14 @@
 """Cumulative-prefix timing of demod_block: where does the time go?
 
-Replicates demod_block stage by stage (same ops, same order) and times
-prefix 0..N inside a scanned multi-block dispatch (the only reliable
-measurement over the tunnel — see tools/stage_probe.py header).  The delta
-between consecutive prefixes is that stage's true marginal cost inside the
-full fused graph.
+Default mode probes the PRODUCTION fused-kernel pipeline (frontend / midend /
+PLL / extract); ``--unfused`` probes the XLA-op fallback path stage by stage.
+Each prefix is timed inside a scanned multi-block dispatch (the only reliable
+measurement over the tunnel: per-dispatch latency is 5-30 ms and variable,
+so only deltas between prefixes at n_blocks amortization are trustworthy).
+Probes are FULL reductions of each new output — anything less lets XLA
+dead-code-eliminate stage work and corrupts the deltas.
 
-Usage: python tools/chain_probe.py [channels] [block] [n_blocks]
+Usage: python tools/chain_probe.py [channels] [block] [n_blocks] [--unfused]
 """
 
 from __future__ import annotations
@@ -28,8 +30,47 @@ from fm_radio_tpu.ops.iir import iir_filter_planes
 from fm_radio_tpu.ops.mixer import apply_harmonic_pll_p
 
 
+def fused_prefix(cfg, coeffs, state, x, upto: int):
+    """Production kernels, stages 0..upto."""
+    from fm_radio_tpu.kernels.extract_pallas import extract_pallas
+    from fm_radio_tpu.kernels.frontend_pallas import ds4_disc_pallas
+    from fm_radio_tpu.kernels.midend_pallas import midend_pallas
+    from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas_theta
+
+    st = dict(state)
+    tail, prev, fm_demod = ds4_disc_pallas(
+        coeffs.taps_fm_in, (st["ds_fm_in"].real, st["ds_fm_in"].imag),
+        st["disc_prev_theta"], (x[0], x[1]),
+        cfg.analog.f_wbfm_deviation, float(cfg.rates.fs_fm_in))
+    st["ds_fm_in"] = jax.lax.complex(*tail)
+    st["disc_prev_theta"] = prev
+    if upto == 0:
+        return st, jnp.sum(fm_demod)
+    st2, iq_p, theta = midend_pallas(coeffs, cfg, st, fm_demod)
+    for k in ("ds_fm_out", "deemph", "hilbert", "peak_pilot", "agc_pilot"):
+        st[k] = st2[k]
+    if upto == 1:
+        return st, jnp.sum(iq_p[0]) + jnp.sum(iq_p[1]) + jnp.sum(theta)
+    st["pll"], dt = pilot_pll_pallas_theta(cfg, st["pll"], theta)
+    if upto == 2:
+        return st, jnp.sum(dt) + jnp.sum(iq_p[0]) + jnp.sum(iq_p[1])
+    st3, lpr, lmr, rds = extract_pallas(coeffs, cfg, st, iq_p, dt)
+    for k in ("ds_audio_lpr", "ds_audio_lmr", "ds_rds"):
+        st[k] = st3[k]
+    return st, (jnp.sum(lpr) + jnp.sum(lmr[1]) + jnp.sum(rds[0])
+                + jnp.sum(rds[1]))
+
+
+FUSED_STAGES = [
+    "K1 ds4+disc kernel",
+    "+ K2 ds2/deemph/hilbert/peak/theta",
+    "+ PLL serial kernel",
+    "+ K3 LPR/LMR/RDS extract",
+]
+
+
 def chain_prefix(cfg, coeffs, state, xp, upto: int):
-    """Stages 1..upto of demod_block; returns (state', probe_scalar)."""
+    """Unfused XLA ops, stages 1..upto of demod_block."""
     r = cfg.rates
     st = dict(state)
     probe = xp[0][0, -1] + xp[1][0, -1]
@@ -139,7 +180,7 @@ def chain_prefix(cfg, coeffs, state, xp, upto: int):
     return st, probe
 
 
-STAGES = [
+UNFUSED_STAGES = [
     "nothing (scan overhead)",
     "ds x4 c64 (fm_in)",
     "+ discriminator",
@@ -155,9 +196,11 @@ STAGES = [
 
 
 def main():
-    channels = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    block = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 20
-    n_blocks = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    unfused = "--unfused" in sys.argv
+    channels = int(args[0]) if len(args) > 0 else 256
+    block = int(args[1]) if len(args) > 1 else 1 << 20
+    n_blocks = int(args[2]) if len(args) > 2 else 4
 
     cfg = DemodConfig()
     coeffs = make_coeffs(cfg)
@@ -182,23 +225,28 @@ def main():
         return best / n_blocks
 
     print(f"channels={channels} block={block} n_blocks={n_blocks} "
-          f"device={jax.devices()[0].device_kind}")
+          f"device={jax.devices()[0].device_kind} "
+          f"mode={'unfused' if unfused else 'fused'}")
 
+    stages = UNFUSED_STAGES if unfused else FUSED_STAGES
+    prefix = chain_prefix if unfused else fused_prefix
     prev = 0.0
-    for upto, name in enumerate(STAGES):
-        @functools.partial(jax.jit, static_argnames=())
+    for upto, name in enumerate(stages):
+        @jax.jit
         def run(state, x, _upto=upto):
             def step(st, _):
-                st, probe = chain_prefix(cfg, coeffs, st, (x[0], x[1]), _upto)
+                if unfused:
+                    st, probe = prefix(cfg, coeffs, st, (x[0], x[1]), _upto)
+                else:
+                    st, probe = prefix(cfg, coeffs, st, x, _upto)
                 return st, probe
             st, probes = jax.lax.scan(step, state, None, length=n_blocks)
             return jnp.sum(probes)
 
         dt = timed(run, state, x)
-        print(f"{name:34s} {dt*1e3:9.2f} ms/block   (delta {1e3*(dt-prev):+8.2f} ms)")
+        print(f"{name:36s} {dt*1e3:9.2f} ms/block   (delta {1e3*(dt-prev):+8.2f} ms)")
         prev = dt
 
-    # full demod_block for comparison
     @jax.jit
     def run_full(state, x):
         def step(st, _):
@@ -208,7 +256,7 @@ def main():
         return sum(jnp.sum(p) for p in probes)
 
     dt = timed(run_full, state, x)
-    print(f"{'full demod_block (+mix, probes)':34s} {dt*1e3:9.2f} ms/block")
+    print(f"{'full demod_block (+mix, probes)':36s} {dt*1e3:9.2f} ms/block")
     msps = channels * block / dt / 1e6
     print(f"=> {msps:.0f} Msps aggregate")
 
