@@ -33,11 +33,15 @@ def main() -> None:
     from fm_radio_tpu.config import DemodConfig
     from fm_radio_tpu.models.demod import demod_block, demod_init_state, make_coeffs
 
-    cfg = DemodConfig()
+    # u8-faithful input (the radio's native format is 8-bit IQ): declare it
+    # so the front-end kernel uses the exact integer bf16 fast path.
+    cfg = DemodConfig(assume_integer_input=True)
     coeffs = make_coeffs(cfg)
 
-    channels = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    block = 1 << 20
+    channels = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    # constant ~256M samples per scan step: big-C configs shrink the block so
+    # input + per-block intermediates stay inside HBM
+    block = min(1 << 20, (1 << 28) // channels)
     n_blocks = 8
 
     rng = np.random.default_rng(0)
@@ -45,7 +49,11 @@ def main() -> None:
     phase = np.cumsum(
         rng.standard_normal((channels, block)).astype(np.float32) * 0.5, axis=-1
     )
-    xp = np.stack([100.0 * np.cos(phase), 100.0 * np.sin(phase)]).astype(np.float32)
+    # quantized to the u8 integer grid exactly as the reference receives it
+    # (app.cpp:57-63: u8 - 127 in [-127, 128])
+    xp = np.round(
+        np.stack([100.0 * np.cos(phase), 100.0 * np.sin(phase)])
+    ).astype(np.float32)
     x = jnp.asarray(xp)  # [2, C, B] plane form, f32 host->device
 
     @jax.jit

@@ -48,7 +48,8 @@ def cmd_demod(args) -> None:
 
     block = power_ceil(args.block_size)
     iq = u8_to_c64(_read_input_u8(args.input))
-    app = App(block_size=block, channels=1, decode_rds=not args.no_rds)
+    app = App(block_size=block, channels=1, decode_rds=not args.no_rds,
+              integer_input=True)
     if args.resume_state:
         from fm_radio_tpu.models.demod import demod_init_state
         from fm_radio_tpu.utils.checkpoint import load_state
@@ -109,7 +110,8 @@ def cmd_scrape(args) -> None:
     block = power_ceil(args.block_size)
     os.makedirs(args.output, exist_ok=True)
     iq = u8_to_c64(_read_input_u8(args.input))
-    app = App(block_size=block, channels=1, decode_rds=True)
+    app = App(block_size=block, channels=1, decode_rds=True,
+              integer_input=True)
     app.process(iq)
 
     stamp = time.strftime("%Y%m%d_%H%M%S")

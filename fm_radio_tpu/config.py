@@ -158,6 +158,13 @@ class DemodConfig:
     pll_time_chunks: int = 1
     pll_chunk_warmup: int = 4096
 
+    # Declare the baseband integer-valued (u8 IQ recentered by -127, the
+    # radio's native format, app.cpp:57-63).  Integers in [-256, 256] are
+    # EXACT in bfloat16, so the fused front-end kernel skips the x-plane
+    # hi/lo split and one of its three MXU passes with zero accuracy loss.
+    # Must be False for non-integer baseband (e.g. channelizer output).
+    assume_integer_input: bool = False
+
     # Runtime-controllable (GUI controls in the reference; jit-static here).
     audio_out: str = AudioOut.STEREO
     audio_stereo_mix_factor: float = 1.0

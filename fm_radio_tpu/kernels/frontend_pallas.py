@@ -91,7 +91,7 @@ def _ds4_disc_kernel(
     xr_ref, xi_ref, tail_ref, prev_ref, band_ref,
     y_ref, out_tail_ref, out_prev_ref,
     bufr_ref, bufi_ref, carry_ref,
-    *, t_blk: int, n_tt: int, scale: float, interp: bool,
+    *, t_blk: int, n_tt: int, scale: float, interp: bool, int_input: bool,
 ):
     ti = pl.program_id(1)
     n_sub = t_blk // (_NO * _M)
@@ -107,13 +107,32 @@ def _ds4_disc_kernel(
     bufi_ref[:, _TB:] = xi_ref[...]
 
     b_hi, b_lo = _split_bf16(band_ref[...], interp)
-    xr_hi, xr_lo = _split_bf16(bufr_ref[...], interp)
-    xi_hi, xi_lo = _split_bf16(bufi_ref[...], interp)
+    if int_input:
+        # u8-derived baseband (the radio's native format, app.cpp:57-63) is
+        # integer-valued in [-127, 128] — EXACT in bf16, so the x-lo plane is
+        # identically zero: skip the split and the lo@hi dot (1/3 of the MXU
+        # work and most of the VPU split cost).
+        xr_hi = bufr_ref[...].astype(jnp.bfloat16)
+        xi_hi = bufi_ref[...].astype(jnp.bfloat16)
+        xr_lo = xi_lo = None
+    else:
+        xr_hi, xr_lo = _split_bf16(bufr_ref[...], interp)
+        xi_hi, xi_lo = _split_bf16(bufi_ref[...], interp)
+
+    def dot_x(x_hi, x_lo, w0):
+        if int_input:
+            f32 = jnp.float32
+            return (
+                jnp.dot(x_hi[:, w0 : w0 + _W], b_hi, preferred_element_type=f32)
+                + jnp.dot(x_hi[:, w0 : w0 + _W], b_lo, preferred_element_type=f32)
+            )
+        return _dot3(x_hi[:, w0 : w0 + _W], x_lo[:, w0 : w0 + _W], b_hi, b_lo)
+
     # decimated IQ tile, built 128 outputs at a time from aligned windows
     for s in range(n_sub):
         w0 = s * _NO * _M
-        fr = _dot3(xr_hi[:, w0 : w0 + _W], xr_lo[:, w0 : w0 + _W], b_hi, b_lo)
-        fi = _dot3(xi_hi[:, w0 : w0 + _W], xi_lo[:, w0 : w0 + _W], b_hi, b_lo)
+        fr = dot_x(xr_hi, xr_lo, w0)
+        fi = dot_x(xi_hi, xi_lo, w0)
         if s == 0:
             fm_r, fm_i = fr, fi
         else:
@@ -165,6 +184,7 @@ def ds4_disc_pallas(
     fd: float,
     fs_out: float,
     interpret: bool = False,
+    int_input: bool = False,
 ):
     """Fused polyphase-ds4 + FM discriminator.
 
@@ -175,6 +195,11 @@ def ds4_disc_pallas(
 
     Matches polyphase_decimate_p + fm_discriminate_p to ~1e-6 (poly atan2,
     bf16x3 matmuls — both far below the 83 dB golden audio budget).
+
+    ``int_input=True`` asserts the planes are integer-valued in [-256, 256]
+    (true for u8-derived baseband, the radio's native input): such values are
+    exact in bf16, so the lo compensation of x is skipped (1/3 less MXU, no
+    VPU split).  Do NOT set it for non-integer baseband (channelizer output).
     """
     xr, xi = xp
     c, b = xr.shape
@@ -198,7 +223,8 @@ def ds4_disc_pallas(
     scale = 1.0 / (2.0 * np.pi * fd * (1.0 / fs_out)) * 0.5
 
     kern = functools.partial(
-        _ds4_disc_kernel, t_blk=t_blk, n_tt=n_tt, scale=scale, interp=interpret
+        _ds4_disc_kernel, t_blk=t_blk, n_tt=n_tt, scale=scale,
+        interp=interpret, int_input=int_input,
     )
     grid = (c // c_blk, n_tt)
     y, out_tail, out_prev = pl.pallas_call(

@@ -29,7 +29,16 @@ class App:
         cfg: DemodConfig = DemodConfig(),
         channels: int = 1,
         decode_rds: bool = True,
+        integer_input: bool = False,
     ):
+        """``integer_input=True`` declares the baseband integer-valued (u8 IQ
+        recentered by -127, the radio's native format) — enables the fused
+        front-end's exact bf16 fast path (config.assume_integer_input).  Keep
+        False for non-integer sources (channelizer output)."""
+        import dataclasses
+
+        if integer_input:
+            cfg = dataclasses.replace(cfg, assume_integer_input=True)
         self.block_size = block_size
         self.cfg = cfg
         self.channels = channels

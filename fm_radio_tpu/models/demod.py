@@ -229,6 +229,7 @@ def demod_block(
             cfg.analog.f_wbfm_deviation,
             float(r.fs_fm_in),
             interpret=jax.default_backend() != "tpu",
+            int_input=cfg.assume_integer_input,
         )
         st["ds_fm_in"] = jax.lax.complex(*tail)
         st["disc_prev_theta"] = prev

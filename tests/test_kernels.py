@@ -316,3 +316,28 @@ def test_extract_pallas_matches_ops():
                 np.asarray(st_k[key].real), np.asarray(st_r[key].real), atol=5e-5)
             np.testing.assert_allclose(
                 np.asarray(st_k[key].imag), np.asarray(st_r[key].imag), atol=5e-5)
+
+
+def test_ds4_disc_pallas_int_input():
+    """int_input=True must be EXACT for integer-valued planes (u8 grid):
+    integers <= 256 are exact in bf16, so the x-lo skip loses nothing."""
+    from fm_radio_tpu.kernels.frontend_pallas import ds4_disc_pallas
+
+    cfg = CFG
+    co = make_coeffs(cfg)
+    nn = int(np.asarray(co.taps_fm_in).shape[0])
+    c, b = 2, 2048
+    rng = np.random.default_rng(3)
+    xr = rng.integers(-127, 129, (c, b)).astype(np.float32)
+    xi = rng.integers(-127, 129, (c, b)).astype(np.float32)
+    tail = (jnp.zeros((c, nn - 4), jnp.float32), jnp.zeros((c, nn - 4), jnp.float32))
+    pt = jnp.zeros((c,), jnp.float32)
+
+    _, _, y_full = ds4_disc_pallas(
+        co.taps_fm_in, tail, pt, (jnp.asarray(xr), jnp.asarray(xi)),
+        cfg.analog.f_wbfm_deviation, float(cfg.rates.fs_fm_in), interpret=True)
+    _, _, y_int = ds4_disc_pallas(
+        co.taps_fm_in, tail, pt, (jnp.asarray(xr), jnp.asarray(xi)),
+        cfg.analog.f_wbfm_deviation, float(cfg.rates.fs_fm_in), interpret=True,
+        int_input=True)
+    np.testing.assert_allclose(np.asarray(y_int), np.asarray(y_full), atol=1e-5)
