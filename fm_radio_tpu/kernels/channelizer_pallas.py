@@ -1,0 +1,157 @@
+"""Pallas polyphase-FFT channelizer: wideband IQ -> M station channels.
+
+One HBM pass for the whole filterbank (parallel/channelizer.py documents the
+math).  The XLA form costs ~13 ms per 16M samples because the K shifted
+multiply-adds of the phase filter do not fuse (K full passes over the
+signal); here they run over a VMEM-resident frames tile (sublane shifts),
+the cross-phase DFT is 4 bf16x3 MXU matmuls against the [M, M] twiddle
+matrices (no length-M FFT kernels), and the output tiles are written
+TRANSPOSED so the channel-major [M, T/M] layout the demodulator wants costs
+nothing extra.
+
+Grid: sequential time tiles of the frame view [T/M, M]; the (K-1)-frame
+overlap-save tail carries in VMEM scratch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fm_radio_tpu.kernels.frontend_pallas import _dot3, _split_bf16
+
+_TBF = 16  # carried tail rows (frames); requires K-1 <= _TBF
+
+
+def _chan_kernel(
+    fr_ref, fi_ref, tail_ref, w_ref, wre_ref, wim_ref,
+    yre_ref, yim_ref, out_tail_ref,
+    bufr_ref, bufi_ref,
+    *, n_t: int, n_tt: int, k: int, interp: bool,
+):
+    ti = pl.program_id(0)
+
+    @pl.when(ti == 0)
+    def _init():
+        bufr_ref[: _TBF] = tail_ref[0]
+        bufi_ref[: _TBF] = tail_ref[1]
+
+    bufr_ref[_TBF:] = fr_ref[...]
+    bufi_ref[_TBF:] = fi_ref[...]
+
+    # z[n, p] = sum_r w[r, p] * frames[n + r, p]; window rows start at
+    # _TBF - (k-1) + r (static sublane offsets)
+    w = w_ref[...]
+    base = _TBF - (k - 1)
+    zr = bufr_ref[base : base + n_t, :] * w[0:1, :]
+    zi = bufi_ref[base : base + n_t, :] * w[0:1, :]
+    for r in range(1, k):
+        zr = zr + bufr_ref[base + r : base + r + n_t, :] * w[r : r + 1, :]
+        zi = zi + bufi_ref[base + r : base + r + n_t, :] * w[r : r + 1, :]
+
+    # DFT across phases on the MXU: y = z @ (W_re + j W_im), complex product
+    wre_hi, wre_lo = _split_bf16(wre_ref[...], interp)
+    wim_hi, wim_lo = _split_bf16(wim_ref[...], interp)
+    zr_hi, zr_lo = _split_bf16(zr, interp)
+    zi_hi, zi_lo = _split_bf16(zi, interp)
+    y_re = _dot3(zr_hi, zr_lo, wre_hi, wre_lo) - _dot3(zi_hi, zi_lo, wim_hi, wim_lo)
+    y_im = _dot3(zr_hi, zr_lo, wim_hi, wim_lo) + _dot3(zi_hi, zi_lo, wre_hi, wre_lo)
+
+    # channel-major output: transpose in VMEM, not as an XLA pass
+    yre_ref[...] = y_re.T
+    yim_ref[...] = y_im.T
+
+    bufr_ref[: _TBF] = bufr_ref[n_t :]
+    bufi_ref[: _TBF] = bufi_ref[n_t :]
+
+    @pl.when(ti == n_tt - 1)
+    def _finish():
+        out_tail_ref[0] = bufr_ref[: _TBF]
+        out_tail_ref[1] = bufi_ref[: _TBF]
+
+
+def pick_tile_chan(n_frames: int, m: int) -> int | None:
+    if m % 8 != 0 or m > 1024:
+        return None
+    n_t = 256
+    if n_frames % n_t != 0:
+        return None
+    while n_t * 2 <= 2048 and n_frames % (n_t * 2) == 0:
+        n_t *= 2
+    return n_t
+
+
+def channelize_pallas(taps, state_p, xp, num_channels: int,
+                      interpret: bool = False):
+    """Drop-in for channelize_p (same contract) on shapes where
+    pick_tile_chan allows; returns (state_p', (y_re, y_im) [M, T/M])."""
+    m = num_channels
+    taps = jnp.asarray(taps, jnp.float32)
+    nn = taps.shape[0]
+    k = nn // m
+    assert k - 1 <= _TBF, "taps_per_phase too large for the carried tail"
+    xr, xi = xp
+    t = xr.shape[-1]
+    n_frames = t // m
+    n_t = pick_tile_chan(n_frames, m)
+    assert n_t is not None
+    n_tt = n_frames // n_t
+
+    fr = xr.reshape(n_frames, m)
+    fi = xi.reshape(n_frames, m)
+    w = taps[::-1].reshape(k, m)
+    w16 = jnp.zeros((_TBF, m), jnp.float32).at[:k].set(w)
+
+    p_idx = np.arange(m)
+    ang = -2.0 * np.pi * np.outer(p_idx, p_idx) / m
+    w_re = jnp.asarray(np.cos(ang).astype(np.float32))
+    w_im = jnp.asarray(np.sin(ang).astype(np.float32))
+
+    sr, si = state_p  # [(K-1)*M] each
+    tail = jnp.zeros((2, _TBF, m), jnp.float32)
+    tail = tail.at[0, _TBF - (k - 1) :].set(sr.reshape(k - 1, m))
+    tail = tail.at[1, _TBF - (k - 1) :].set(si.reshape(k - 1, m))
+
+    kern = functools.partial(
+        _chan_kernel, n_t=n_t, n_tt=n_tt, k=k, interp=interpret
+    )
+    cspec = lambda shape: pl.BlockSpec(shape, lambda ti: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    y_re, y_im, out_tail = pl.pallas_call(
+        kern,
+        grid=(n_tt,),
+        in_specs=[
+            pl.BlockSpec((n_t, m), lambda ti: (ti, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_t, m), lambda ti: (ti, 0), memory_space=pltpu.VMEM),
+            cspec((2, _TBF, m)),
+            cspec((_TBF, m)),
+            cspec((m, m)),
+            cspec((m, m)),
+        ],
+        out_specs=[
+            pl.BlockSpec((m, n_t), lambda ti: (0, ti), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, n_t), lambda ti: (0, ti), memory_space=pltpu.VMEM),
+            cspec((2, _TBF, m)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, n_frames), jnp.float32),
+            jax.ShapeDtypeStruct((m, n_frames), jnp.float32),
+            jax.ShapeDtypeStruct((2, _TBF, m), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_TBF + n_t, m), jnp.float32),
+            pltpu.VMEM((_TBF + n_t, m), jnp.float32),
+        ],
+        interpret=interpret,
+    )(fr, fi, tail, w16, w_re, w_im)
+
+    new_state = (
+        out_tail[0, _TBF - (k - 1) :].reshape(-1),
+        out_tail[1, _TBF - (k - 1) :].reshape(-1),
+    )
+    return new_state, (y_re, y_im)

@@ -41,44 +41,80 @@ def channelizer_init_state(num_channels: int, taps_per_phase: int) -> jnp.ndarra
     return jax.jit(lambda: jnp.zeros((n,), jnp.complex64))()
 
 
-def channelize(taps, state: jnp.ndarray, x: jnp.ndarray, num_channels: int):
-    """x: [T] wideband complex64, T divisible by M.  Returns
-    (new_state, y [M, T/M] complex64) — channel k centered at +k*Fs/M
-    (wrapping: channels above M/2 are negative frequencies).
+def channelize_p(taps, state_p, xp, num_channels: int):
+    """Plane-tuple channelizer (the production form).
+
+    xp: (re, im) [T] f32 wideband planes; state_p: (re, im) [(K-1)*M] f32.
+    Returns (state_p', (y_re, y_im) [M, T/M] f32).
+
+    TPU formulation (an earlier version vmapped M single-feature convs and
+    ran a batched length-M FFT over complex64 — ~18 GB/s effective; this form
+    is one fused VPU pass + one MXU matmul):
+    - phase filter: frames = x.reshape(T/M + K-1, M) (pure view, phase on
+      lanes); z[n, p] = sum_r w[r, p] * frames[n+r, p] is K shifted
+      multiply-adds over overlapping row slices — XLA fuses them into a
+      single pass over the input.
+    - DFT across phases: y[n, k] = sum_p z[n, p] W[p, k] is a dense
+      [T/M, M] x [M, M] matmul on the MXU (4 real matmuls for the complex
+      product) — no length-M FFT kernels.
     """
     m = num_channels
     taps = jnp.asarray(taps, jnp.float32)
     nn = taps.shape[0]
     k = nn // m
-    assert nn == m * k and x.shape[-1] % m == 0
+    xr, xi = xp
+    assert nn == m * k and xr.shape[-1] % m == 0
+    sr, si = state_p
 
-    x_pad = jnp.concatenate([state.astype(x.dtype), x], axis=-1)
-    new_state = x_pad[-(k - 1) * m :]
-    n_frames = x_pad.shape[-1] // m  # N + K - 1
+    # fused Pallas path (kernels/channelizer_pallas.py): ~5x the XLA form
+    if jax.default_backend() == "tpu" and k - 1 <= 16:
+        from fm_radio_tpu.kernels.channelizer_pallas import (
+            channelize_pallas,
+            pick_tile_chan,
+        )
+
+        if pick_tile_chan(xr.shape[-1] // m, m) is not None:
+            return channelize_pallas(taps, state_p, xp, m)
+
+    xr_pad = jnp.concatenate([sr, xr], axis=-1)
+    xi_pad = jnp.concatenate([si, xi], axis=-1)
+    new_state = (xr_pad[-(k - 1) * m :], xi_pad[-(k - 1) * m :])
+    n_frames = xr_pad.shape[-1] // m  # T/M + K - 1
     n_out = n_frames - (k - 1)
 
-    # frames[j, p] = x_pad[j*M + p].  Output n's window is frames rows
-    # n..n+K-1 (ends at x_pad[n*M + NN - 1], same streaming convention as
-    # polyphase_decimate).  Pairing window sample m = r*M + p with reversed
-    # tap taps_rev[m] = h[NN-1-m]:
-    #   z_p[n] = sum_r taps_rev[r*M + p] * frames[n+r, p]
-    #   y_k[n] = sum_p z_p[n] * exp(-j*2*pi*k*p/M)   (phase twiddle; the
-    #            r*M terms vanish mod M since blocks are multiples of M)
-    # which equals LPF(x * exp(-j*2*pi*k*t/M)) decimated by M.
-    frames = x_pad.reshape(n_frames, m)
-    w = taps[::-1].reshape(k, m)  # w[r, p] = taps_rev[r*M + p]
-    # per-phase independent conv: out[p, n] = sum_r lanes[p, n+r] * kernel[p, r]
-    lanes_r = frames.real.T  # [M, n_frames]
-    lanes_i = frames.imag.T
-    lanes = jnp.stack([lanes_r, lanes_i], axis=1)  # [M, 2, n_frames]
-    kernel = w.T  # [M, K]
-    outs = jax.vmap(
-        lambda lane, kern: _conv_mxu(lane[:, None, :], kern[None, :])
-    )(lanes, kernel)  # [M, 2, n_out]
-    z = jax.lax.complex(outs[:, 0, :], outs[:, 1, :])  # [M, n_out]
+    # frames[j, p] = x_pad[j*M + p]; z_p[n] = sum_r taps_rev[r*M+p] frames[n+r, p]
+    fr = xr_pad.reshape(n_frames, m)
+    fi = xi_pad.reshape(n_frames, m)
+    w = taps[::-1].reshape(k, m)
+    zr = sum(fr[r : r + n_out, :] * w[r][None, :] for r in range(k))
+    zi = sum(fi[r : r + n_out, :] * w[r][None, :] for r in range(k))
 
-    y = jnp.fft.fft(z, axis=0)  # DFT across phases -> channels
-    return new_state, y.astype(jnp.complex64)
+    # y[n, k] = sum_p z[n, p] exp(-2j pi k p / M)  (== jnp.fft.fft over p)
+    p_idx = np.arange(m)
+    ang = -2.0 * np.pi * np.outer(p_idx, p_idx) / m
+    w_re = jnp.asarray(np.cos(ang).astype(np.float32))
+    w_im = jnp.asarray(np.sin(ang).astype(np.float32))
+    hi = jax.lax.Precision.HIGHEST
+    y_re = (jnp.dot(zr, w_re, precision=hi) - jnp.dot(zi, w_im, precision=hi)).T
+    y_im = (jnp.dot(zr, w_im, precision=hi) + jnp.dot(zi, w_re, precision=hi)).T
+    return new_state, (y_re, y_im)
+
+
+def channelize(taps, state: jnp.ndarray, x: jnp.ndarray, num_channels: int):
+    """x: [T] wideband complex64, T divisible by M.  Returns
+    (new_state, y [M, T/M] complex64) — channel k centered at +k*Fs/M
+    (wrapping: channels above M/2 are negative frequencies).
+
+    Complex-dtype wrapper over :func:`channelize_p`.
+    """
+    m = num_channels
+    taps = jnp.asarray(taps, jnp.float32)
+    nn = taps.shape[0]
+    k = nn // m
+    st_p = (state.real, state.imag)
+    st_p2, (y_re, y_im) = channelize_p(taps, st_p, (x.real, x.imag), m)
+    new_state = jax.lax.complex(*st_p2)
+    return new_state, jax.lax.complex(y_re, y_im)
 
 
 def channelize_batch(taps, state, x, num_channels):

@@ -341,3 +341,26 @@ def test_ds4_disc_pallas_int_input():
         cfg.analog.f_wbfm_deviation, float(cfg.rates.fs_fm_in), interpret=True,
         int_input=True)
     np.testing.assert_allclose(np.asarray(y_int), np.asarray(y_full), atol=1e-5)
+
+
+def test_channelizer_pallas_matches_xla():
+    """Pallas channelizer (kernels/channelizer_pallas.py) vs the XLA
+    plane-form, streaming split included."""
+    from fm_radio_tpu.kernels.channelizer_pallas import channelize_pallas
+    from fm_radio_tpu.parallel.channelizer import channelize_p, make_channelizer_taps
+
+    m, k = 8, 16
+    t = m * 4096
+    taps = jnp.asarray(make_channelizer_taps(m, k))
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((2, 2 * t)).astype(np.float32)
+    z0 = jnp.zeros(((k - 1) * m,), jnp.float32)
+    st_a = st_b = (z0, z0)
+    for blk in range(2):
+        sl = slice(blk * t, (blk + 1) * t)
+        xb = (jnp.asarray(x[0][sl]), jnp.asarray(x[1][sl]))
+        st_a, (ar, ai) = channelize_p(taps, st_a, xb, m)
+        st_b, (br, bi) = channelize_pallas(taps, st_b, xb, m, interpret=True)
+        np.testing.assert_allclose(np.asarray(br), np.asarray(ar), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(bi), np.asarray(ai), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(st_a[0]), np.asarray(st_b[0]))
