@@ -38,6 +38,7 @@ from fm_radio_tpu.kernels.pll_pallas import _atan2
 from fm_radio_tpu.ops.iir import _companion, _power_stack
 
 _TB = 128   # carried-tail width for ds2 + hilbert buffers
+_LI = 128   # IIR Toeplitz sub-chunk (FLOPs/sample = 2*_LI per pass)
 _NO = 128   # outputs per banded sub-matmul
 
 # scratch state columns
@@ -129,17 +130,21 @@ def _midend_kernel(
                            b2_hi, b2_lo))
     fm_out = parts[0] if n2 == 1 else jnp.concatenate(parts, axis=-1)  # [c, L]
 
-    # ---- de-emphasis (exact order-1 IIR Toeplitz tile) -------------------
+    # ---- de-emphasis (exact order-1 IIR, sub-chunked Toeplitz) -----------
     if use_deemph:
         t1_hi, t1_lo = _split_bf16(t1_ref[...], interp)
-        f_hi, f_lo = _split_bf16(fm_out, interp)
-        y_zs = _dot3(f_hi, f_lo, t1_hi, t1_lo)
-        hm1 = aux1_ref[0:1, :]   # [1, L]
-        pm1 = aux1_ref[1:2, :]   # [1, L]
-        y_de = y_zs + _col(st_ref, _DE_X1) * hm1 + _col(st_ref, _DE_Y1) * pm1
-        st_ref[:, _DE_X1 : _DE_X1 + 1] = fm_out[:, l - 1 :]
-        st_ref[:, _DE_Y1 : _DE_Y1 + 1] = y_de[:, l - 1 :]
-        fm_out = y_de
+        hm1 = aux1_ref[0:1, :]   # [1, LI]
+        pm1 = aux1_ref[1:2, :]   # [1, LI]
+        parts = []
+        for s in range(l // _LI):
+            xs = fm_out[:, s * _LI : (s + 1) * _LI]
+            f_hi, f_lo = _split_bf16(xs, interp)
+            y = _dot3(f_hi, f_lo, t1_hi, t1_lo)
+            y = y + _col(st_ref, _DE_X1) * hm1 + _col(st_ref, _DE_Y1) * pm1
+            st_ref[:, _DE_X1 : _DE_X1 + 1] = xs[:, _LI - 1 :]
+            st_ref[:, _DE_Y1 : _DE_Y1 + 1] = y[:, _LI - 1 :]
+            parts.append(y)
+        fm_out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
 
     buf3_ref[:, _TB:] = fm_out
 
@@ -158,21 +163,30 @@ def _midend_kernel(
     re_ref[...] = hi_re
     im_ref[...] = hi_im
 
-    # ---- pilot peak filter (exact order-2 IIR Toeplitz tile), per plane --
+    # ---- pilot peak filter (exact order-2 IIR, sub-chunked Toeplitz) -----
+    # Sub-chunks of _LI samples: [c, LI] x [LI, LI] matmuls keep the
+    # Toeplitz FLOPs at 2*LI/sample instead of 2*L (4x less at L=512),
+    # with the 2-scalar state propagated exactly between sub-chunks.
     tp_hi, tp_lo = _split_bf16(tp_ref[...], interp)
-    hm_p = auxp_ref[0:2, :]  # [2, L]
-    pm_p = auxp_ref[2:4, :]  # [2, L]
+    hm_p = auxp_ref[0:2, :]  # [2, LI]
+    pm_p = auxp_ref[2:4, :]  # [2, LI]
 
     def peak(plane, cx1, cx2, cy1, cy2):
-        p_hi, p_lo = _split_bf16(plane, interp)
-        y = _dot3(p_hi, p_lo, tp_hi, tp_lo)
-        y = (y + _col(st_ref, cx1) * hm_p[0:1, :] + _col(st_ref, cx2) * hm_p[1:2, :]
-             + _col(st_ref, cy1) * pm_p[0:1, :] + _col(st_ref, cy2) * pm_p[1:2, :])
-        st_ref[:, cx2 : cx2 + 1] = plane[:, l - 2 : l - 1]
-        st_ref[:, cx1 : cx1 + 1] = plane[:, l - 1 :]
-        st_ref[:, cy2 : cy2 + 1] = y[:, l - 2 : l - 1]
-        st_ref[:, cy1 : cy1 + 1] = y[:, l - 1 :]
-        return y
+        parts = []
+        for s in range(l // _LI):
+            xs = plane[:, s * _LI : (s + 1) * _LI]
+            p_hi, p_lo = _split_bf16(xs, interp)
+            y = _dot3(p_hi, p_lo, tp_hi, tp_lo)
+            y = (y + _col(st_ref, cx1) * hm_p[0:1, :]
+                 + _col(st_ref, cx2) * hm_p[1:2, :]
+                 + _col(st_ref, cy1) * pm_p[0:1, :]
+                 + _col(st_ref, cy2) * pm_p[1:2, :])
+            st_ref[:, cx2 : cx2 + 1] = xs[:, _LI - 2 : _LI - 1]
+            st_ref[:, cx1 : cx1 + 1] = xs[:, _LI - 1 :]
+            st_ref[:, cy2 : cy2 + 1] = y[:, _LI - 2 : _LI - 1]
+            st_ref[:, cy1 : cy1 + 1] = y[:, _LI - 1 :]
+            parts.append(y)
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
 
     pk_re = peak(hi_re, _PKR_X1, _PKR_X2, _PKR_Y1, _PKR_Y2)
     pk_im = peak(hi_im, _PKI_X1, _PKI_X2, _PKI_Y1, _PKI_Y2)
@@ -238,13 +252,13 @@ def midend_pallas(
     band3 = _band_m(coeffs.taps_hilbert, 1)
 
     if use_deemph:
-        t1, hm1, pm1 = _iir_tile_mats(coeffs.deemph_b, coeffs.deemph_a, l)
-        aux1 = jnp.concatenate([hm1, pm1], axis=0)  # [2, L]
+        t1, hm1, pm1 = _iir_tile_mats(coeffs.deemph_b, coeffs.deemph_a, _LI)
+        aux1 = jnp.concatenate([hm1, pm1], axis=0)  # [2, LI]
     else:
-        t1 = jnp.zeros((l, l), jnp.float32)
-        aux1 = jnp.zeros((2, l), jnp.float32)
-    tp, hm_p, pm_p = _iir_tile_mats(coeffs.peak_b, coeffs.peak_a, l)
-    auxp = jnp.concatenate([hm_p, pm_p], axis=0)    # [4, L]
+        t1 = jnp.zeros((_LI, _LI), jnp.float32)
+        aux1 = jnp.zeros((2, _LI), jnp.float32)
+    tp, hm_p, pm_p = _iir_tile_mats(coeffs.peak_b, coeffs.peak_a, _LI)
+    auxp = jnp.concatenate([hm_p, pm_p], axis=0)    # [4, LI]
 
     # pack carried states
     tail2 = jnp.zeros((c, _TB), jnp.float32).at[:, _TB - halo2 :].set(
@@ -287,7 +301,8 @@ def midend_pallas(
             rowspec(_TB), rowspec(_TB), rowspec(_NSTATE),
             cspec((_NO * 2 + _TB, _NO)),
             cspec((_NO + _TB, _NO)),
-            cspec((l, l)), cspec((2, l)), cspec((l, l)), cspec((4, l)),
+            cspec((_LI, _LI)), cspec((2, _LI)),
+            cspec((_LI, _LI)), cspec((4, _LI)),
         ],
         out_specs=[
             pl.BlockSpec((c_blk, l), lambda ci, ti: (ci, ti),
