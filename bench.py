@@ -49,12 +49,21 @@ def main() -> None:
     phase = np.cumsum(
         rng.standard_normal((channels, block)).astype(np.float32) * 0.5, axis=-1
     )
-    # quantized to the u8 integer grid exactly as the reference receives it
-    # (app.cpp:57-63: u8 - 127 in [-127, 128])
-    xp = np.round(
-        np.stack([100.0 * np.cos(phase), 100.0 * np.sin(phase)])
-    ).astype(np.float32)
-    x = jnp.asarray(xp)  # [2, C, B] plane form, f32 host->device
+    # quantized to the u8 grid exactly as the radio captures it
+    # (app.cpp:57-63), then PACKED one f32 word per complex sample
+    # (w = I*256 + Q, utils/transfer.pack_iq_u8): the production ingest
+    # format — half the host->device and HBM bytes of (re, im) planes,
+    # unpacked exactly inside the front-end kernel.
+    iq_u8 = np.stack(
+        [
+            np.round(100.0 * np.cos(phase) + 127.0),
+            np.round(100.0 * np.sin(phase) + 127.0),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    from fm_radio_tpu.utils.transfer import pack_iq_u8
+
+    x = jnp.asarray(pack_iq_u8(iq_u8))  # [C, B] packed words, f32
 
     @jax.jit
     def run(state, x):

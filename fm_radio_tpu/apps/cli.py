@@ -30,6 +30,9 @@ def power_ceil(x: int) -> int:
     return 1 << (x - 1).bit_length()
 
 
+from fm_radio_tpu.utils.transfer import pack_iq_u8
+
+
 def _read_input_u8(path: str | None, max_samples: int | None = None) -> np.ndarray:
     if path is None or path == "-":
         raw = np.frombuffer(sys.stdin.buffer.read(), dtype=np.uint8)
@@ -42,12 +45,13 @@ def _read_input_u8(path: str | None, max_samples: int | None = None) -> np.ndarr
 
 
 def cmd_demod(args) -> None:
-    from fm_radio_tpu.io.pcm import u8_to_c64
     from fm_radio_tpu.io.wav import write_wav_int16
     from fm_radio_tpu.models.app import App
 
     block = power_ceil(args.block_size)
-    iq = u8_to_c64(_read_input_u8(args.input))
+    # packed ingest (one f32 word per sample, utils/transfer.pack_iq_u8):
+    # half the host->device bytes of complex64; unpacked exactly in-kernel
+    iq = pack_iq_u8(_read_input_u8(args.input))
     app = App(block_size=block, channels=1, decode_rds=not args.no_rds,
               integer_input=True)
     if args.resume_state:
@@ -103,13 +107,12 @@ def cmd_demod(args) -> None:
 
 def cmd_scrape(args) -> None:
     """WAV + RDS-byte artifacts, format-compatible with fm_demod_scraper."""
-    from fm_radio_tpu.io.pcm import u8_to_c64
     from fm_radio_tpu.io.wav import write_wav_int16
     from fm_radio_tpu.models.app import App
 
     block = power_ceil(args.block_size)
     os.makedirs(args.output, exist_ok=True)
-    iq = u8_to_c64(_read_input_u8(args.input))
+    iq = pack_iq_u8(_read_input_u8(args.input))
     app = App(block_size=block, channels=1, decode_rds=True,
               integer_input=True)
     app.process(iq)

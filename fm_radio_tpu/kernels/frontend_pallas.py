@@ -87,12 +87,13 @@ def _dot3(x_hi, x_lo, b_hi, b_lo):
     )
 
 
-def _ds4_disc_kernel(
-    xr_ref, xi_ref, tail_ref, prev_ref, band_ref,
+def _ds4_disc_core(
+    tail_ref, prev_ref, band_ref,
     y_ref, out_tail_ref, out_prev_ref,
     bufr_ref, bufi_ref, carry_ref,
     *, t_blk: int, n_tt: int, scale: float, interp: bool, int_input: bool,
 ):
+    """Shared body: assumes bufr/bufi[:, _TB:] hold this tile's input planes."""
     ti = pl.program_id(1)
     n_sub = t_blk // (_NO * _M)
     n_out = t_blk // _M
@@ -102,9 +103,6 @@ def _ds4_disc_kernel(
         bufr_ref[:, :_TB] = tail_ref[0]
         bufi_ref[:, :_TB] = tail_ref[1]
         carry_ref[...] = prev_ref[...]
-
-    bufr_ref[:, _TB:] = xr_ref[...]
-    bufi_ref[:, _TB:] = xi_ref[...]
 
     b_hi, b_lo = _split_bf16(band_ref[...], interp)
     if int_input:
@@ -161,6 +159,44 @@ def _ds4_disc_kernel(
         out_prev_ref[...] = carry_ref[...]
 
 
+def _ds4_disc_kernel(
+    xr_ref, xi_ref, tail_ref, prev_ref, band_ref,
+    y_ref, out_tail_ref, out_prev_ref,
+    bufr_ref, bufi_ref, carry_ref,
+    *, t_blk: int, n_tt: int, scale: float, interp: bool, int_input: bool,
+):
+    bufr_ref[:, _TB:] = xr_ref[...]
+    bufi_ref[:, _TB:] = xi_ref[...]
+    _ds4_disc_core(
+        tail_ref, prev_ref, band_ref, y_ref, out_tail_ref, out_prev_ref,
+        bufr_ref, bufi_ref, carry_ref,
+        t_blk=t_blk, n_tt=n_tt, scale=scale, interp=interp,
+        int_input=int_input,
+    )
+
+
+def _ds4_disc_packed_kernel(
+    xw_ref, tail_ref, prev_ref, band_ref,
+    y_ref, out_tail_ref, out_prev_ref,
+    bufr_ref, bufi_ref, carry_ref,
+    *, t_blk: int, n_tt: int, scale: float, interp: bool, int_input: bool,
+):
+    # Packed u8 IQ: one f32 word per complex sample, w = I_u8*256 + Q_u8
+    # (exact integers < 2^16 — the only dtype the tunneled host boundary
+    # moves is f32, and this halves both the transfer and the HBM read).
+    # Unpack is exact: *2^-8 and floor are error-free on integers < 2^16.
+    w = xw_ref[...]
+    ihi = jnp.floor(w * jnp.float32(1.0 / 256.0))
+    bufr_ref[:, _TB:] = ihi - 127.0
+    bufi_ref[:, _TB:] = (w - ihi * 256.0) - 127.0
+    _ds4_disc_core(
+        tail_ref, prev_ref, band_ref, y_ref, out_tail_ref, out_prev_ref,
+        bufr_ref, bufi_ref, carry_ref,
+        t_blk=t_blk, n_tt=n_tt, scale=scale, interp=interp,
+        int_input=int_input,
+    )
+
+
 def pick_tiles(c: int, b: int) -> tuple[int, int] | None:
     """(c_blk, t_blk) or None if shapes don't fit the kernel's contract."""
     if b % (_NO * _M) != 0:
@@ -200,9 +236,20 @@ def ds4_disc_pallas(
     (true for u8-derived baseband, the radio's native input): such values are
     exact in bf16, so the lo compensation of x is skipped (1/3 less MXU, no
     VPU split).  Do NOT set it for non-integer baseband (channelizer output).
+
+    ``xp`` may instead be a SINGLE [C, B] f32 array of packed u8 IQ words
+    (``w = I_u8*256 + Q_u8``, see utils/transfer.pack_iq_u8): the kernel
+    unpacks and recenters in-VMEM (exact), halving the HBM input read —
+    the front end is input-bandwidth-bound.  Packed implies int_input.
     """
-    xr, xi = xp
-    c, b = xr.shape
+    packed = not isinstance(xp, (tuple, list))
+    if packed:
+        xw = xp
+        c, b = xw.shape
+        int_input = True
+    else:
+        xr, xi = xp
+        c, b = xr.shape
     tiles = pick_tiles(c, b)
     assert tiles is not None, "shape not supported; gate with pick_tiles"
     c_blk, t_blk = tiles
@@ -223,18 +270,18 @@ def ds4_disc_pallas(
     scale = 1.0 / (2.0 * np.pi * fd * (1.0 / fs_out)) * 0.5
 
     kern = functools.partial(
-        _ds4_disc_kernel, t_blk=t_blk, n_tt=n_tt, scale=scale,
+        _ds4_disc_packed_kernel if packed else _ds4_disc_kernel,
+        t_blk=t_blk, n_tt=n_tt, scale=scale,
         interp=interpret, int_input=int_input,
     )
     grid = (c // c_blk, n_tt)
+    x_spec = pl.BlockSpec((c_blk, t_blk), lambda ci, ti: (ci, ti),
+                          memory_space=pltpu.VMEM)
+    x_in = (xw,) if packed else (xr, xi)
     y, out_tail, out_prev = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((c_blk, t_blk), lambda ci, ti: (ci, ti),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_blk, t_blk), lambda ci, ti: (ci, ti),
-                         memory_space=pltpu.VMEM),
+        in_specs=[x_spec] * len(x_in) + [
             pl.BlockSpec((2, c_blk, _TB), lambda ci, ti: (0, ci, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c_blk, 1), lambda ci, ti: (ci, 0),
@@ -261,7 +308,7 @@ def ds4_disc_pallas(
             pltpu.VMEM((c_blk, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(xr, xi, tail, prev_theta[:, None], band)
+    )(*x_in, tail, prev_theta[:, None], band)
 
     new_tail = (out_tail[0, :, _TB - halo :], out_tail[1, :, _TB - halo :])
     return new_tail, out_prev[:, 0], y

@@ -50,6 +50,13 @@ class App:
 
     # -- input paths -------------------------------------------------------
 
+    def _match_pending(self, x: np.ndarray) -> np.ndarray:
+        """Pending re-block buffer in the stream's dtype (complex64 baseband
+        or f32 packed words — a stream keeps ONE format throughout)."""
+        if self._pending.size == 0 and self._pending.dtype != x.dtype:
+            self._pending = np.zeros((self.channels, 0), x.dtype)
+        return self._pending
+
     def process_u8(self, iq_u8: np.ndarray) -> None:
         """iq_u8: [N, 2] raw interleaved bytes (single channel) or
         [C, N, 2]."""
@@ -58,11 +65,12 @@ class App:
         self.process(x)
 
     def process(self, x: np.ndarray) -> None:
-        """x: [N] or [C, N] centered complex64.  Re-blocks internally
+        """x: [N] or [C, N] centered complex64, or f32 packed u8 IQ words
+        (utils/transfer.pack_iq_u8).  Re-blocks internally
         (reconstruction_buffer.h:16-26)."""
         if x.ndim == 1:
             x = x[None, :]
-        buf = np.concatenate([self._pending, x], axis=-1)
+        buf = np.concatenate([self._match_pending(x), x], axis=-1)
         n_blocks = buf.shape[-1] // self.block_size
         for b in range(n_blocks):
             blk = buf[:, b * self.block_size : (b + 1) * self.block_size]
@@ -79,7 +87,7 @@ class App:
         if x.ndim == 1:
             x = x[None, :]
         buf = (
-            np.concatenate([self._pending, x], axis=-1)
+            np.concatenate([self._match_pending(x), x], axis=-1)
             if self._pending.size
             else np.asarray(x)
         )
@@ -90,7 +98,7 @@ class App:
         t = n_blocks * self.block_size
         final_state, outs = demod_stream(
             self.cfg,
-            np.ascontiguousarray(buf[:, :t]).astype(np.complex64),
+            np.ascontiguousarray(buf[:, :t]),
             self.block_size,
             state=self.demod.state,
         )
@@ -150,7 +158,9 @@ def demod_stream(
 ):
     """Whole-stream demodulation in ONE device call: ``lax.scan`` over blocks.
 
-    x: [C, T] complex64 with T a multiple of block_size.  Returns
+    x: [C, T] complex64 — or [C, T] REAL f32 of packed u8 IQ words
+    (utils/transfer.pack_iq_u8; half the transfer + HBM bytes, unpacked
+    exactly in the front-end kernel).  T a multiple of block_size.  Returns
     (final_state, outs) where outs arrays have a leading block axis folded
     back into time: audio [C, T/32, 2], rds_pred/valid [C, T/64].
 
@@ -165,7 +175,13 @@ def demod_stream(
         state = demod_init_state(cfg, c)
     from fm_radio_tpu.utils.transfer import device_put_complex
 
-    xd = device_put_complex(np.asarray(x)) if isinstance(x, np.ndarray) else jnp.asarray(x)
+    packed = not np.iscomplexobj(x)
+    if packed:
+        xd = jnp.asarray(np.asarray(x, np.float32))
+    elif isinstance(x, np.ndarray):
+        xd = device_put_complex(np.asarray(x))
+    else:
+        xd = jnp.asarray(x)
     xb = xd.reshape(c, n_blocks, block_size).transpose(1, 0, 2)
 
     def step(st, blk):

@@ -194,14 +194,22 @@ def demod_block(
     st = dict(state)
     taps: dict[str, Any] = {}
 
+    packed = False
     if jnp.iscomplexobj(x):
         xp = (x.real, x.imag)
+    elif x.ndim == 2:
+        # packed u8 IQ: one f32 word per sample, w = I_u8*256 + Q_u8
+        # (utils/transfer.pack_iq_u8) — halves the front end's HBM read
+        # and the host->device transfer.  Unpacked exactly in-kernel on the
+        # fused path; exact XLA unpack below otherwise.
+        packed = True
+        xp = None
     else:  # [2, C, B] plane form
         assert x.ndim == 3 and x.shape[0] == 2
         xp = (x[0], x[1])
 
-    c = xp[0].shape[0]
-    b = xp[0].shape[-1]
+    c = x.shape[-2] if packed else xp[0].shape[0]
+    b = x.shape[-1] if packed else xp[0].shape[-1]
     use_pallas = cfg.loop_impl == "pallas" or (
         cfg.loop_impl == "auto"
         and jax.default_backend() == "tpu"
@@ -219,17 +227,21 @@ def demod_block(
         and coeffs.taps_fm_in.shape[0] - 4 <= 128
         and pick_tiles(c, b) is not None
     )
+    if packed and not fuse_front:
+        # exact XLA unpack fallback (CPU / odd shapes / taps mode)
+        ihi = jnp.floor(x * jnp.float32(1.0 / 256.0))
+        xp = (ihi - 127.0, (x - ihi * 256.0) - 127.0)
     if fuse_front:
         # one HBM pass: ds x4 + discriminator fused (kernels/frontend_pallas)
         tail, prev, fm_demod = ds4_disc_pallas(
             coeffs.taps_fm_in,
             (st["ds_fm_in"].real, st["ds_fm_in"].imag),
             st["disc_prev_theta"],
-            xp,
+            x if packed else xp,
             cfg.analog.f_wbfm_deviation,
             float(r.fs_fm_in),
             interpret=jax.default_backend() != "tpu",
-            int_input=cfg.assume_integer_input,
+            int_input=packed or cfg.assume_integer_input,
         )
         st["ds_fm_in"] = jax.lax.complex(*tail)
         st["disc_prev_theta"] = prev
@@ -489,13 +501,19 @@ class BroadcastFMDemod:
         self.coeffs = make_coeffs(self.cfg)  # state shapes unchanged
 
     def process(self, x: np.ndarray, include_taps: bool = False) -> dict:
-        """x: [C, B] complex64 centered baseband. Returns outs dict (numpy)."""
+        """x: [C, B] complex64 centered baseband, or [C, B] f32 of packed
+        u8 IQ words (utils/transfer.pack_iq_u8). Returns outs dict (numpy)."""
         from fm_radio_tpu.utils.transfer import device_put_complex, fetch_tree
 
         if x.ndim == 1:
             x = x[None, :]
+        xd = (
+            jnp.asarray(np.asarray(x, np.float32))
+            if not np.iscomplexobj(x)
+            else device_put_complex(x)
+        )
         self.state, outs = demod_block(
-            self.cfg, self.coeffs, self.state, device_put_complex(x), include_taps
+            self.cfg, self.coeffs, self.state, xd, include_taps
         )
         outs = fetch_tree(outs)
         if include_taps:

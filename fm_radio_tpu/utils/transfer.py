@@ -73,3 +73,20 @@ def init_on_device(init_fn, *args, **static_kwargs):
     """Run a zeros/constants-building init function inside jit so non-f32
     constants never cross the host boundary."""
     return jax.jit(functools.partial(init_fn, *args, **static_kwargs))()
+
+
+def pack_iq_u8(iq_u8: np.ndarray) -> np.ndarray:
+    """Pack raw interleaved u8 IQ into one f32 word per complex sample.
+
+    iq_u8: [..., N, 2] (I, Q byte pairs, the radio's native capture format,
+    app.cpp:57-63).  Returns [..., N] f32 with w = I*256 + Q — exact
+    integers < 2^16, so they survive the f32-only host boundary bit-perfectly
+    and cost HALF the bytes of (re, im) f32 planes.  The front-end kernel
+    (kernels/frontend_pallas.py) unpacks and recenters by -127 in-VMEM.
+    """
+    iq = np.asarray(iq_u8)
+    assert iq.shape[-1] == 2 and iq.dtype == np.uint8
+    w = iq[..., 0].astype(np.float32)
+    w *= 256.0
+    w += iq[..., 1]
+    return w

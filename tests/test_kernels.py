@@ -343,6 +343,58 @@ def test_ds4_disc_pallas_int_input():
     np.testing.assert_allclose(np.asarray(y_int), np.asarray(y_full), atol=1e-5)
 
 
+def test_ds4_disc_pallas_packed_input():
+    """Packed u8 words (I*256+Q, one f32/sample) must unpack EXACTLY to the
+    recentered planes — bit-identical fm_demod vs the int-input plane path."""
+    from fm_radio_tpu.kernels.frontend_pallas import ds4_disc_pallas
+    from fm_radio_tpu.utils.transfer import pack_iq_u8
+
+    cfg = CFG
+    co = make_coeffs(cfg)
+    nn = int(np.asarray(co.taps_fm_in).shape[0])
+    c, b = 2, 2048
+    rng = np.random.default_rng(7)
+    iq_u8 = rng.integers(0, 256, (c, b, 2)).astype(np.uint8)
+    xr = iq_u8[..., 0].astype(np.float32) - 127.0
+    xi = iq_u8[..., 1].astype(np.float32) - 127.0
+    w = pack_iq_u8(iq_u8)
+    tail = (jnp.zeros((c, nn - 4), jnp.float32), jnp.zeros((c, nn - 4), jnp.float32))
+    pt = jnp.zeros((c,), jnp.float32)
+
+    _, _, y_pl = ds4_disc_pallas(
+        co.taps_fm_in, tail, pt, (jnp.asarray(xr), jnp.asarray(xi)),
+        cfg.analog.f_wbfm_deviation, float(cfg.rates.fs_fm_in), interpret=True,
+        int_input=True)
+    _, _, y_pk = ds4_disc_pallas(
+        co.taps_fm_in, tail, pt, jnp.asarray(w),
+        cfg.analog.f_wbfm_deviation, float(cfg.rates.fs_fm_in), interpret=True)
+    np.testing.assert_array_equal(np.asarray(y_pk), np.asarray(y_pl))
+
+
+def test_demod_block_packed_input_matches_planes():
+    """Full demod_block on packed words == plane form (both CPU fallback and
+    the packed fused-kernel unpack are exact)."""
+    from fm_radio_tpu.models.demod import demod_block, demod_init_state
+    from fm_radio_tpu.utils.transfer import pack_iq_u8
+
+    cfg = CFG
+    co = make_coeffs(cfg)
+    c, b = 1, 65536
+    rng = np.random.default_rng(11)
+    iq_u8 = rng.integers(0, 256, (c, b, 2)).astype(np.uint8)
+    planes = jnp.asarray(
+        np.stack([iq_u8[..., 0].astype(np.float32) - 127.0,
+                  iq_u8[..., 1].astype(np.float32) - 127.0]))
+    w = jnp.asarray(pack_iq_u8(iq_u8))
+    st0 = demod_init_state(cfg, c)
+    _, outs_p = demod_block(cfg, co, st0, planes)
+    _, outs_w = demod_block(cfg, co, st0, w)
+    np.testing.assert_allclose(
+        np.asarray(outs_w["audio"]), np.asarray(outs_p["audio"]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(outs_w["rds_pred"]), np.asarray(outs_p["rds_pred"]), atol=1e-5)
+
+
 def test_channelizer_pallas_matches_xla():
     """Pallas channelizer (kernels/channelizer_pallas.py) vs the XLA
     plane-form, streaming split included."""
