@@ -165,6 +165,15 @@ class DemodConfig:
     # Must be False for non-integer baseband (e.g. channelizer output).
     assume_integer_input: bool = False
 
+    # Full-chain megakernel (kernels/chain_pallas.py): front end + mid-end +
+    # pilot PLL + extraction in ONE Pallas kernel / one HBM pass.  "auto"
+    # uses it whenever the shape fits (pick_tiles_chain).  Default "split"
+    # (the 4-kernel pipeline): measured at production scale (1024ch x 256k,
+    # large dispatches) the split pipeline's double-buffering already hides
+    # the inter-kernel HBM round trips, and the megakernel's smaller time
+    # tiles cost more than the traffic saves (16.8 vs 14.2 ms per 2^28).
+    chain_fusion: str = "split"
+
     # Runtime-controllable (GUI controls in the reference; jit-static here).
     audio_out: str = AudioOut.STEREO
     audio_stereo_mix_factor: float = 1.0

@@ -51,28 +51,18 @@ def _wrapc(t):
     return t - jnp.round(t)
 
 
-def _extract_kernel(
-    re_ref, im_ref, dt_ref, off_ref, tails_ref, ba_ref, bm_ref, br_ref,
-    lpr_ref, lmr_re_ref, lmr_im_ref, rds_re_ref, rds_im_ref, out_tails_ref,
+def _extract_body(
+    xr, xi, dt, off, ba_ref, bm_ref, br_ref,
     blpr_ref, blmr_r_ref, blmr_i_ref, brds_r_ref, brds_i_ref,
-    *, t_blk: int, n_tt: int, h_lmr: float, h_rds: float, interp: bool,
+    *, t_blk: int, n_out: int, h_lmr: float, h_rds: float, interp: bool,
 ):
-    ti = pl.program_id(1)
-    na = t_blk // (_NO * 4)   # audio sub-matmuls (m=4)
-    nr = t_blk // (_NO * 8)   # rds sub-matmuls (m=8)
-
-    @pl.when(ti == 0)
-    def _init():
-        blpr_ref[:, :_TB] = tails_ref[0]
-        blmr_r_ref[:, :_TB] = tails_ref[1]
-        blmr_i_ref[:, :_TB] = tails_ref[2]
-        brds_r_ref[:, :_TB] = tails_ref[3]
-        brds_i_ref[:, :_TB] = tails_ref[4]
-
-    xr = re_ref[...]
-    xi = im_ref[...]
-    dt = dt_ref[...]
-    off = off_ref[...]  # [c, 1] broadcasts
+    """One fm_out_iq tile (xr, xi, dt all [c, t_blk]) -> (lpr, lmr_re,
+    lmr_im [c, t_blk//4], rds_re, rds_im [c, t_blk//8]) values; updates the
+    5 carried overlap-save buffers.  n_out = outputs per banded sub-matmul
+    (128 standalone; t_blk//4 resp. //8 capped at 128 in the full-chain
+    kernel, whose tiles are shorter).  Shared with kernels/chain_pallas.py."""
+    na = max(t_blk // (n_out * 4), 1)   # audio sub-matmuls (m=4)
+    nr = max(t_blk // (n_out * 8), 1)   # rds sub-matmuls (m=8)
 
     # harmonic phasors (apply_harmonic_pll.cpp:11-24 arithmetic)
     t2 = dt * jnp.float32(h_lmr) + off
@@ -93,23 +83,54 @@ def _extract_kernel(
     br_hi, br_lo = _split_bf16(br_ref[...], interp)
 
     def dec(buf_ref, b_hi, b_lo, m, n_sub):
-        w = _NO * m + _TB
+        no = min(n_out, t_blk // m)
+        w = no * m + _TB
         x_hi, x_lo = _split_bf16(buf_ref[...], interp)
         parts = []
         for s in range(n_sub):
-            w0 = s * _NO * m
+            w0 = s * no * m
             parts.append(_dot3(x_hi[:, w0 : w0 + w], x_lo[:, w0 : w0 + w],
                                b_hi, b_lo))
         return parts[0] if n_sub == 1 else jnp.concatenate(parts, axis=-1)
 
-    lpr_ref[...] = dec(blpr_ref, ba_hi, ba_lo, 4, na)
-    lmr_re_ref[...] = dec(blmr_r_ref, bm_hi, bm_lo, 4, na)
-    lmr_im_ref[...] = dec(blmr_i_ref, bm_hi, bm_lo, 4, na)
-    rds_re_ref[...] = dec(brds_r_ref, br_hi, br_lo, 8, nr)
-    rds_im_ref[...] = dec(brds_i_ref, br_hi, br_lo, 8, nr)
+    lpr = dec(blpr_ref, ba_hi, ba_lo, 4, na)
+    lmr_re = dec(blmr_r_ref, bm_hi, bm_lo, 4, na)
+    lmr_im = dec(blmr_i_ref, bm_hi, bm_lo, 4, na)
+    rds_re = dec(brds_r_ref, br_hi, br_lo, 8, nr)
+    rds_im = dec(brds_i_ref, br_hi, br_lo, 8, nr)
 
     for buf in (blpr_ref, blmr_r_ref, blmr_i_ref, brds_r_ref, brds_i_ref):
         buf[:, :_TB] = buf[:, t_blk:]
+    return lpr, lmr_re, lmr_im, rds_re, rds_im
+
+
+def _extract_kernel(
+    re_ref, im_ref, dt_ref, off_ref, tails_ref, ba_ref, bm_ref, br_ref,
+    lpr_ref, lmr_re_ref, lmr_im_ref, rds_re_ref, rds_im_ref, out_tails_ref,
+    blpr_ref, blmr_r_ref, blmr_i_ref, brds_r_ref, brds_i_ref,
+    *, t_blk: int, n_tt: int, h_lmr: float, h_rds: float, interp: bool,
+):
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _init():
+        blpr_ref[:, :_TB] = tails_ref[0]
+        blmr_r_ref[:, :_TB] = tails_ref[1]
+        blmr_i_ref[:, :_TB] = tails_ref[2]
+        brds_r_ref[:, :_TB] = tails_ref[3]
+        brds_i_ref[:, :_TB] = tails_ref[4]
+
+    lpr, lmr_re, lmr_im, rds_re, rds_im = _extract_body(
+        re_ref[...], im_ref[...], dt_ref[...], off_ref[...],
+        ba_ref, bm_ref, br_ref,
+        blpr_ref, blmr_r_ref, blmr_i_ref, brds_r_ref, brds_i_ref,
+        t_blk=t_blk, n_out=_NO, h_lmr=h_lmr, h_rds=h_rds, interp=interp,
+    )
+    lpr_ref[...] = lpr
+    lmr_re_ref[...] = lmr_re
+    lmr_im_ref[...] = lmr_im
+    rds_re_ref[...] = rds_re
+    rds_im_ref[...] = rds_im
 
     @pl.when(ti == n_tt - 1)
     def _finish():

@@ -48,17 +48,18 @@ _PKR_Y1, _PKR_Y2, _PKI_Y1, _PKI_Y2 = 6, 7, 8, 9
 _NSTATE = 10
 
 
-def _band_m(taps, m: int) -> jnp.ndarray:
-    """[_NO*m + _TB, _NO] aligned band: y[j] = sum_k w_rev[k] buf[TB - halo
-    + m*j + k], halo = nn - m."""
+def _band_m(taps, m: int, n_out: int = _NO) -> jnp.ndarray:
+    """[n_out*m + _TB, n_out] aligned band: y[j] = sum_k w_rev[k] buf[TB -
+    halo + m*j + k], halo = nn - m.  n_out < _NO is used by the full-chain
+    kernel, whose per-tile decimator outputs are sub-128-lane segments."""
     taps = jnp.asarray(taps, jnp.float32)
     nn = taps.shape[0]
     halo = nn - m
     assert halo <= _TB
-    w = _NO * m + _TB
+    w = n_out * m + _TB
     w_rev = taps[::-1]
     rows = jnp.arange(w)[:, None]
-    cols = jnp.arange(_NO)[None, :]
+    cols = jnp.arange(n_out)[None, :]
     k = rows - (_TB - halo + m * cols)
     valid = (k >= 0) & (k < nn)
     return jnp.where(valid, jnp.take(w_rev, jnp.clip(k, 0, nn - 1)), 0.0)
@@ -98,26 +99,21 @@ def _col(ref, j):
     return ref[:, j : j + 1]
 
 
-def _midend_kernel(
-    x_ref, tail2_ref, htail_ref, st0_ref,
+def _midend_body(
+    x,
     band2_ref, band3_ref, t1_ref, aux1_ref, tp_ref, auxp_ref,
-    re_ref, im_ref, th_ref, out_htail_ref, out_st_ref, out_pow_ref,
     buf2_ref, buf3_ref, st_ref, acc_ref,
-    *, t_blk: int, n_tt: int, use_deemph: bool, hilb_delay: int, interp: bool,
+    *, t_blk: int, use_deemph: bool, hilb_delay: int, interp: bool,
 ):
-    ti = pl.program_id(1)
+    """One fm_demod tile ``x`` [c, t_blk] -> (hi_re, hi_im, theta) values
+    [c, t_blk//2]; updates the carried buf2/buf3/st/acc scratch refs.
+    Shared between the standalone mid-end kernel and the full-chain kernel
+    (kernels/chain_pallas.py)."""
     l = t_blk // 2
     n2 = t_blk // (_NO * 2)
     n3 = l // _NO
 
-    @pl.when(ti == 0)
-    def _init():
-        buf2_ref[:, :_TB] = tail2_ref[...]
-        buf3_ref[:, :_TB] = htail_ref[...]
-        st_ref[...] = st0_ref[...]
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    buf2_ref[:, _TB:] = x_ref[...]
+    buf2_ref[:, _TB:] = x
 
     # ---- ds x2 ----------------------------------------------------------
     b2_hi, b2_lo = _split_bf16(band2_ref[...], interp)
@@ -160,9 +156,6 @@ def _midend_kernel(
     hi_im = parts[0] if n3 == 1 else jnp.concatenate(parts, axis=-1)
     hi_re = buf3_ref[:, _TB - hilb_delay : _TB - hilb_delay + l]
 
-    re_ref[...] = hi_re
-    im_ref[...] = hi_im
-
     # ---- pilot peak filter (exact order-2 IIR, sub-chunked Toeplitz) -----
     # Sub-chunks of _LI samples: [c, LI] x [LI, LI] matmuls keep the
     # Toeplitz FLOPs at 2*LI/sample instead of 2*L (4x less at L=512),
@@ -192,7 +185,7 @@ def _midend_kernel(
     pk_im = peak(hi_im, _PKI_X1, _PKI_X2, _PKI_Y1, _PKI_Y2)
 
     # data-parallel half of the PLL phase detector: angle(pilot) in cycles
-    th_ref[...] = _atan2(pk_im, pk_re) * jnp.float32(1.0 / (2.0 * np.pi))
+    theta = _atan2(pk_im, pk_re) * jnp.float32(1.0 / (2.0 * np.pi))
     acc_ref[...] = acc_ref[...] + jnp.sum(
         pk_re * pk_re + pk_im * pk_im, axis=-1, keepdims=True
     )
@@ -200,6 +193,35 @@ def _midend_kernel(
     # carry the tails forward
     buf2_ref[:, :_TB] = buf2_ref[:, t_blk:]
     buf3_ref[:, :_TB] = buf3_ref[:, l:]
+    return hi_re, hi_im, theta
+
+
+def _midend_kernel(
+    x_ref, tail2_ref, htail_ref, st0_ref,
+    band2_ref, band3_ref, t1_ref, aux1_ref, tp_ref, auxp_ref,
+    re_ref, im_ref, th_ref, out_htail_ref, out_st_ref, out_pow_ref,
+    buf2_ref, buf3_ref, st_ref, acc_ref,
+    *, t_blk: int, n_tt: int, use_deemph: bool, hilb_delay: int, interp: bool,
+):
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _init():
+        buf2_ref[:, :_TB] = tail2_ref[...]
+        buf3_ref[:, :_TB] = htail_ref[...]
+        st_ref[...] = st0_ref[...]
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    hi_re, hi_im, theta = _midend_body(
+        x_ref[...],
+        band2_ref, band3_ref, t1_ref, aux1_ref, tp_ref, auxp_ref,
+        buf2_ref, buf3_ref, st_ref, acc_ref,
+        t_blk=t_blk, use_deemph=use_deemph, hilb_delay=hilb_delay,
+        interp=interp,
+    )
+    re_ref[...] = hi_re
+    im_ref[...] = hi_im
+    th_ref[...] = theta
 
     @pl.when(ti == n_tt - 1)
     def _finish():

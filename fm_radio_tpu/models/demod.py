@@ -217,154 +217,186 @@ def demod_block(
         and (c <= 512 or c % 512 == 0)
     )
 
-    # ---- 1. FM demodulation --------------------------------------------
-    from fm_radio_tpu.kernels.frontend_pallas import ds4_disc_pallas, pick_tiles
+    # ---- Full-chain megakernel (kernels/chain_pallas.py): front end +
+    # mid-end + pilot PLL + extraction in ONE kernel / one HBM pass.  The
+    # split 4-kernel pipeline below remains the fallback (odd shapes, taps
+    # mode, CPU) and the parity oracle.
+    from fm_radio_tpu.kernels.chain_pallas import (
+        demod_chain_pallas, pick_tiles_chain,
+    )
 
-    fuse_front = (
+    fuse_chain = (
         use_pallas
         and not include_taps
+        and cfg.chain_fusion != "split"
         and r.ds_fm_in == 4
-        and coeffs.taps_fm_in.shape[0] - 4 <= 128
-        and pick_tiles(c, b) is not None
-    )
-    if packed and not fuse_front:
-        # exact XLA unpack fallback (CPU / odd shapes / taps mode)
-        ihi = jnp.floor(x * jnp.float32(1.0 / 256.0))
-        xp = (ihi - 127.0, (x - ihi * 256.0) - 127.0)
-    if fuse_front:
-        # one HBM pass: ds x4 + discriminator fused (kernels/frontend_pallas)
-        tail, prev, fm_demod = ds4_disc_pallas(
-            coeffs.taps_fm_in,
-            (st["ds_fm_in"].real, st["ds_fm_in"].imag),
-            st["disc_prev_theta"],
-            x if packed else xp,
-            cfg.analog.f_wbfm_deviation,
-            float(r.fs_fm_in),
-            interpret=jax.default_backend() != "tpu",
-            int_input=packed or cfg.assume_integer_input,
-        )
-        st["ds_fm_in"] = jax.lax.complex(*tail)
-        st["disc_prev_theta"] = prev
-    else:
-        st["ds_fm_in"], fm_in_p = polyphase_decimate_p(
-            coeffs.taps_fm_in, st["ds_fm_in"], xp, r.ds_fm_in
-        )
-        st["disc_prev_theta"], fm_demod = fm_discriminate_p(
-            st["disc_prev_theta"], fm_in_p,
-            cfg.analog.f_wbfm_deviation, float(r.fs_fm_in),
-        )
-    from fm_radio_tpu.kernels.midend_pallas import midend_pallas, pick_tiles_mid
-
-    b4 = fm_demod.shape[-1]
-    fuse_mid = (
-        use_pallas
-        and not include_taps
         and r.ds_fm_out == 2
-        and coeffs.taps_fm_out.shape[0] - 2 <= 128
-        and coeffs.taps_hilbert.shape[0] - 1 <= 128
-        and pick_tiles_mid(c, b4) is not None
-    )
-    if fuse_mid:
-        # one HBM pass: ds x2 + de-emphasis + Hilbert + peak IIR + pilot
-        # phase fused (kernels/midend_pallas.py); the AGC gain state updates
-        # from the in-kernel power sum (scaling skipped — phase detector is
-        # amplitude-invariant), and the PLL consumes theta directly.
-        from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas_theta
-
-        interp = jax.default_backend() != "tpu"
-        st2, fm_out_iq_p, theta_cn = midend_pallas(
-            coeffs, cfg, st, fm_demod, interpret=interp
-        )
-        for k in ("ds_fm_out", "deemph", "hilbert", "peak_pilot", "agc_pilot"):
-            st[k] = st2[k]
-        st["pll"], dt = pilot_pll_pallas_theta(
-            cfg, st["pll"], theta_cn, interpret=interp
-        )
-        pll_taps = {"dt": dt}
-    else:
-        st["ds_fm_out"], fm_out = polyphase_decimate(
-            coeffs.taps_fm_out, st["ds_fm_out"], fm_demod, r.ds_fm_out
-        )
-        if cfg.use_deemphasis_filter:
-            st["deemph"], fm_out = iir_filter(
-                coeffs.deemph_b, coeffs.deemph_a, st["deemph"], fm_out
-            )
-        st["hilbert"], fm_out_iq_p = hilbert_fir_p(
-            coeffs.taps_hilbert, st["hilbert"], fm_out
-        )
-
-        # ---- 2. Lock onto pilot ----------------------------------------
-        st["peak_pilot"], pilot_p = iir_filter_planes(
-            coeffs.peak_b, coeffs.peak_a, st["peak_pilot"], fm_out_iq_p
-        )
-        if include_taps:
-            st["agc_pilot"], pilot_p = agc_process_p(
-                st["agc_pilot"], pilot_p, target_power=1.0
-            )
-        else:
-            # The PLL phase detector is amplitude-invariant (atan2(g*im,
-            # g*re) == atan2(im, re), g > 0), so on the fast path the AGC
-            # gain state is tracked (exact parity for checkpoints) but the
-            # scaling pass over the pilot — a pure HBM round trip — is
-            # skipped.
-            from fm_radio_tpu.ops.agc import agc_update_gain
-
-            st["agc_pilot"] = agc_update_gain(st["agc_pilot"], pilot_p, 1.0)
-
-        if use_pallas:
-            from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas
-
-            interp = jax.default_backend() != "tpu"
-            st["pll"], dt = pilot_pll_pallas(
-                cfg, st["pll"], pilot_p, interpret=interp
-            )
-            pll_taps = {"dt": dt}
-        else:
-            pilot_c = jax.lax.complex(*pilot_p)
-            st["pll"], pll_taps = pilot_pll_scan(coeffs.pll, st["pll"], pilot_c)
-            dt = pll_taps["dt"]
-
-    # ---- 3. Extract components -----------------------------------------
-    h_lmr = cfg.analog.f_audio_lmr_center / cfg.analog.f_pilot  # 2.0
-    h_rds = cfg.analog.f_rds_center / cfg.analog.f_pilot        # 3.0
-
-    from fm_radio_tpu.kernels.extract_pallas import extract_pallas, pick_tiles_ext
-
-    b8 = fm_out_iq_p[0].shape[-1]
-    fuse_ext = (
-        use_pallas
-        and not include_taps
         and r.ds_audio == 4
         and r.ds_rds == 8
+        and coeffs.taps_fm_in.shape[0] - 4 <= 128
+        and coeffs.taps_fm_out.shape[0] - 2 <= 128
+        and coeffs.taps_hilbert.shape[0] - 1 <= 128
         and coeffs.taps_audio_lpr.shape[0] - 4 <= 128
         and coeffs.taps_audio_lmr.shape[0] == coeffs.taps_audio_lpr.shape[0]
         and coeffs.taps_rds.shape[0] - 8 <= 128
-        and pick_tiles_ext(c, b8) is not None
+        and pick_tiles_chain(c, b, packed) is not None
     )
-    if fuse_ext:
-        # one HBM pass: L+R ds + harmonic-2 mix/ds + harmonic-3 mix/ds fused
-        st2, audio_lpr, tmp_lmr_p, rds_p = extract_pallas(
-            coeffs, cfg, st, fm_out_iq_p, dt,
+    if fuse_chain:
+        st, audio_lpr, tmp_lmr_p, rds_p = demod_chain_pallas(
+            coeffs, cfg, st, x if packed else xp,
             interpret=jax.default_backend() != "tpu",
+            int_input=packed or cfg.assume_integer_input,
         )
-        for k in ("ds_audio_lpr", "ds_audio_lmr", "ds_rds"):
-            st[k] = st2[k]
+        fuse_ext = True  # rds_p already extracted (guards the re-mix below)
     else:
-        # L+R: Re of the decimated analytic signal (the imag output is dead)
-        st["ds_audio_lpr"], audio_lpr = polyphase_decimate_p(
-            coeffs.taps_audio_lpr, st["ds_audio_lpr"], fm_out_iq_p, r.ds_audio,
-            imag_out=False,
-        )
+        # ---- 1. FM demodulation --------------------------------------------
+        from fm_radio_tpu.kernels.frontend_pallas import ds4_disc_pallas, pick_tiles
 
-        # L-R: mix with harmonic 2 using the *current* carried phase offset,
-        # then update the offset from the mixed+decimated signal
-        # (broadcast_fm_demod.cpp:483-521, exact order preserved)
-        mixed_lmr_p = apply_harmonic_pll_p(
-            dt, fm_out_iq_p, h_lmr, st["lmr_phase_err"]
+        fuse_front = (
+            use_pallas
+            and not include_taps
+            and r.ds_fm_in == 4
+            and coeffs.taps_fm_in.shape[0] - 4 <= 128
+            and pick_tiles(c, b) is not None
         )
-        st["ds_audio_lmr"], tmp_lmr_p = polyphase_decimate_p(
-            coeffs.taps_audio_lmr, st["ds_audio_lmr"], mixed_lmr_p, r.ds_audio
+        if packed and not fuse_front:
+            # exact XLA unpack fallback (CPU / odd shapes / taps mode)
+            ihi = jnp.floor(x * jnp.float32(1.0 / 256.0))
+            xp = (ihi - 127.0, (x - ihi * 256.0) - 127.0)
+        if fuse_front:
+            # one HBM pass: ds x4 + discriminator fused (kernels/frontend_pallas)
+            tail, prev, fm_demod = ds4_disc_pallas(
+                coeffs.taps_fm_in,
+                (st["ds_fm_in"].real, st["ds_fm_in"].imag),
+                st["disc_prev_theta"],
+                x if packed else xp,
+                cfg.analog.f_wbfm_deviation,
+                float(r.fs_fm_in),
+                interpret=jax.default_backend() != "tpu",
+                int_input=packed or cfg.assume_integer_input,
+            )
+            st["ds_fm_in"] = jax.lax.complex(*tail)
+            st["disc_prev_theta"] = prev
+        else:
+            st["ds_fm_in"], fm_in_p = polyphase_decimate_p(
+                coeffs.taps_fm_in, st["ds_fm_in"], xp, r.ds_fm_in
+            )
+            st["disc_prev_theta"], fm_demod = fm_discriminate_p(
+                st["disc_prev_theta"], fm_in_p,
+                cfg.analog.f_wbfm_deviation, float(r.fs_fm_in),
+            )
+        from fm_radio_tpu.kernels.midend_pallas import midend_pallas, pick_tiles_mid
+
+        b4 = fm_demod.shape[-1]
+        fuse_mid = (
+            use_pallas
+            and not include_taps
+            and r.ds_fm_out == 2
+            and coeffs.taps_fm_out.shape[0] - 2 <= 128
+            and coeffs.taps_hilbert.shape[0] - 1 <= 128
+            and pick_tiles_mid(c, b4) is not None
         )
+        if fuse_mid:
+            # one HBM pass: ds x2 + de-emphasis + Hilbert + peak IIR + pilot
+            # phase fused (kernels/midend_pallas.py); the AGC gain state updates
+            # from the in-kernel power sum (scaling skipped — phase detector is
+            # amplitude-invariant), and the PLL consumes theta directly.
+            from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas_theta
+
+            interp = jax.default_backend() != "tpu"
+            st2, fm_out_iq_p, theta_cn = midend_pallas(
+                coeffs, cfg, st, fm_demod, interpret=interp
+            )
+            for k in ("ds_fm_out", "deemph", "hilbert", "peak_pilot", "agc_pilot"):
+                st[k] = st2[k]
+            st["pll"], dt = pilot_pll_pallas_theta(
+                cfg, st["pll"], theta_cn, interpret=interp
+            )
+            pll_taps = {"dt": dt}
+        else:
+            st["ds_fm_out"], fm_out = polyphase_decimate(
+                coeffs.taps_fm_out, st["ds_fm_out"], fm_demod, r.ds_fm_out
+            )
+            if cfg.use_deemphasis_filter:
+                st["deemph"], fm_out = iir_filter(
+                    coeffs.deemph_b, coeffs.deemph_a, st["deemph"], fm_out
+                )
+            st["hilbert"], fm_out_iq_p = hilbert_fir_p(
+                coeffs.taps_hilbert, st["hilbert"], fm_out
+            )
+
+            # ---- 2. Lock onto pilot ----------------------------------------
+            st["peak_pilot"], pilot_p = iir_filter_planes(
+                coeffs.peak_b, coeffs.peak_a, st["peak_pilot"], fm_out_iq_p
+            )
+            if include_taps:
+                st["agc_pilot"], pilot_p = agc_process_p(
+                    st["agc_pilot"], pilot_p, target_power=1.0
+                )
+            else:
+                # The PLL phase detector is amplitude-invariant (atan2(g*im,
+                # g*re) == atan2(im, re), g > 0), so on the fast path the AGC
+                # gain state is tracked (exact parity for checkpoints) but the
+                # scaling pass over the pilot — a pure HBM round trip — is
+                # skipped.
+                from fm_radio_tpu.ops.agc import agc_update_gain
+
+                st["agc_pilot"] = agc_update_gain(st["agc_pilot"], pilot_p, 1.0)
+
+            if use_pallas:
+                from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas
+
+                interp = jax.default_backend() != "tpu"
+                st["pll"], dt = pilot_pll_pallas(
+                    cfg, st["pll"], pilot_p, interpret=interp
+                )
+                pll_taps = {"dt": dt}
+            else:
+                pilot_c = jax.lax.complex(*pilot_p)
+                st["pll"], pll_taps = pilot_pll_scan(coeffs.pll, st["pll"], pilot_c)
+                dt = pll_taps["dt"]
+
+        # ---- 3. Extract components -----------------------------------------
+        h_lmr = cfg.analog.f_audio_lmr_center / cfg.analog.f_pilot  # 2.0
+        h_rds = cfg.analog.f_rds_center / cfg.analog.f_pilot        # 3.0
+
+        from fm_radio_tpu.kernels.extract_pallas import extract_pallas, pick_tiles_ext
+
+        b8 = fm_out_iq_p[0].shape[-1]
+        fuse_ext = (
+            use_pallas
+            and not include_taps
+            and r.ds_audio == 4
+            and r.ds_rds == 8
+            and coeffs.taps_audio_lpr.shape[0] - 4 <= 128
+            and coeffs.taps_audio_lmr.shape[0] == coeffs.taps_audio_lpr.shape[0]
+            and coeffs.taps_rds.shape[0] - 8 <= 128
+            and pick_tiles_ext(c, b8) is not None
+        )
+        if fuse_ext:
+            # one HBM pass: L+R ds + harmonic-2 mix/ds + harmonic-3 mix/ds fused
+            st2, audio_lpr, tmp_lmr_p, rds_p = extract_pallas(
+                coeffs, cfg, st, fm_out_iq_p, dt,
+                interpret=jax.default_backend() != "tpu",
+            )
+            for k in ("ds_audio_lpr", "ds_audio_lmr", "ds_rds"):
+                st[k] = st2[k]
+        else:
+            # L+R: Re of the decimated analytic signal (the imag output is dead)
+            st["ds_audio_lpr"], audio_lpr = polyphase_decimate_p(
+                coeffs.taps_audio_lpr, st["ds_audio_lpr"], fm_out_iq_p, r.ds_audio,
+                imag_out=False,
+            )
+
+            # L-R: mix with harmonic 2 using the *current* carried phase offset,
+            # then update the offset from the mixed+decimated signal
+            # (broadcast_fm_demod.cpp:483-521, exact order preserved)
+            mixed_lmr_p = apply_harmonic_pll_p(
+                dt, fm_out_iq_p, h_lmr, st["lmr_phase_err"]
+            )
+            st["ds_audio_lmr"], tmp_lmr_p = polyphase_decimate_p(
+                coeffs.taps_audio_lmr, st["ds_audio_lmr"], mixed_lmr_p, r.ds_audio
+            )
     stride = cfg.audio_lmr_phase_read_stride
     vr = tmp_lmr_p[0][:, ::stride]
     vi = tmp_lmr_p[1][:, ::stride]

@@ -2,6 +2,7 @@
 reference implementations."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -114,6 +115,62 @@ def test_demod_block_pallas_path_matches_scan_path():
     )
     np.testing.assert_array_equal(
         np.asarray(outs_p["rds_valid"]), np.asarray(outs_s["rds_valid"])
+    )
+
+
+def test_demod_block_chain_fusion_matches_split():
+    """Full-chain megakernel (kernels/chain_pallas.py) vs the split 4-kernel
+    pipeline through demod_block (interpret mode): same audio/RDS outputs
+    and carried state.  c=8, b=8192 is the smallest chain-fusable shape."""
+    from dataclasses import replace
+
+    from fm_radio_tpu.models.demod import demod_block, demod_init_state
+    from fm_radio_tpu.utils.transfer import pack_iq_u8
+
+    from fm_radio_tpu.io.synth import FMModulator
+
+    c, b = 8, 16384
+    iq = FMModulator().generate(b, left_hz=1000.0, right_hz=2000.0)
+    iq_u8 = np.stack(
+        [np.clip(np.round(iq.real + 127.5), 0, 255),
+         np.clip(np.round(iq.imag + 127.5), 0, 255)], axis=-1
+    ).astype(np.uint8)[None].repeat(c, axis=0)
+    w = jnp.asarray(pack_iq_u8(iq_u8))
+
+    cfg_m = replace(CFG, loop_impl="pallas", chain_fusion="auto")
+    cfg_s = replace(CFG, loop_impl="pallas", chain_fusion="split")
+    co = make_coeffs(cfg_m)
+    st0 = demod_init_state(cfg_m, c)
+
+    st_m, outs_m = demod_block(cfg_m, co, st0, w)
+    st_s, outs_s = demod_block(cfg_s, co, st0, w)
+
+    np.testing.assert_allclose(
+        np.asarray(outs_m["audio"]), np.asarray(outs_s["audio"]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs_m["rds_pred"]), np.asarray(outs_s["rds_pred"]), atol=2e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs_m["rds_valid"]), np.asarray(outs_s["rds_valid"])
+    )
+    for k in st_m:
+        for a, bb in zip(jax.tree.leaves(st_m[k]), jax.tree.leaves(st_s[k])):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(bb), rtol=1e-6, atol=1e-5,
+                err_msg=f"state[{k}]",
+            )
+
+    # streaming parity: two half blocks through the megakernel == two half
+    # blocks through the split pipeline (identical per-block semantics for
+    # the L-R offset/AGC updates; both halves stay on their own path —
+    # 8192 is the minimum fusable size).
+    st1m, o1m = demod_block(cfg_m, co, st0, w[:, : b // 2])
+    st2m, o2m = demod_block(cfg_m, co, st1m, w[:, b // 2 :])
+    st1s, o1s = demod_block(cfg_s, co, st0, w[:, : b // 2])
+    st2s, o2s = demod_block(cfg_s, co, st1s, w[:, b // 2 :])
+    np.testing.assert_allclose(
+        np.asarray(o2m["audio"]), np.asarray(o2s["audio"]), atol=2e-5
     )
 
 
