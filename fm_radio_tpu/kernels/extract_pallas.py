@@ -65,12 +65,30 @@ def _extract_body(
     nr = max(t_blk // (n_out * 8), 1)   # rds sub-matmuls (m=8)
 
     # harmonic phasors (apply_harmonic_pll.cpp:11-24 arithmetic)
-    t2 = dt * jnp.float32(h_lmr) + off
-    c2 = _cheb_sine(_wrapc(t2 + jnp.float32(0.25)))
-    s2 = _cheb_sine(_wrapc(t2))
-    t3 = dt * jnp.float32(h_rds)
-    c3 = _cheb_sine(_wrapc(t3 + jnp.float32(0.25)))
-    s3 = _cheb_sine(_wrapc(t3))
+    if h_lmr == 2.0 and h_rds == 3.0:
+        # standard broadcast-FM harmonics (38k/19k, 57k/19k): evaluate ONE
+        # base phasor p1 = e^{j2pi dt} with the Chebyshev polynomial and
+        # build p2 = p1^2 (rotated by the per-channel offset phasor, a
+        # [c, 1] constant) and p3 = p1^2 * p1 by complex products — 2
+        # full-rate polynomial evaluations instead of 4 (~30% of this
+        # kernel's VPU work), amplitude error ~2x the polynomial's 3.6e-8.
+        c1 = _cheb_sine(_wrapc(dt + jnp.float32(0.25)))
+        s1 = _cheb_sine(_wrapc(dt))
+        c2r = c1 * c1 - s1 * s1
+        s2r = jnp.float32(2.0) * c1 * s1
+        co_ = _cheb_sine(_wrapc(off + jnp.float32(0.25)))   # [c, 1]
+        so_ = _cheb_sine(_wrapc(off))
+        c2 = c2r * co_ - s2r * so_
+        s2 = s2r * co_ + c2r * so_
+        c3 = c2r * c1 - s2r * s1
+        s3 = s2r * c1 + c2r * s1
+    else:
+        t2 = dt * jnp.float32(h_lmr) + off
+        c2 = _cheb_sine(_wrapc(t2 + jnp.float32(0.25)))
+        s2 = _cheb_sine(_wrapc(t2))
+        t3 = dt * jnp.float32(h_rds)
+        c3 = _cheb_sine(_wrapc(t3 + jnp.float32(0.25)))
+        s3 = _cheb_sine(_wrapc(t3))
 
     blpr_ref[:, _TB:] = xr
     blmr_r_ref[:, _TB:] = xr * c2 - xi * s2
