@@ -45,15 +45,36 @@ def _read_input_u8(path: str | None, max_samples: int | None = None) -> np.ndarr
 
 
 def cmd_demod(args) -> None:
+    import dataclasses
+
+    from fm_radio_tpu.config import DemodConfig
     from fm_radio_tpu.io.wav import write_wav_int16
     from fm_radio_tpu.models.app import App
+
+    # runtime demod controls — the reference's GUI sliders/combos
+    # (render_fm_demod.cpp:305-374) as flags
+    cfg = DemodConfig()
+    changes = {}
+    if args.audio_mode != "stereo":
+        changes["audio_out"] = args.audio_mode
+    if args.deemphasis_us:
+        changes["use_deemphasis_filter"] = True
+        changes["deemphasis_cutoff_us"] = int(args.deemphasis_us)
+    if args.lpr_cutoff_hz:
+        changes["audio_lpr_cutoff_hz"] = int(args.lpr_cutoff_hz)
+    if args.lmr_cutoff_hz:
+        changes["audio_lmr_cutoff_hz"] = int(args.lmr_cutoff_hz)
+    if args.stereo_gain is not None:
+        changes["audio_stereo_mix_factor"] = float(args.stereo_gain)
+    if changes:
+        cfg = dataclasses.replace(cfg, **changes)
 
     block = power_ceil(args.block_size)
     # packed ingest (one f32 word per sample, utils/transfer.pack_iq_u8):
     # half the host->device bytes of complex64; unpacked exactly in-kernel
     iq = pack_iq_u8(_read_input_u8(args.input))
-    app = App(block_size=block, channels=1, decode_rds=not args.no_rds,
-              integer_input=True)
+    app = App(block_size=block, cfg=cfg, channels=1,
+              decode_rds=not args.no_rds, integer_input=True)
     if args.resume_state:
         from fm_radio_tpu.models.demod import demod_init_state
         from fm_radio_tpu.utils.checkpoint import load_state
@@ -122,6 +143,102 @@ def cmd_scrape(args) -> None:
     write_wav_int16(wav_path, app.audio[0], app.demod.fs_audio)
     rds_path = os.path.join(args.output, f"{stamp}_rds.bin")
     app.rds_bytes(0).tofile(rds_path)
+    print(f"wrote {wav_path} and {rds_path}")
+
+
+def cmd_tune(args) -> None:
+    """Tuner parity for recorded captures (``fm_demod_tuner.cpp:136``): the
+    reference retunes the RTL-SDR's center frequency (``device.cpp:74-83``);
+    with file input the equivalent is tuning WITHIN a wideband capture —
+    mix the station at ``-f`` Hz offset to DC (ops/mixer.freq_shift_p,
+    stream-continuous phase), low-pass polyphase-decimate the ``-r``-rate
+    capture down to the chain's native 1.024 MHz, and demodulate.  Outputs
+    match ``scrape`` (WAV + RDS bytes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fm_radio_tpu.config import DemodConfig
+    from fm_radio_tpu.io.wav import write_wav_int16
+    from fm_radio_tpu.models.app import App
+    from fm_radio_tpu.ops.design import create_fir_lpf
+    from fm_radio_tpu.ops.fir import polyphase_decimate_p
+    from fm_radio_tpu.ops.mixer import freq_shift_p
+
+    cfg = DemodConfig()
+    fs_bb = cfg.rates.fs_baseband
+    rate = int(args.rate)
+    if rate % fs_bb != 0:
+        sys.exit(f"--rate must be an integer multiple of {fs_bb}")
+    m = rate // fs_bb
+    f_norm = float(args.freq) / rate
+    if abs(f_norm) > 0.5:
+        sys.exit("--freq is outside the capture bandwidth")
+    block = power_ceil(args.block_size)
+    os.makedirs(args.output, exist_ok=True)
+
+    iq_u8 = _read_input_u8(args.input)
+    f = iq_u8.astype(np.float32) - 127.0
+    xr_all, xi_all = f[:, 0], f[:, 1]
+
+    app = App(block_size=block, channels=1, decode_rds=True)
+
+    if m > 1:
+        from fm_radio_tpu.utils.transfer import init_on_device
+
+        taps = jnp.asarray(
+            create_fir_lpf(
+                args.taps_per_phase * m,
+                (1.0 / m) * cfg.downsampling_rolloff_factor,
+            )
+        )
+        nn = int(taps.shape[0])
+        # complex64 carried tail, created on device (the tunneled host
+        # boundary only moves f32)
+        tail = init_on_device(
+            lambda: jnp.zeros((1, nn - m), jnp.complex64)
+        )
+    phase = jnp.zeros((1,), jnp.float32)
+
+    if m > 1:
+        @jax.jit
+        def step(phase, tail, xr, xi):
+            phase, yp = freq_shift_p(phase, (xr, xi), f_norm)
+            tail, yp = polyphase_decimate_p(taps, tail, yp, m)
+            return phase, tail, yp[0], yp[1]
+    else:
+        @jax.jit
+        def step(phase, tail, xr, xi):
+            phase, yp = freq_shift_p(phase, (xr, xi), f_norm)
+            return phase, tail, yp[0], yp[1]
+        tail = ()
+
+    chunk = m * block
+    n_chunks = xr_all.shape[0] // chunk
+    for i in range(n_chunks):
+        sl = slice(i * chunk, (i + 1) * chunk)
+        phase, tail, yr, yi = step(
+            phase, tail,
+            jnp.asarray(xr_all[None, sl]), jnp.asarray(xi_all[None, sl]),
+        )
+        app.process(
+            (np.asarray(yr) + 1j * np.asarray(yi)).astype(np.complex64)[0]
+        )
+
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    wav_path = os.path.join(args.output, f"{stamp}_audio.wav")
+    write_wav_int16(wav_path, app.audio[0], app.demod.fs_audio)
+    rds_path = os.path.join(args.output, f"{stamp}_rds.bin")
+    app.rds_bytes(0).tofile(rds_path)
+    db = app.rds_database(0)
+    print(
+        json.dumps(
+            {
+                "pi_code": f"{db.pi_code:04X}",
+                "service_name": db.service_name_str,
+                "radio_text": db.radio_text_str,
+            }
+        )
+    )
     print(f"wrote {wav_path} and {rds_path}")
 
 
@@ -304,6 +421,18 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("-o", "--output-wav", default=None)
     d.add_argument("--taps", default=None, help="dump tap-point buffers to dir")
     d.add_argument("--no-rds", action="store_true")
+    d.add_argument("--audio-mode", choices=["stereo", "lpr", "lmr"],
+                   default="stereo",
+                   help="audio mixer mode (GUI combo, broadcast_fm_demod.h:80)")
+    d.add_argument("--deemphasis-us", type=int, default=0,
+                   help="enable de-emphasis with this time constant in us "
+                        "(GUI toggle+slider; 0 = off)")
+    d.add_argument("--lpr-cutoff-hz", type=int, default=0,
+                   help="L+R low-pass cutoff override (GUI slider)")
+    d.add_argument("--lmr-cutoff-hz", type=int, default=0,
+                   help="L-R low-pass cutoff override (GUI slider)")
+    d.add_argument("--stereo-gain", type=float, default=None,
+                   help="L-R mix factor (GUI slider, default 1.0)")
     d.add_argument(
         "--save-state",
         default=None,
@@ -319,6 +448,21 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("-b", "--block-size", type=int, default=65536)
     s.add_argument("-o", "--output", required=True)
     s.set_defaults(fn=cmd_scrape)
+
+    t = sub.add_parser(
+        "tune",
+        help="tune to a station inside a wideband capture (fm_demod_tuner "
+             "for recorded files)",
+    )
+    t.add_argument("-i", "--input", default=None, help="wideband *.pcm (u8 IQ)")
+    t.add_argument("-r", "--rate", type=float, default=1_024_000.0,
+                   help="capture sample rate in Hz (multiple of 1.024M)")
+    t.add_argument("-f", "--freq", type=float, required=True,
+                   help="station offset from capture center in Hz")
+    t.add_argument("-b", "--block-size", type=int, default=65536)
+    t.add_argument("-o", "--output", required=True)
+    t.add_argument("--taps-per-phase", type=int, default=16)
+    t.set_defaults(fn=cmd_tune)
 
     r = sub.add_parser("rds-decode", help="RDS bytes -> groups + database")
     r.add_argument("-i", "--input", default=None)

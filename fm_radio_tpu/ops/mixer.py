@@ -39,3 +39,33 @@ def apply_harmonic_pll(dt: jnp.ndarray, x: jnp.ndarray, harmonic: float, offset)
     """dt: [C, N] NCO phase in cycles; x: [C, N] complex; offset: scalar or [C]."""
     yr, yi = apply_harmonic_pll_p(dt, (x.real, x.imag), harmonic, offset)
     return jax.lax.complex(yr, yi)
+
+
+def freq_shift_p(phase0, xp, f_norm: float):
+    """Arbitrary-frequency complex downconversion with carried phase.
+
+    Parity: the role of the RTL-SDR tuner's center-frequency retune
+    (``device.cpp:74-83``) for recorded wideband captures — shift a station
+    at normalized frequency ``f_norm`` (cycles/sample) to DC:
+    ``y[n] = x[n] * e^{-j*2*pi*(f_norm*n + phase0)}``.
+
+    phase0: [C] carried phase in cycles (stream-continuous across blocks);
+    xp: (re, im) f32 [C, N].  Returns (phase0', (yr, yi)).
+    """
+    import numpy as np
+
+    xr, xi = xp
+    n = xr.shape[-1]
+    # f_norm is static: build the wrapped ramp in float64 on host (an f32
+    # ramp loses ~1e-4 cycles by n ~ 1000; wrapped f64 keeps it < 1e-7)
+    ramp = np.mod(np.float64(f_norm) * np.arange(n), 1.0).astype(np.float32)
+    ph = wrap_cycles(jnp.asarray(phase0, jnp.float32)[:, None] + ramp[None, :])
+    c = chebyshev_sine(wrap_cycles(ph + jnp.float32(0.25)))
+    s = chebyshev_sine(ph)
+    # e^{-j 2 pi ph} = c - j s
+    yr = xr * c + xi * s
+    yi = xi * c - xr * s
+    new_phase = jnp.asarray(phase0, jnp.float32) + jnp.float32(
+        np.mod(np.float64(f_norm) * n, 1.0)
+    )
+    return new_phase - jnp.round(new_phase), (yr, yi)

@@ -132,3 +132,52 @@ def test_demod_checkpoint_resume(pcm_file, tmp_path):
     a, _ = read_wav_int16(str(w1))
     b, _ = read_wav_int16(str(w2))
     np.testing.assert_array_equal(full, np.concatenate([a, b]))
+
+
+def test_tune_wideband_station(tmp_path):
+    """`tune` (fm_demod_tuner for recorded captures): a full station placed
+    at +1.024 MHz inside a 4.096 MHz wideband capture must demodulate to its
+    tone and PI code after mix-down + decimate."""
+    m = 4
+    fs_ch = 1_024_000
+    n_ch = BLOCK * 32
+    mod = FMModulator(ModulatorConfig())
+    groups = [(0xCAFE, (0 << 12) | 0b00000, 0x0000, 0x4654)]
+    iq = mod.generate(n_ch, left_hz=1500.0, right_hz=1500.0, rds_groups=groups)
+    n_wide = n_ch * m
+    up = np.repeat(iq, m)[:n_wide]  # ZOH to the wide rate
+    t = np.arange(n_wide) / (fs_ch * m)
+    wide = (up * np.exp(2j * np.pi * fs_ch * t)).astype(np.complex64)
+    path = tmp_path / "wide.pcm"
+    c64_to_u8(wide / 2.0).tofile(path)  # headroom for the u8 grid
+
+    out = run_cli(
+        "tune", "-i", str(path), "-r", str(fs_ch * m), "-f", str(fs_ch),
+        "-b", str(BLOCK), "-o", str(tmp_path / "out"),
+    )
+    assert out.returncode == 0, out.stderr.decode()
+    info = json.loads(out.stdout.decode().strip().splitlines()[-2])
+    assert info["pi_code"] == "CAFE"
+
+    wavs = [f for f in os.listdir(tmp_path / "out") if f.endswith(".wav")]
+    audio, fs = read_wav_int16(os.path.join(tmp_path / "out", wavs[0]))
+    settle = int(0.1 * fs)
+    mono = audio[settle:, 0].astype(np.float64)
+    spec = np.abs(np.fft.rfft(mono * np.hanning(len(mono))))
+    freqs = np.fft.rfftfreq(len(mono), 1 / fs)
+    assert abs(freqs[np.argmax(spec)] - 1500.0) < 20.0
+
+
+def test_demod_control_flags(pcm_file, tmp_path):
+    """GUI-control parity at the CLI: mono L+R mode with de-emphasis and a
+    narrower cutoff produces a valid WAV whose two channels are identical."""
+    wav = str(tmp_path / "mono.wav")
+    out = run_cli(
+        "demod", "-i", pcm_file, "-b", str(BLOCK), "-o", wav, "--no-rds",
+        "--audio-mode", "lpr", "--deemphasis-us", "50",
+        "--lpr-cutoff-hz", "12000",
+    )
+    assert out.returncode == 0, out.stderr.decode()
+    audio, fs = read_wav_int16(wav)
+    assert fs == 32000
+    np.testing.assert_array_equal(audio[:, 0], audio[:, 1])
