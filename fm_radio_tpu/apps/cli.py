@@ -2,9 +2,11 @@
 
     python -m fm_radio_tpu.apps.cli demod      -i in.pcm [-b 65536] [--taps out/]
     python -m fm_radio_tpu.apps.cli scrape     -i in.pcm -o outdir [-b 65536]
+    python -m fm_radio_tpu.apps.cli tune       -i wide.pcm -r 8192000 -f 1024000 -o outdir
     python -m fm_radio_tpu.apps.cli rds-decode -i bytes.bin
     python -m fm_radio_tpu.apps.cli bench      -i in.pcm [-b 65536] [-c 64]
     python -m fm_radio_tpu.apps.cli channelize -i wide.pcm -o outdir -m 16
+    python -m fm_radio_tpu.apps.cli stations   -i wide.pcm -o outdir -m 8 --select 1,5
 
 Flag parity: ``-i`` input (stdin if omitted where meaningful), ``-b`` block
 size power-of-2-ceiled (``fm_demod_no_tuner.cpp:95-129``), ``-o`` output dir
