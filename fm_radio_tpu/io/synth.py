@@ -49,12 +49,16 @@ class ModulatorConfig:
 
 
 def encode_rds_group(blocks: tuple[int, int, int, int]) -> np.ndarray:
-    """4 x 16-bit data words -> 104 bits (4 x 26-bit blocks with offsets A,B,C,D).
+    """4 x 16-bit data words -> 104 bits (4 x 26-bit blocks with offsets
+    A, B, C|C', D — version-B groups (bit 11 of block B) use offset C' on
+    the third block per IEC 62106 §5.1).
 
     checkword = crc10(data << 10); transmitted block = (data<<10 | crc) ^ offset.
     """
+    version_b = (blocks[1] >> 11) & 1
     out = []
-    for data, off_name in zip(blocks, ("A", "B", "C", "D")):
+    offsets = ("A", "B", "C1" if version_b else "C", "D")
+    for data, off_name in zip(blocks, offsets):
         crc = crc10_bitserial(data << 10)
         codeword = ((data & 0xFFFF) << 10) | crc
         codeword ^= OFFSET_WORDS[off_name]

@@ -1,7 +1,8 @@
 """RDS group-type decoders.
 
 Parity: ``RDS_Decoder`` (``src/rds_decoder/rds_decoder.cpp:82-540``): version-A
-group types 0, 1, 2, 3, 4, 10, 11, 14 implemented, all version-B unsupported
+group types 0, 1, 2, 3, 4, 10, 11, 14 implemented; BEYOND the reference (which
+leaves every version-B group undecoded) types 0B and 2B are also decoded
 (``rds_decoder.cpp:128-157``).  One structured log line is produced per group
 in the reference's format (``LoggingBuffer``) so stdout-parity tests against
 ``rds_decode`` are possible.
@@ -103,8 +104,21 @@ class RDSDecoder:
                 self._ap("Unsupported_Code")
                 return False
             return fn(group)
-        self._ap("Unsupported_Code")
-        return False
+        # Version-B groups (block C' carries the PI code; payload shrinks to
+        # block D).  The reference declines ALL of these
+        # (``rds_decoder.cpp:128-157`` falls through to "unsupported code");
+        # 0B (programme service name) and 2B (32-char RadioText) are common
+        # in real broadcasts, so this framework decodes them — a strict
+        # superset: version-A-only streams behave identically.
+        dispatch_b = {
+            0: self._on_group_0b,
+            2: self._on_group_2b,
+        }
+        fn = dispatch_b.get(code)
+        if fn is None:
+            self._ap("Unsupported_Code")
+            return False
+        return fn(group)
 
     # -- helpers -----------------------------------------------------------
 
@@ -189,6 +203,59 @@ class RDSDecoder:
             self._ap("?,?")
         self._ap("]")
         return has_c or has_d
+
+    def _on_group_0b(self, group) -> bool:
+        """Type 0B: basic tuning and switching, version B (IEC 62106 §6.1.5.1;
+        NOT in the reference — see _on_group_type).  Same block-B payload as
+        0A minus the alternative frequencies (block C' repeats the PI)."""
+        block_b, block_d = group[1], group[3]
+        has_d = self._has(block_d, "D")
+
+        ta = (block_b.data >> 4) & 1
+        ms = (block_b.data >> 3) & 1
+        di = (block_b.data >> 2) & 1
+        seg = block_b.data & 0b11
+        tp = (block_b.data >> 10) & 1
+        c0 = chr((block_d.data >> 8) & 0xFF) if has_d else "?"
+        c1 = chr(block_d.data & 0xFF) if has_d else "?"
+
+        self.handler.on_music_speech(bool(ms))
+        self.handler.on_traffic_announcement(bool(ta), bool(tp))
+        if has_d:
+            self.handler.on_service_name(c0, 2 * seg + 0)
+            self.handler.on_service_name(c1, 2 * seg + 1)
+        if seg == 0b00:
+            self.handler.on_decoder_is_dynamic_programme_type(bool(di))
+        elif seg == 0b01:
+            self.handler.on_decoder_is_compressed(bool(di))
+        elif seg == 0b10:
+            self.handler.on_decoder_is_artificial_head(bool(di))
+        else:
+            self.handler.on_decoder_is_stereo(bool(di))
+
+        self._ap(
+            f"TA={ta}, M/S={ms}, decoder={di}, segment_address={seg}, "
+            f"text='{c0}{c1}'"
+        )
+        return has_d
+
+    def _on_group_2b(self, group) -> bool:
+        """Type 2B: RadioText version B — 32 characters, two per group from
+        block D (IEC 62106 §6.1.5.3; NOT in the reference)."""
+        block_b, block_d = group[1], group[3]
+        has_d = self._has(block_d, "D")
+
+        ab_flag = (block_b.data >> 4) & 1
+        seg = block_b.data & 0xF
+        c0 = chr((block_d.data >> 8) & 0xFF) if has_d else "?"
+        c1 = chr(block_d.data & 0xFF) if has_d else "?"
+
+        self.handler.on_radio_text_change(ab_flag)
+        if has_d:
+            self.handler.on_radio_text(c0, 2 * seg + 0)
+            self.handler.on_radio_text(c1, 2 * seg + 1)
+        self._ap(f"A/B={ab_flag}, segment_address={seg:+2d}, text='{c0}{c1}'")
+        return has_d
 
     def _on_group_1a(self, group) -> bool:
         """Type 1A: programme item number / slow labelling

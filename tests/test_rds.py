@@ -207,3 +207,32 @@ def test_decoder_log_line_format():
     assert line.startswith("[group] [1234 ")
     assert "PI=1234" in line
     assert "Type +0A" in line
+
+
+def test_decoder_0b_service_name():
+    """Version-B tuning groups (0B): PS name carried in block D, block C' =
+    PI.  BEYOND the reference, which logs every B group as unsupported
+    (rds_decoder.cpp:128-157)."""
+    chain = RDSDecodingChain()
+    name = b"BSIDE FM"
+    groups = []
+    for seg in range(4):
+        d = (name[2 * seg] << 8) | name[2 * seg + 1]
+        groups.append(_mk_group(pi=0xB0B0, gtype=0, version=1,
+                                extra_b=seg, c=0xB0B0, d=d))
+    chain.process(_groups_to_bytes(groups * 2))
+    assert chain.db.pi_code == 0xB0B0
+    assert chain.db.service_name_str == "BSIDE FM"
+
+
+def test_decoder_2b_radio_text():
+    """Version-B RadioText (2B): 2 chars/group from block D, 32-char text."""
+    chain = RDSDecodingChain()
+    text = b"HELLO FROM SIDE B OF THE DIAL \r "
+    groups = []
+    for seg in range(16):
+        d = (text[2 * seg] << 8) | text[2 * seg + 1]
+        groups.append(_mk_group(pi=0x2222, gtype=2, version=1,
+                                extra_b=seg, c=0x2222, d=d))
+    chain.process(_groups_to_bytes(groups * 2))
+    assert chain.db.radio_text_str.startswith("HELLO FROM SIDE B OF THE DIAL")
