@@ -104,14 +104,19 @@ def make_bpsk_params(cfg: BPSKConfig) -> BPSKParams:
     )
 
 
-def bpsk_sync_scan(params: BPSKParams, state: BPSKState, x: jnp.ndarray):
+def bpsk_sync_scan(params: BPSKParams, state: BPSKState, x: jnp.ndarray,
+                   debug_taps: bool = False):
     """x: [C, N] complex64 (AGC'd RDS baseband at 16 kHz).
 
     Returns (state', outs) with outs a dict of [C, N] arrays:
       sym      complex symbol dumped at this sample (0 where invalid)
-      valid    bool, TED clock fired here
+      valid    bool, TED clock fired here (int_dump_trigger_buf tap)
       pred     float predicted soft symbol (sym.imag, broadcast_fm_demod.cpp:542-546)
       iq       carrier-PLL-rotated input (pll_sym_buf tap)
+    With ``debug_taps=True`` the remaining six reference debug buffers
+    (``bpsk_synchroniser.h:63-70``) are emitted too: zcd_trig,
+    ted_raw_phase_error, ted_pi_phase_error, pll_raw_phase_error,
+    pll_pi_phase_error, int_dump_filter.
     """
     one = jnp.float32(1.0)
     half_pi = jnp.float32(jnp.pi / 2.0)
@@ -183,13 +188,23 @@ def bpsk_sync_scan(params: BPSKParams, state: BPSKState, x: jnp.ndarray):
             int_dump=int_dump,
         )
         out_sym = jnp.where(fire_ted, sym, jnp.complex64(0.0))
-        return new_c, (out_sym, fire_ted, iq)
+        ys = (out_sym, fire_ted, iq)
+        if debug_taps:
+            ys = ys + (fire_zcd, ted_pe, pi_ted, pll_pe, pi_pll, int_dump)
+        return new_c, ys
 
-    new_state, (sym, valid, iq) = jax.lax.scan(step, state, x.T)
+    new_state, ys = jax.lax.scan(step, state, x.T)
+    sym, valid, iq = ys[:3]
     outs = {
         "sym": sym.T,
         "valid": valid.T,
         "pred": sym.T.imag,
         "iq": iq.T,
     }
+    if debug_taps:
+        (outs["zcd_trig"], outs["ted_raw_phase_error"],
+         outs["ted_pi_phase_error"], outs["pll_raw_phase_error"],
+         outs["pll_pi_phase_error"], outs["int_dump_filter"]) = (
+            y.T for y in ys[3:]
+        )
     return new_state, outs

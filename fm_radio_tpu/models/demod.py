@@ -427,7 +427,8 @@ def demod_block(
         )
     else:
         st["bpsk"], bpsk_outs = bpsk_sync_scan(
-            coeffs.bpsk, st["bpsk"], jax.lax.complex(*rds_agc_p)
+            coeffs.bpsk, st["bpsk"], jax.lax.complex(*rds_agc_p),
+            debug_taps=include_taps,
         )
 
     # ---- 5. Audio mixing (cpp:549-585) ---------------------------------
@@ -466,6 +467,12 @@ def demod_block(
             "rds_agc": jax.lax.complex(*rds_agc_p),
             "bpsk_iq": bpsk_outs.get("iq"),
         }
+        # the six remaining BPSK debug buffers (bpsk_synchroniser.h:63-70),
+        # present on the scan path
+        for k in ("zcd_trig", "ted_raw_phase_error", "ted_pi_phase_error",
+                  "pll_raw_phase_error", "pll_pi_phase_error",
+                  "int_dump_filter"):
+            outs["taps"][f"bpsk_{k}"] = bpsk_outs.get(k)
     return st, outs
 
 
