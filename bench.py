@@ -38,7 +38,7 @@ def main() -> None:
     cfg = DemodConfig(assume_integer_input=True)
     coeffs = make_coeffs(cfg)
 
-    channels = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    channels = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     # constant ~256M samples per scan step: big-C configs shrink the block so
     # input + per-block intermediates stay inside HBM
     block = min(1 << 20, (1 << 28) // channels)
