@@ -89,16 +89,48 @@ def cmd_demod(args) -> None:
             f"(block_index={int(extras.get('block_index', -1))})",
             file=sys.stderr,
         )
-    app.process(iq)
-    if args.save_state:
+    start_block = 0
+    if args.resume_state and args.resume_seek:
+        # crash-restart on the SAME input: skip the blocks the checkpoint
+        # already covers (SURVEY §5.3/5.4 — restart-from-block)
+        start_block = int(extras.get("block_index", 0))
+        print(f"seeking past {start_block} checkpointed blocks", file=sys.stderr)
+        iq = iq[start_block * block :]
+
+    if args.checkpoint_every and args.save_state:
+        # periodic checkpointing: atomic save every N blocks so an
+        # interrupted run resumes from the last completed group
         from fm_radio_tpu.utils.checkpoint import save_state
 
-        save_state(
-            args.save_state,
-            app.demod.state,
-            extra={"block_index": len(iq) // block},
+        n = args.checkpoint_every
+        done = 0
+        while done < len(iq) // block:
+            upto = min(done + n, len(iq) // block)
+            app.process(iq[done * block : upto * block])
+            tmp = f"{args.save_state}.tmp.npz"
+            save_state(
+                tmp, app.demod.state,
+                extra={"block_index": start_block + upto},
+            )
+            os.replace(tmp, args.save_state)
+            done = upto
+        app.process(iq[done * block :])  # leftover partial block -> pending
+        print(
+            f"checkpointed every {n} blocks to {args.save_state} "
+            f"(final block_index={start_block + done})",
+            file=sys.stderr,
         )
-        print(f"saved stream state to {args.save_state}", file=sys.stderr)
+    else:
+        app.process(iq)
+        if args.save_state:
+            from fm_radio_tpu.utils.checkpoint import save_state
+
+            save_state(
+                args.save_state,
+                app.demod.state,
+                extra={"block_index": start_block + len(iq) // block},
+            )
+            print(f"saved stream state to {args.save_state}", file=sys.stderr)
 
     if args.output_wav:
         write_wav_int16(args.output_wav, app.audio[0], app.demod.fs_audio)
@@ -443,6 +475,12 @@ def build_parser() -> argparse.ArgumentParser:
         "SURVEY.md 5.4); audio continues bit-identically, RDS re-syncs",
     )
     d.add_argument("--resume-state", default=None, help="load a stream-state checkpoint")
+    d.add_argument("--resume-seek", action="store_true",
+                   help="with --resume-state on the SAME input file: skip the "
+                        "blocks the checkpoint already covers (crash restart)")
+    d.add_argument("--checkpoint-every", type=int, default=0,
+                   help="with --save-state: atomically checkpoint every N "
+                        "blocks during processing")
     d.set_defaults(fn=cmd_demod)
 
     s = sub.add_parser("scrape", help="IQ pcm -> WAV + RDS bytes artifacts")

@@ -181,3 +181,36 @@ def test_demod_control_flags(pcm_file, tmp_path):
     audio, fs = read_wav_int16(wav)
     assert fs == 32000
     np.testing.assert_array_equal(audio[:, 0], audio[:, 1])
+
+
+def test_demod_crash_restart_with_periodic_checkpoint(pcm_file, tmp_path):
+    """Periodic checkpointing + crash restart on the SAME file: interrupt a
+    run (simulated by truncating the input), then resume with --resume-seek
+    on the full file — the combined audio is bit-identical to one pass."""
+    data = np.fromfile(pcm_file, np.uint8)
+    n_blocks = len(data) // (2 * BLOCK)
+    crash_at = n_blocks // 2
+    trunc = tmp_path / "trunc.pcm"
+    data[: crash_at * 2 * BLOCK].tofile(trunc)
+    ckpt = tmp_path / "state.npz"
+
+    w_full = tmp_path / "full.wav"
+    r = run_cli("demod", "-i", pcm_file, "-b", str(BLOCK), "-o", str(w_full),
+                "--no-rds")
+    assert r.returncode == 0, r.stderr.decode()
+
+    w1 = tmp_path / "before_crash.wav"
+    r = run_cli("demod", "-i", str(trunc), "-b", str(BLOCK), "-o", str(w1),
+                "--no-rds", "--save-state", str(ckpt), "--checkpoint-every", "2")
+    assert r.returncode == 0, r.stderr.decode()
+    assert f"block_index={crash_at}" in r.stderr.decode()
+
+    w2 = tmp_path / "after_restart.wav"
+    r = run_cli("demod", "-i", pcm_file, "-b", str(BLOCK), "-o", str(w2),
+                "--no-rds", "--resume-state", str(ckpt), "--resume-seek")
+    assert r.returncode == 0, r.stderr.decode()
+
+    full, _ = read_wav_int16(str(w_full))
+    a, _ = read_wav_int16(str(w1))
+    b, _ = read_wav_int16(str(w2))
+    np.testing.assert_array_equal(full, np.concatenate([a, b]))
