@@ -133,8 +133,20 @@ def cmd_demod(args) -> None:
             print(f"saved stream state to {args.save_state}", file=sys.stderr)
 
     if args.output_wav:
-        write_wav_int16(args.output_wav, app.audio[0], app.demod.fs_audio)
-        print(f"wrote {args.output_wav} ({app.audio.shape[1]} frames @32kHz)")
+        audio = app.audio[0]
+        fs_out = app.demod.fs_audio
+        if args.rate and args.rate != fs_out:
+            # Resampled_PCM_Player parity (resampled_pcm_player.cpp:37-54):
+            # the reference plays at 48 kHz via linear interpolation
+            import numpy as _np
+
+            from fm_radio_tpu.ops.resample import linear_resample
+
+            n_out = int(round(audio.shape[0] * args.rate / fs_out))
+            audio = _np.asarray(linear_resample(audio, n_out))
+            fs_out = int(args.rate)
+        write_wav_int16(args.output_wav, audio, fs_out)
+        print(f"wrote {args.output_wav} ({audio.shape[0]} frames @{fs_out}Hz)")
     if args.taps:
         os.makedirs(args.taps, exist_ok=True)
         # re-run last block with taps for inspection
@@ -455,6 +467,9 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("-o", "--output-wav", default=None)
     d.add_argument("--taps", default=None, help="dump tap-point buffers to dir")
     d.add_argument("--no-rds", action="store_true")
+    d.add_argument("--rate", type=int, default=0,
+                   help="resample the output WAV to this rate (the reference "
+                        "plays at 48000 via Resampled_PCM_Player)")
     d.add_argument("--audio-mode", choices=["stereo", "lpr", "lmr"],
                    default="stereo",
                    help="audio mixer mode (GUI combo, broadcast_fm_demod.h:80)")

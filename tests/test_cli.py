@@ -214,3 +214,15 @@ def test_demod_crash_restart_with_periodic_checkpoint(pcm_file, tmp_path):
     a, _ = read_wav_int16(str(w1))
     b, _ = read_wav_int16(str(w2))
     np.testing.assert_array_equal(full, np.concatenate([a, b]))
+
+
+def test_demod_output_rate_resample(pcm_file, tmp_path):
+    """--rate 48000: output WAV resampled with the reference's linear
+    interpolator (Resampled_PCM_Player)."""
+    wav = str(tmp_path / "out48.wav")
+    out = run_cli("demod", "-i", pcm_file, "-b", str(BLOCK), "-o", wav,
+                  "--no-rds", "--rate", "48000")
+    assert out.returncode == 0, out.stderr.decode()
+    audio, fs = read_wav_int16(wav)
+    assert fs == 48000
+    assert abs(audio.shape[0] - BLOCK * 32 // 32 * 48000 // 32000) <= 2
