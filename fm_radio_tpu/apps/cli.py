@@ -173,21 +173,56 @@ def cmd_demod(args) -> None:
 
 
 def cmd_scrape(args) -> None:
-    """WAV + RDS-byte artifacts, format-compatible with fm_demod_scraper."""
+    """WAV + RDS-byte artifacts, format-compatible with fm_demod_scraper.
+
+    ``--stream`` runs the NATIVE runtime pipeline (runtime/fmtpu_runtime.cpp):
+    a background-prefetching block reader overlapping disk I/O with device
+    compute, and an incremental WAV sink with in-place header updates —
+    constant memory for arbitrarily long captures (the default path loads
+    the whole file, convenient for short recordings)."""
     from fm_radio_tpu.io.wav import write_wav_int16
     from fm_radio_tpu.models.app import App
 
     block = power_ceil(args.block_size)
     os.makedirs(args.output, exist_ok=True)
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    wav_path = os.path.join(args.output, f"{stamp}_audio.wav")
+    rds_path = os.path.join(args.output, f"{stamp}_rds.bin")
+
+    if args.stream:
+        from fm_radio_tpu import runtime as rt
+
+        if args.input in (None, "-"):
+            sys.exit("--stream needs a file input (-i)")
+        if not rt.available():
+            sys.exit("--stream needs the native runtime "
+                     "(build runtime/libfmtpu_runtime.so)")
+        app = App(block_size=block, channels=1, decode_rds=True,
+                  integer_input=True)
+        reader = rt.NativePcmReader(args.input, block)
+        writer = rt.NativeWavWriter(wav_path, int(app.demod.fs_audio))
+        try:
+            while True:
+                blk = reader.next_packed()
+                if blk is None:
+                    break
+                app.process(blk[None, :])
+                for a in app.audio_blocks:
+                    writer.write(a[0])
+                app.audio_blocks.clear()
+        finally:
+            reader.close()
+            writer.close()
+        app.rds_bytes(0).tofile(rds_path)
+        print(f"wrote {wav_path} and {rds_path} (streamed)")
+        return
+
     iq = pack_iq_u8(_read_input_u8(args.input))
     app = App(block_size=block, channels=1, decode_rds=True,
               integer_input=True)
     app.process(iq)
 
-    stamp = time.strftime("%Y%m%d_%H%M%S")
-    wav_path = os.path.join(args.output, f"{stamp}_audio.wav")
     write_wav_int16(wav_path, app.audio[0], app.demod.fs_audio)
-    rds_path = os.path.join(args.output, f"{stamp}_rds.bin")
     app.rds_bytes(0).tofile(rds_path)
     print(f"wrote {wav_path} and {rds_path}")
 
@@ -502,6 +537,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("-i", "--input", default=None)
     s.add_argument("-b", "--block-size", type=int, default=65536)
     s.add_argument("-o", "--output", required=True)
+    s.add_argument("--stream", action="store_true",
+                   help="native-runtime streaming pipeline: prefetching "
+                        "reader + incremental WAV sink, constant memory")
     s.set_defaults(fn=cmd_scrape)
 
     t = sub.add_parser(

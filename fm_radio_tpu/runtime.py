@@ -49,6 +49,10 @@ def load() -> ctypes.CDLL:
     lib.rt_pcm_open.restype = ctypes.c_void_p
     lib.rt_pcm_next_block_f32.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
     lib.rt_pcm_next_block_f32.restype = ctypes.c_int
+    lib.rt_pcm_next_block_packed_f32.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)
+    ]
+    lib.rt_pcm_next_block_packed_f32.restype = ctypes.c_int
     lib.rt_pcm_close.argtypes = [ctypes.c_void_p]
 
     lib.rt_wav_open.argtypes = [ctypes.c_char_p, ctypes.c_int32, ctypes.c_int16]
@@ -120,6 +124,16 @@ class NativePcmReader:
         if not ok:
             raise StopIteration
         return self._buf[0::2] + 1j * self._buf[1::2].astype(np.float32)
+
+    def next_packed(self) -> np.ndarray | None:
+        """Next block as packed u8 words (w = I*256 + Q, one f32/sample —
+        utils/transfer.pack_iq_u8 format): half the host->device bytes, the
+        production ingest format.  None at end of stream."""
+        out = np.empty(self.block_size, dtype=np.float32)
+        ok = self._lib.rt_pcm_next_block_packed_f32(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        )
+        return out if ok else None
 
     def close(self):
         if self._h:

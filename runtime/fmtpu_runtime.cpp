@@ -119,6 +119,29 @@ int rt_pcm_next_block_f32(void* handle, float* dst) {
     return 1;
 }
 
+int rt_pcm_next_block_packed_f32(void* handle, float* dst) {
+    // packed u8 ingest (utils/transfer.pack_iq_u8): one f32 word per
+    // complex sample, w = I*256 + Q — exact integers < 2^16, half the
+    // host->device bytes of (re, im) f32; the TPU front-end kernel
+    // unpacks and recenters in-VMEM.
+    auto* r = (PcmReader*)handle;
+    std::vector<uint8_t> blk;
+    {
+        std::unique_lock<std::mutex> lk(r->mu);
+        r->cv_filled.wait(lk, [r] { return r->count > 0 || r->eof; });
+        if (r->count == 0) return 0;
+        blk.swap(r->slots[r->tail]);
+        r->tail = (r->tail + 1) % r->slots.size();
+        r->count--;
+        r->cv_space.notify_all();
+    }
+    const uint8_t* p = blk.data();
+    for (int64_t i = 0; i < r->block_pairs; i++) {
+        dst[i] = (float)((int32_t)p[2 * i] * 256 + (int32_t)p[2 * i + 1]);
+    }
+    return 1;
+}
+
 void rt_pcm_close(void* handle) {
     auto* r = (PcmReader*)handle;
     {

@@ -226,3 +226,30 @@ def test_demod_output_rate_resample(pcm_file, tmp_path):
     audio, fs = read_wav_int16(wav)
     assert fs == 48000
     assert abs(audio.shape[0] - BLOCK * 32 // 32 * 48000 // 32000) <= 2
+
+
+def test_scrape_stream_matches_batch(pcm_file, tmp_path):
+    """--stream (native prefetching reader + incremental WAV sink) must
+    produce byte-identical artifacts to the default batch path."""
+    from fm_radio_tpu import runtime as rt
+
+    if not rt.available():
+        pytest.skip("native runtime not built")
+    d1, d2 = tmp_path / "batch", tmp_path / "stream"
+    r = run_cli("scrape", "-i", pcm_file, "-b", str(BLOCK), "-o", str(d1))
+    assert r.returncode == 0, r.stderr.decode()
+    r = run_cli("scrape", "-i", pcm_file, "-b", str(BLOCK), "-o", str(d2),
+                "--stream")
+    assert r.returncode == 0, r.stderr.decode()
+
+    def artifacts(d):
+        wav = [f for f in os.listdir(d) if f.endswith(".wav")][0]
+        bin_ = [f for f in os.listdir(d) if f.endswith(".bin")][0]
+        return (open(os.path.join(d, wav), "rb").read(),
+                open(os.path.join(d, bin_), "rb").read())
+
+    w1, b1 = artifacts(d1)
+    w2, b2 = artifacts(d2)
+    assert b1 == b2
+    # WAV payloads identical; headers may differ only in chunk-size fields
+    assert w1[44:] == w2[44:] and len(w1) == len(w2)
