@@ -53,7 +53,13 @@ class App:
     def _match_pending(self, x: np.ndarray) -> np.ndarray:
         """Pending re-block buffer in the stream's dtype (complex64 baseband
         or f32 packed words — a stream keeps ONE format throughout)."""
-        if self._pending.size == 0 and self._pending.dtype != x.dtype:
+        if self._pending.dtype != x.dtype:
+            if self._pending.size:
+                raise ValueError(
+                    "input format changed mid-stream with samples pending "
+                    f"({self._pending.dtype} -> {x.dtype}); a stream must "
+                    "keep one format (complex64 baseband or f32 packed words)"
+                )
             self._pending = np.zeros((self.channels, 0), x.dtype)
         return self._pending
 
