@@ -412,21 +412,21 @@ def cmd_channelize(args) -> None:
     """Wideband IQ -> per-station pcm files via the polyphase filterbank."""
     import jax.numpy as jnp
 
-    from fm_radio_tpu.io.pcm import c64_to_u8, u8_to_c64
+    from fm_radio_tpu.io.pcm import c64_to_u8
     from fm_radio_tpu.parallel.channelizer import (
-        channelize,
+        channelize_packed,
         channelizer_init_state,
         make_channelizer_taps,
     )
+    from fm_radio_tpu.utils.transfer import fetch
 
     m = args.num_channels
-    iq = u8_to_c64(_read_input_u8(args.input))
-    n = (len(iq) // m) * m
-    from fm_radio_tpu.utils.transfer import device_put_complex, fetch
+    w = pack_iq_u8(_read_input_u8(args.input))
+    n = (len(w) // m) * m
 
     taps = make_channelizer_taps(m, args.taps_per_phase)
     st = channelizer_init_state(m, args.taps_per_phase)
-    _, y = channelize(taps, st, device_put_complex(iq[:n]), m)
+    _, y = channelize_packed(taps, st, w[:n], m)
     y = fetch(y)
     os.makedirs(args.output, exist_ok=True)
     for ch in range(m):
@@ -444,24 +444,25 @@ def cmd_stations(args) -> None:
     polyphase FFT filterbank splits the capture and all M stations ride the
     batch axis of a single demod program.
     """
-    from fm_radio_tpu.io.pcm import u8_to_c64
     from fm_radio_tpu.io.wav import write_wav_int16
     from fm_radio_tpu.models.app import App
     from fm_radio_tpu.parallel.channelizer import (
-        channelize,
+        channelize_packed,
         channelizer_init_state,
         make_channelizer_taps,
     )
-    from fm_radio_tpu.utils.transfer import device_put_complex, fetch
+    from fm_radio_tpu.utils.transfer import fetch
 
     m = args.num_channels
     block = power_ceil(args.block_size)
-    iq = u8_to_c64(_read_input_u8(args.input))
-    n = (len(iq) // m) * m
+    # packed ingest: one f32 word per sample (half the host->device bytes),
+    # unpacked in-VMEM by the channelizer kernel
+    w = pack_iq_u8(_read_input_u8(args.input))
+    n = (len(w) // m) * m
 
     taps = make_channelizer_taps(m, args.taps_per_phase)
     st = channelizer_init_state(m, args.taps_per_phase)
-    _, y = channelize(taps, st, device_put_complex(iq[:n]), m)
+    _, y = channelize_packed(taps, st, w[:n], m)
     stations = fetch(y) / m  # undo DFT scaling -> per-station baseband
 
     select = (

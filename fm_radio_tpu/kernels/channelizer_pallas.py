@@ -28,21 +28,13 @@ from fm_radio_tpu.kernels.frontend_pallas import _dot3, _split_bf16
 _TBF = 16  # carried tail rows (frames); requires K-1 <= _TBF
 
 
-def _chan_kernel(
-    fr_ref, fi_ref, tail_ref, w_ref, wre_ref, wim_ref,
+def _chan_core(
+    tail_ref, w_ref, wre_ref, wim_ref,
     yre_ref, yim_ref, out_tail_ref,
     bufr_ref, bufi_ref,
     *, n_t: int, n_tt: int, k: int, interp: bool,
 ):
     ti = pl.program_id(0)
-
-    @pl.when(ti == 0)
-    def _init():
-        bufr_ref[: _TBF] = tail_ref[0]
-        bufi_ref[: _TBF] = tail_ref[1]
-
-    bufr_ref[_TBF:] = fr_ref[...]
-    bufi_ref[_TBF:] = fi_ref[...]
 
     # z[n, p] = sum_r w[r, p] * frames[n + r, p]; window rows start at
     # _TBF - (k-1) + r (static sublane offsets)
@@ -75,6 +67,49 @@ def _chan_kernel(
         out_tail_ref[1] = bufi_ref[: _TBF]
 
 
+def _chan_kernel(
+    fr_ref, fi_ref, tail_ref, w_ref, wre_ref, wim_ref,
+    yre_ref, yim_ref, out_tail_ref,
+    bufr_ref, bufi_ref,
+    *, n_t: int, n_tt: int, k: int, interp: bool,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        bufr_ref[: _TBF] = tail_ref[0]
+        bufi_ref[: _TBF] = tail_ref[1]
+
+    bufr_ref[_TBF:] = fr_ref[...]
+    bufi_ref[_TBF:] = fi_ref[...]
+    _chan_core(
+        tail_ref, w_ref, wre_ref, wim_ref, yre_ref, yim_ref, out_tail_ref,
+        bufr_ref, bufi_ref, n_t=n_t, n_tt=n_tt, k=k, interp=interp,
+    )
+
+
+def _chan_kernel_packed(
+    fw_ref, tail_ref, w_ref, wre_ref, wim_ref,
+    yre_ref, yim_ref, out_tail_ref,
+    bufr_ref, bufi_ref,
+    *, n_t: int, n_tt: int, k: int, interp: bool,
+):
+    # packed u8 IQ words (utils/transfer.pack_iq_u8): w = I*256 + Q, exact
+    # integers < 2^16; unpack + recenter in-VMEM (wideband captures are the
+    # channelizer's largest stream — half the HBM read of planes)
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        bufr_ref[: _TBF] = tail_ref[0]
+        bufi_ref[: _TBF] = tail_ref[1]
+
+    w = fw_ref[...]
+    ihi = jnp.floor(w * jnp.float32(1.0 / 256.0))
+    bufr_ref[_TBF:] = ihi - 127.0
+    bufi_ref[_TBF:] = (w - ihi * 256.0) - 127.0
+    _chan_core(
+        tail_ref, w_ref, wre_ref, wim_ref, yre_ref, yim_ref, out_tail_ref,
+        bufr_ref, bufi_ref, n_t=n_t, n_tt=n_tt, k=k, interp=interp,
+    )
+
+
 def pick_tile_chan(n_frames: int, m: int) -> int | None:
     if m % 8 != 0 or m > 1024:
         return None
@@ -89,21 +124,32 @@ def pick_tile_chan(n_frames: int, m: int) -> int | None:
 def channelize_pallas(taps, state_p, xp, num_channels: int,
                       interpret: bool = False):
     """Drop-in for channelize_p (same contract) on shapes where
-    pick_tile_chan allows; returns (state_p', (y_re, y_im) [M, T/M])."""
+    pick_tile_chan allows; returns (state_p', (y_re, y_im) [M, T/M]).
+
+    ``xp`` may be a SINGLE [T] f32 array of packed u8 IQ words
+    (utils/transfer.pack_iq_u8) — unpacked + recentered in-VMEM, halving
+    the wideband HBM read."""
     m = num_channels
     taps = jnp.asarray(taps, jnp.float32)
     nn = taps.shape[0]
     k = nn // m
     assert k - 1 <= _TBF, "taps_per_phase too large for the carried tail"
-    xr, xi = xp
-    t = xr.shape[-1]
+    packed = not isinstance(xp, (tuple, list))
+    if packed:
+        xw = xp
+        t = xw.shape[-1]
+    else:
+        xr, xi = xp
+        t = xr.shape[-1]
     n_frames = t // m
     n_t = pick_tile_chan(n_frames, m)
     assert n_t is not None
     n_tt = n_frames // n_t
 
-    fr = xr.reshape(n_frames, m)
-    fi = xi.reshape(n_frames, m)
+    if packed:
+        x_in = (xw.reshape(n_frames, m),)
+    else:
+        x_in = (xr.reshape(n_frames, m), xi.reshape(n_frames, m))
     w = taps[::-1].reshape(k, m)
     w16 = jnp.zeros((_TBF, m), jnp.float32).at[:k].set(w)
 
@@ -118,16 +164,16 @@ def channelize_pallas(taps, state_p, xp, num_channels: int,
     tail = tail.at[1, _TBF - (k - 1) :].set(si.reshape(k - 1, m))
 
     kern = functools.partial(
-        _chan_kernel, n_t=n_t, n_tt=n_tt, k=k, interp=interpret
+        _chan_kernel_packed if packed else _chan_kernel,
+        n_t=n_t, n_tt=n_tt, k=k, interp=interpret,
     )
     cspec = lambda shape: pl.BlockSpec(shape, lambda ti: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec((n_t, m), lambda ti: (ti, 0), memory_space=pltpu.VMEM)
     y_re, y_im, out_tail = pl.pallas_call(
         kern,
         grid=(n_tt,),
-        in_specs=[
-            pl.BlockSpec((n_t, m), lambda ti: (ti, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_t, m), lambda ti: (ti, 0), memory_space=pltpu.VMEM),
+        in_specs=[f_spec] * len(x_in) + [
             cspec((2, _TBF, m)),
             cspec((_TBF, m)),
             cspec((m, m)),
@@ -148,7 +194,7 @@ def channelize_pallas(taps, state_p, xp, num_channels: int,
             pltpu.VMEM((_TBF + n_t, m), jnp.float32),
         ],
         interpret=interpret,
-    )(fr, fi, tail, w16, w_re, w_im)
+    )(*x_in, tail, w16, w_re, w_im)
 
     new_state = (
         out_tail[0, _TBF - (k - 1) :].reshape(-1),

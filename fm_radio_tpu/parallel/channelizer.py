@@ -62,8 +62,14 @@ def channelize_p(taps, state_p, xp, num_channels: int):
     taps = jnp.asarray(taps, jnp.float32)
     nn = taps.shape[0]
     k = nn // m
-    xr, xi = xp
-    assert nn == m * k and xr.shape[-1] % m == 0
+    packed = not isinstance(xp, (tuple, list))
+    if packed:
+        # packed u8 IQ words (utils/transfer.pack_iq_u8): half the HBM read
+        t_len = xp.shape[-1]
+    else:
+        xr, xi = xp
+        t_len = xr.shape[-1]
+    assert nn == m * k and t_len % m == 0
     sr, si = state_p
 
     # fused Pallas path (kernels/channelizer_pallas.py): ~5x the XLA form
@@ -73,8 +79,13 @@ def channelize_p(taps, state_p, xp, num_channels: int):
             pick_tile_chan,
         )
 
-        if pick_tile_chan(xr.shape[-1] // m, m) is not None:
+        if pick_tile_chan(t_len // m, m) is not None:
             return channelize_pallas(taps, state_p, xp, m)
+
+    if packed:
+        # exact XLA unpack fallback
+        ihi = jnp.floor(xp * jnp.float32(1.0 / 256.0))
+        xr, xi = ihi - 127.0, (xp - ihi * 256.0) - 127.0
 
     xr_pad = jnp.concatenate([sr, xr], axis=-1)
     xi_pad = jnp.concatenate([si, xi], axis=-1)
@@ -115,6 +126,16 @@ def channelize(taps, state: jnp.ndarray, x: jnp.ndarray, num_channels: int):
     st_p2, (y_re, y_im) = channelize_p(taps, st_p, (x.real, x.imag), m)
     new_state = jax.lax.complex(*st_p2)
     return new_state, jax.lax.complex(y_re, y_im)
+
+
+def channelize_packed(taps, state: jnp.ndarray, w_packed, num_channels: int):
+    """Packed-ingest complex-out wrapper: w_packed [T] f32 of u8 IQ words
+    (utils/transfer.pack_iq_u8 — the capture's native bytes at half the
+    transfer cost).  Returns (new_state, y [M, T/M] complex64)."""
+    st_p = (state.real, state.imag)
+    st_p2, (y_re, y_im) = channelize_p(taps, st_p, jnp.asarray(w_packed),
+                                       num_channels)
+    return jax.lax.complex(*st_p2), jax.lax.complex(y_re, y_im)
 
 
 def channelize_batch(taps, state, x, num_channels):

@@ -241,3 +241,27 @@ def test_wideband_stations_to_audio_and_rds():
         assert abs(peak - tone) < 40.0, f"station {k}: peak {peak} != {tone}"
         db = app.rds_database(i)
         assert db.pi_code == pi, f"station {k}: PI {db.pi_code:04X} != {pi:04X}"
+
+
+def test_channelizer_packed_matches_planes():
+    """Packed u8-word wideband ingest == the centered plane path (the
+    unpack is exact integer arithmetic)."""
+    from fm_radio_tpu.parallel.channelizer import channelize_p
+    from fm_radio_tpu.utils.transfer import pack_iq_u8
+
+    m, k = 8, 8
+    t = m * 1024
+    rng = np.random.default_rng(3)
+    iq_u8 = rng.integers(0, 256, (t, 2)).astype(np.uint8)
+    xr = iq_u8[:, 0].astype(np.float32) - 127.0
+    xi = iq_u8[:, 1].astype(np.float32) - 127.0
+    w = jnp.asarray(pack_iq_u8(iq_u8))
+    taps = make_channelizer_taps(m, k)
+    st = (jnp.zeros((k - 1) * m, jnp.float32),) * 2
+
+    st1, (ar, ai) = channelize_p(taps, st, (jnp.asarray(xr), jnp.asarray(xi)), m)
+    st2, (br, bi) = channelize_p(taps, st, w, m)
+    np.testing.assert_array_equal(np.asarray(ar), np.asarray(br))
+    np.testing.assert_array_equal(np.asarray(ai), np.asarray(bi))
+    for a, b in zip(st1, st2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
