@@ -295,8 +295,17 @@ def cmd_tune(args) -> None:
 
     chunk = m * block
     n_chunks = xr_all.shape[0] // chunk
-    for i in range(n_chunks):
-        sl = slice(i * chunk, (i + 1) * chunk)
+    # trailing samples past the last full chunk still downconvert (one extra
+    # trace at the leftover shape); only a sub-m remainder is dropped
+    leftover = ((xr_all.shape[0] - n_chunks * chunk) // m) * m
+    dropped = xr_all.shape[0] - n_chunks * chunk - leftover
+    if dropped:
+        print(f"dropping {dropped} trailing samples (< one decimation frame)",
+              file=sys.stderr)
+    spans = [slice(i * chunk, (i + 1) * chunk) for i in range(n_chunks)]
+    if leftover:
+        spans.append(slice(n_chunks * chunk, n_chunks * chunk + leftover))
+    for sl in spans:
         phase, tail, yr, yi = step(
             phase, tail,
             jnp.asarray(xr_all[None, sl]), jnp.asarray(xi_all[None, sl]),

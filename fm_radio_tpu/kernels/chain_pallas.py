@@ -201,10 +201,11 @@ _BUFR_POS = 18 + 14
 
 def _chain_kernel_packed(xw_ref, *refs, t_blk, int_input, **kw):
     # packed u8 IQ words (see frontend_pallas._ds4_disc_packed_kernel)
-    w = xw_ref[...]
-    ihi = jnp.floor(w * jnp.float32(1.0 / 256.0))
-    refs[_BUFR_POS][:, _TB:] = ihi - 127.0
-    refs[_BUFR_POS + 1][:, _TB:] = (w - ihi * 256.0) - 127.0
+    from fm_radio_tpu.utils.transfer import unpack_iq_words
+
+    re, im = unpack_iq_words(xw_ref[...])
+    refs[_BUFR_POS][:, _TB:] = re
+    refs[_BUFR_POS + 1][:, _TB:] = im
     _chain_kernel(*refs, t_blk=t_blk, int_input=True, **kw)
 
 

@@ -29,7 +29,7 @@ _TBF = 16  # carried tail rows (frames); requires K-1 <= _TBF
 
 
 def _chan_core(
-    tail_ref, w_ref, wre_ref, wim_ref,
+    w_ref, wre_ref, wim_ref,
     yre_ref, yim_ref, out_tail_ref,
     bufr_ref, bufi_ref,
     *, n_t: int, n_tt: int, k: int, interp: bool,
@@ -81,7 +81,7 @@ def _chan_kernel(
     bufr_ref[_TBF:] = fr_ref[...]
     bufi_ref[_TBF:] = fi_ref[...]
     _chan_core(
-        tail_ref, w_ref, wre_ref, wim_ref, yre_ref, yim_ref, out_tail_ref,
+        w_ref, wre_ref, wim_ref, yre_ref, yim_ref, out_tail_ref,
         bufr_ref, bufi_ref, n_t=n_t, n_tt=n_tt, k=k, interp=interp,
     )
 
@@ -100,12 +100,11 @@ def _chan_kernel_packed(
         bufr_ref[: _TBF] = tail_ref[0]
         bufi_ref[: _TBF] = tail_ref[1]
 
-    w = fw_ref[...]
-    ihi = jnp.floor(w * jnp.float32(1.0 / 256.0))
-    bufr_ref[_TBF:] = ihi - 127.0
-    bufi_ref[_TBF:] = (w - ihi * 256.0) - 127.0
+    from fm_radio_tpu.utils.transfer import unpack_iq_words
+
+    bufr_ref[_TBF:], bufi_ref[_TBF:] = unpack_iq_words(fw_ref[...])
     _chan_core(
-        tail_ref, w_ref, wre_ref, wim_ref, yre_ref, yim_ref, out_tail_ref,
+        w_ref, wre_ref, wim_ref, yre_ref, yim_ref, out_tail_ref,
         bufr_ref, bufi_ref, n_t=n_t, n_tt=n_tt, k=k, interp=interp,
     )
 

@@ -184,11 +184,9 @@ def _ds4_disc_packed_kernel(
     # Packed u8 IQ: one f32 word per complex sample, w = I_u8*256 + Q_u8
     # (exact integers < 2^16 — the only dtype the tunneled host boundary
     # moves is f32, and this halves both the transfer and the HBM read).
-    # Unpack is exact: *2^-8 and floor are error-free on integers < 2^16.
-    w = xw_ref[...]
-    ihi = jnp.floor(w * jnp.float32(1.0 / 256.0))
-    bufr_ref[:, _TB:] = ihi - 127.0
-    bufi_ref[:, _TB:] = (w - ihi * 256.0) - 127.0
+    from fm_radio_tpu.utils.transfer import unpack_iq_words
+
+    bufr_ref[:, _TB:], bufi_ref[:, _TB:] = unpack_iq_words(xw_ref[...])
     _ds4_disc_core(
         tail_ref, prev_ref, band_ref, y_ref, out_tail_ref, out_prev_ref,
         bufr_ref, bufi_ref, carry_ref,

@@ -109,7 +109,7 @@ class App:
             state=self.demod.state,
         )
         self.demod.state = final_state
-        from fm_radio_tpu.utils.transfer import fetch, fetch_tree
+        from fm_radio_tpu.utils.transfer import fetch
 
         audio = fetch(outs["audio"])
         self.audio_blocks.append(audio)
@@ -183,7 +183,11 @@ def demod_stream(
 
     packed = not np.iscomplexobj(x)
     if packed:
-        xd = jnp.asarray(np.asarray(x, np.float32))
+        xd = (
+            jnp.asarray(np.asarray(x, np.float32))
+            if isinstance(x, np.ndarray)
+            else jnp.asarray(x)
+        )
     elif isinstance(x, np.ndarray):
         xd = device_put_complex(np.asarray(x))
     else:

@@ -261,8 +261,9 @@ def demod_block(
         )
         if packed and not fuse_front:
             # exact XLA unpack fallback (CPU / odd shapes / taps mode)
-            ihi = jnp.floor(x * jnp.float32(1.0 / 256.0))
-            xp = (ihi - 127.0, (x - ihi * 256.0) - 127.0)
+            from fm_radio_tpu.utils.transfer import unpack_iq_words
+
+            xp = unpack_iq_words(x)
         if fuse_front:
             # one HBM pass: ds x4 + discriminator fused (kernels/frontend_pallas)
             tail, prev, fm_demod = ds4_disc_pallas(
@@ -546,11 +547,12 @@ class BroadcastFMDemod:
 
         if x.ndim == 1:
             x = x[None, :]
-        xd = (
-            jnp.asarray(np.asarray(x, np.float32))
-            if not np.iscomplexobj(x)
-            else device_put_complex(x)
-        )
+        if np.iscomplexobj(x):
+            xd = device_put_complex(x)
+        elif isinstance(x, np.ndarray):
+            xd = jnp.asarray(np.asarray(x, np.float32))
+        else:
+            xd = jnp.asarray(x)
         self.state, outs = demod_block(
             self.cfg, self.coeffs, self.state, xd, include_taps
         )

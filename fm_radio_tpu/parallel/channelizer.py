@@ -84,8 +84,9 @@ def channelize_p(taps, state_p, xp, num_channels: int):
 
     if packed:
         # exact XLA unpack fallback
-        ihi = jnp.floor(xp * jnp.float32(1.0 / 256.0))
-        xr, xi = ihi - 127.0, (xp - ihi * 256.0) - 127.0
+        from fm_radio_tpu.utils.transfer import unpack_iq_words
+
+        xr, xi = unpack_iq_words(xp)
 
     xr_pad = jnp.concatenate([sr, xr], axis=-1)
     xi_pad = jnp.concatenate([si, xi], axis=-1)

@@ -90,3 +90,14 @@ def pack_iq_u8(iq_u8: np.ndarray) -> np.ndarray:
     w *= 256.0
     w += iq[..., 1]
     return w
+
+
+def unpack_iq_words(w):
+    """Inverse of :func:`pack_iq_u8` as traceable arithmetic (works both in
+    XLA and inside Pallas kernels): packed words -> centered (re, im) f32.
+    Exact: *2^-8, floor and the subtractions are error-free on integers
+    < 2^16."""
+    import jax.numpy as jnp
+
+    ihi = jnp.floor(w * jnp.float32(1.0 / 256.0))
+    return ihi - 127.0, (w - ihi * 256.0) - 127.0
