@@ -99,6 +99,23 @@ def _col(ref, j):
     return ref[:, j : j + 1]
 
 
+def _dot4(x_hi, x_lo, b_hi, b_lo):
+    """bf16x4: all four hi/lo cross products — the lo@lo term _dot3 drops
+    is ~2^-16-relative, and the 19 kHz pilot peak filter (pole 0.9999,
+    ~4 Hz bandwidth) COHERENTLY accumulates per-chunk rounding through its
+    state recursion with gain ~1/(1-r): with _dot3 the kernel's pilot
+    phase drifted ~1e-2 cycles from the f32 ops path (measured on
+    hardware); the fourth pass restores f32-grade error.  Used only for
+    the two IIR stages — the broadband FIR stages stay at _dot3."""
+    f32 = jnp.float32
+    return (
+        jnp.dot(x_hi, b_hi, preferred_element_type=f32)
+        + jnp.dot(x_hi, b_lo, preferred_element_type=f32)
+        + jnp.dot(x_lo, b_hi, preferred_element_type=f32)
+        + jnp.dot(x_lo, b_lo, preferred_element_type=f32)
+    )
+
+
 def _midend_body(
     x,
     band2_ref, band3_ref, t1_ref, aux1_ref, tp_ref, auxp_ref,
@@ -135,7 +152,7 @@ def _midend_body(
         for s in range(l // _LI):
             xs = fm_out[:, s * _LI : (s + 1) * _LI]
             f_hi, f_lo = _split_bf16(xs, interp)
-            y = _dot3(f_hi, f_lo, t1_hi, t1_lo)
+            y = _dot4(f_hi, f_lo, t1_hi, t1_lo)
             y = y + _col(st_ref, _DE_X1) * hm1 + _col(st_ref, _DE_Y1) * pm1
             st_ref[:, _DE_X1 : _DE_X1 + 1] = xs[:, _LI - 1 :]
             st_ref[:, _DE_Y1 : _DE_Y1 + 1] = y[:, _LI - 1 :]
@@ -169,7 +186,7 @@ def _midend_body(
         for s in range(l // _LI):
             xs = plane[:, s * _LI : (s + 1) * _LI]
             p_hi, p_lo = _split_bf16(xs, interp)
-            y = _dot3(p_hi, p_lo, tp_hi, tp_lo)
+            y = _dot4(p_hi, p_lo, tp_hi, tp_lo)
             y = (y + _col(st_ref, cx1) * hm_p[0:1, :]
                  + _col(st_ref, cx2) * hm_p[1:2, :]
                  + _col(st_ref, cy1) * pm_p[0:1, :]

@@ -68,15 +68,23 @@ def _companion(a: jnp.ndarray) -> jnp.ndarray:
 
 
 def _power_stack(amat: jnp.ndarray, n: int) -> jnp.ndarray:
-    """[n+1, r, r] stack of matrix powers A^0..A^n, built by doubling."""
+    """[n+1, r, r] stack of matrix powers A^0..A^n, built by doubling.
+
+    Precision MUST be explicit: these tiny [r, r] products run at the
+    backend's default matmul precision otherwise — bf16 on TPU — and a
+    2^-8-level perturbation of the pilot peak filter's pole (r=0.9999,
+    ~4 Hz bandwidth at 128 kHz) detunes the resonance by ~0.1 Hz, which
+    is DEGREES of pilot phase on the resonance skirt (measured: ~1e-2
+    cycles of theta error end-to-end before this fix)."""
+    hi = jax.lax.Precision.HIGHEST
     r = amat.shape[0]
     stack = jnp.eye(r, dtype=amat.dtype)[None]
     p = amat
     while stack.shape[0] < n + 1:
         stack = jnp.concatenate(
-            [stack, jnp.einsum("ij,njk->nik", p, stack)], axis=0
+            [stack, jnp.einsum("ij,njk->nik", p, stack, precision=hi)], axis=0
         )
-        p = p @ p
+        p = jnp.matmul(p, p, precision=hi)
     return stack[: n + 1]
 
 
@@ -138,7 +146,8 @@ def _iir_toeplitz(b, a, amat, x, x_hist, s_prev, chunk):
         )  # [c, t-1, ob]
         xh0 = x_hist[:, :ob][:, None, :]  # [c, 1, ob] newest-first
         xh = jnp.concatenate([xh0, xh_bulk], axis=1)  # [c, t, ob]
-        y_zs = y_zs + jnp.einsum("ctq,ql->ctl", xh, hm)
+        y_zs = y_zs + jnp.einsum("ctq,ql->ctl", xh, hm,
+                                 precision=jax.lax.Precision.HIGHEST)
 
     cvec = y_zs[:, :, l - 1 - jnp.arange(r)]  # [c, t, r] newest-first
     # Tile-entry states obey their own linear recurrence
@@ -150,15 +159,16 @@ def _iir_toeplitz(b, a, amat, x, x_hist, s_prev, chunk):
     s = jnp.zeros((c, t, r), dtype=x.dtype)
     s = s.at[:, 1:, :].set(cvec[:, :-1, :])
     s = s.at[:, 0, :].set(s_prev)
+    hi_p = jax.lax.Precision.HIGHEST
     d = 1
     a_d = a_l
     while d < t:
-        upd = jnp.einsum("ij,cnj->cni", a_d, s[:, :-d, :])
+        upd = jnp.einsum("ij,cnj->cni", a_d, s[:, :-d, :], precision=hi_p)
         s = s.at[:, d:, :].add(upd)
-        a_d = a_d @ a_d
+        a_d = jnp.matmul(a_d, a_d, precision=hi_p)
         d *= 2
     s_in = s
-    y = y_zs + jnp.einsum("ctj,mj->ctm", s_in, p_mat)
+    y = y_zs + jnp.einsum("ctj,mj->ctm", s_in, p_mat, precision=hi_p)
     return y.reshape(c, t * l)[:, :n]
 
 
@@ -195,7 +205,8 @@ def iir_filter(b, a, state: dict, x: jnp.ndarray, method: str = "toeplitz"):
 
         def step(y_hist, ff_n):
             # y_hist: [C, r] newest-first
-            y_n = ff_n - jnp.einsum("j,cj->c", a[1:], y_hist)
+            y_n = ff_n - jnp.einsum("j,cj->c", a[1:], y_hist,
+                                    precision=jax.lax.Precision.HIGHEST)
             y_hist = jnp.concatenate([y_n[:, None], y_hist[:, :-1]], axis=1)
             return y_hist, y_n
 
@@ -205,13 +216,16 @@ def iir_filter(b, a, state: dict, x: jnp.ndarray, method: str = "toeplitz"):
         ff = _feedforward(b, state["x_hist"], x)  # [C, N]
         amat = _companion(a)  # [r, r]
         s = jnp.zeros((c, n, r), dtype=ff.dtype).at[:, :, 0].set(ff)
-        s = s.at[:, 0, :].add(jnp.einsum("ij,cj->ci", amat, state["y_hist"]))
+        hi_p = jax.lax.Precision.HIGHEST
+        s = s.at[:, 0, :].add(
+            jnp.einsum("ij,cj->ci", amat, state["y_hist"], precision=hi_p)
+        )
         d = 1
         a_d = amat
         while d < n:
-            upd = jnp.einsum("ij,cnj->cni", a_d, s[:, :-d, :])
+            upd = jnp.einsum("ij,cnj->cni", a_d, s[:, :-d, :], precision=hi_p)
             s = s.at[:, d:, :].add(upd)
-            a_d = a_d @ a_d
+            a_d = jnp.matmul(a_d, a_d, precision=hi_p)
             d *= 2
         y = s[:, :, 0]
         y_hist = s[:, -1, :]
@@ -221,15 +235,18 @@ def iir_filter(b, a, state: dict, x: jnp.ndarray, method: str = "toeplitz"):
         u = jnp.zeros((c, n, r), dtype=ff.dtype).at[:, :, 0].set(ff)
         # fold initial condition into u[0]
         s_prev = state["y_hist"]  # [C, r] newest-first = (y[-1], ..., y[-r])
-        u = u.at[:, 0, :].add(jnp.einsum("ij,cj->ci", amat, s_prev))
+        hi_p = jax.lax.Precision.HIGHEST
+        u = u.at[:, 0, :].add(
+            jnp.einsum("ij,cj->ci", amat, s_prev, precision=hi_p)
+        )
         amats = jnp.broadcast_to(amat, (c, n, r, r))
 
         def combine(left, right):
             a1, u1 = left
             a2, u2 = right
             return (
-                jnp.einsum("...ij,...jk->...ik", a2, a1),
-                jnp.einsum("...ij,...j->...i", a2, u1) + u2,
+                jnp.einsum("...ij,...jk->...ik", a2, a1, precision=hi_p),
+                jnp.einsum("...ij,...j->...i", a2, u1, precision=hi_p) + u2,
             )
 
         _, s = jax.lax.associative_scan(combine, (amats, u), axis=1)

@@ -5,14 +5,17 @@ import os
 
 # Force-override: the environment presets JAX_PLATFORMS=axon (the tunneled
 # TPU); tests must run hermetically on the virtual 8-device CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+# FMTPU_TPU_TESTS=1 opts OUT of the override so the hardware-only accuracy
+# gates (tests/test_tpu_accuracy.py) can run on the real chip.
+if os.environ.get("FMTPU_TPU_TESTS") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ.setdefault("JAX_ENABLE_X64", "0")
 
-import jax  # noqa: E402
+    import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")

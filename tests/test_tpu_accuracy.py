@@ -1,0 +1,80 @@
+"""Hardware-only accuracy gates (skipped on the CPU CI backend).
+
+These exist because of a bug class CPU tests CANNOT catch: on TPU the
+default matmul/einsum precision is bf16, while on CPU it is f32.  The pilot
+peak filter's pole-power prep (`ops/iir._power_stack`) ran at default
+precision and silently detuned the 19 kHz resonator (~4 Hz bandwidth) by
+~0.1 Hz on TPU only — costing ~50 dB of golden audio SNR on the production
+kernel path while every CPU test stayed green.  Run with:
+
+    FMTPU_TPU_TESTS=1 PYTHONPATH=/root/repo:/root/.axon_site \\
+        python -m pytest tests/test_tpu_accuracy.py -q
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="requires the TPU backend"
+)
+
+
+def test_power_stack_f64_parity():
+    """Pole powers of the pilot peak resonator must match f64 to f32 grade
+    on device (catches default-precision matmuls in coefficient prep)."""
+    import jax.numpy as jnp
+
+    from fm_radio_tpu.config import DemodConfig
+    from fm_radio_tpu.models.demod import make_coeffs
+    from fm_radio_tpu.ops.iir import _companion, _power_stack
+
+    co = make_coeffs(DemodConfig())
+    amat = _companion(jnp.asarray(co.peak_a))
+    stack = np.asarray(jax.jit(lambda a: _power_stack(a, 128))(amat))
+
+    a64 = np.asarray(amat, np.float64)
+    p = np.eye(2)
+    for j in range(129):
+        err = np.abs(stack[j] - p).max()
+        assert err < 1e-5, f"A^{j} err {err:.2e} (default-precision matmul?)"
+        p = p @ a64
+
+
+def test_midend_theta_matches_ops_path():
+    """The fused mid-end kernel's pilot phase must track the XLA ops path to
+    ~1e-5 cycles on hardware (was 1.2e-2 with the default-precision bug)."""
+    import jax.numpy as jnp
+
+    from fm_radio_tpu.config import DemodConfig
+    from fm_radio_tpu.kernels.midend_pallas import midend_pallas
+    from fm_radio_tpu.models.demod import demod_init_state, make_coeffs
+    from fm_radio_tpu.ops.fir import hilbert_fir_p, polyphase_decimate
+    from fm_radio_tpu.ops.iir import iir_filter_planes
+
+    cfg = DemodConfig()
+    co = make_coeffs(cfg)
+    n = 32768
+    t = np.arange(n) / 256000.0
+    rng = np.random.default_rng(0)
+    x = (0.2 * np.cos(2 * np.pi * 19000.0 * t)
+         + 0.5 * np.cos(2 * np.pi * 1000.0 * t)
+         + 0.01 * rng.standard_normal(n)).astype(np.float32)[None, :]
+    st = demod_init_state(cfg, 1)
+
+    @jax.jit
+    def run(st, x):
+        s = dict(st)
+        _, _, th_k = midend_pallas(co, cfg, s, x)
+        s1, fm_out = polyphase_decimate(co.taps_fm_out, s["ds_fm_out"], x, 2)
+        s2, iq_o = hilbert_fir_p(co.taps_hilbert, s["hilbert"], fm_out)
+        s3, pil_o = iir_filter_planes(co.peak_b, co.peak_a, s["peak_pilot"], iq_o)
+        th_o = jnp.arctan2(pil_o[1], pil_o[0]) / (2 * np.pi)
+        return th_k, th_o
+
+    th_k, th_o = run(st, jnp.asarray(x))
+    d = np.asarray(th_k) - np.asarray(th_o)
+    d -= np.round(d)
+    rms = float(np.sqrt((d[:, 1024:] ** 2).mean()))
+    assert rms < 1e-5, f"theta rms {rms:.2e} cycles vs ops path"
