@@ -462,6 +462,8 @@ def cmd_stations(args) -> None:
     )
     from fm_radio_tpu.utils.transfer import fetch
 
+    import jax.numpy as jnp
+
     m = args.num_channels
     block = power_ceil(args.block_size)
     # packed ingest: one f32 word per sample (half the host->device bytes),
@@ -469,20 +471,28 @@ def cmd_stations(args) -> None:
     w = pack_iq_u8(_read_input_u8(args.input))
     n = (len(w) // m) * m
 
-    taps = make_channelizer_taps(m, args.taps_per_phase)
-    st = channelizer_init_state(m, args.taps_per_phase)
-    _, y = channelize_packed(taps, st, w[:n], m)
-    stations = fetch(y) / m  # undo DFT scaling -> per-station baseband
-
     select = (
         sorted(int(s) for s in args.select.split(","))
         if args.select
         else list(range(m))
     )
-    x = np.stack([stations[k] for k in select]).astype(np.complex64)
+    sel = jnp.asarray(np.asarray(select, np.int32))
 
+    taps = make_channelizer_taps(m, args.taps_per_phase)
+    st = channelizer_init_state(m, args.taps_per_phase)
     app = App(block_size=block, channels=len(select), decode_rds=True)
-    app.process(x)
+
+    # Chunked streaming (constant memory for arbitrarily long captures):
+    # the filterbank's (K-1)-frame tail carries exactly across chunks, the
+    # demod state carries in App — outputs are identical to one-shot.  Only
+    # the SELECTED station rows come back to host.
+    chunk = max(m * block, 1 << 22)
+    chunk -= chunk % m
+    for i0 in range(0, n, chunk):
+        st, y = channelize_packed(taps, st, w[i0 : min(i0 + chunk, n)], m)
+        # fetch() splits complex into f32 planes for the tunneled boundary
+        x = fetch(jnp.take(y, sel, axis=0)) / m
+        app.process(x.astype(np.complex64))
 
     os.makedirs(args.output, exist_ok=True)
     summary = []
