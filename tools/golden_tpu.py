@@ -1,0 +1,68 @@
+"""Hardware golden parity: the PRODUCTION TPU kernel path vs the compiled
+reference binary, on the same synthetic stereo+RDS station.
+
+The CPU golden test (tests/test_golden.py) runs the XLA ops path; this tool
+runs the packed-ingest fused-Pallas path on the real chip — the combination
+that caught the default-precision pilot detune (docs/PERF.md "Accuracy on
+hardware").  Expect >75 dB audio SNR and bit-exact RDS bytes.
+
+Usage:  PYTHONPATH=/root/repo:/root/.axon_site python tools/golden_tpu.py
+"""
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+
+def main() -> int:
+    from fm_radio_tpu.io.pcm import c64_to_u8
+    from fm_radio_tpu.io.synth import FMModulator, ModulatorConfig
+    from fm_radio_tpu.models.app import App
+    from fm_radio_tpu.utils.transfer import pack_iq_u8
+
+    block = 65536
+    tmp = tempfile.mkdtemp()
+    ref_bin = os.path.join(tmp, "golden_demod")
+    build = os.path.join(os.path.dirname(__file__), "..", "tests", "golden", "build.sh")
+    r = subprocess.run(["sh", build, ref_bin], capture_output=True, timeout=300)
+    if r.returncode != 0:
+        print("reference build failed:", r.stderr.decode()[:300])
+        return 2
+
+    mod = FMModulator(ModulatorConfig())
+    groups = [
+        (0x1234, (0 << 12) | (1 << 10), 0xE101, 0x4142),
+        (0x1234, (2 << 12), 0x4845, 0x4C4C),
+    ]
+    iq = mod.generate(block * 10, left_hz=1000.0, right_hz=3000.0, rds_groups=groups)
+    u8 = c64_to_u8(iq)
+    pcm = os.path.join(tmp, "in.pcm")
+    u8.tofile(pcm)
+    audio_f = os.path.join(tmp, "a.f32")
+    rds_f = os.path.join(tmp, "r.bin")
+    r = subprocess.run([ref_bin, pcm, audio_f, rds_f, str(block)],
+                       capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr.decode()[:300]
+    golden_audio = np.fromfile(audio_f, np.float32).reshape(-1, 2)
+    golden_rds = np.fromfile(rds_f, np.uint8)
+
+    w = pack_iq_u8(u8.reshape(-1, 2))
+    app = App(block_size=block, channels=1, decode_rds=True, integer_input=True)
+    app.process(w)
+    ours = app.audio[0]
+    settle = 32000 // 5
+    d = ours[settle:] - golden_audio[settle:]
+    snr = 10 * np.log10((golden_audio[settle:] ** 2).sum() / ((d ** 2).sum() + 1e-20))
+    ob = app.rds_bytes(0)
+    exact = bool(np.array_equal(ob, golden_rds[: len(ob)])) and len(ob) > 0
+    print(f"hardware golden audio SNR: {snr:.1f} dB   RDS bit-exact: {exact}")
+    ok = snr > 75.0 and exact
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
