@@ -435,8 +435,14 @@ def cmd_channelize(args) -> None:
 
     taps = make_channelizer_taps(m, args.taps_per_phase)
     st = channelizer_init_state(m, args.taps_per_phase)
-    _, y = channelize_packed(taps, st, w[:n], m)
-    y = fetch(y)
+    # chunked (constant memory; filterbank tail carries exactly)
+    chunk = max(1 << 22, m)
+    chunk -= chunk % m
+    parts = []
+    for i0 in range(0, n, chunk):
+        st, y = channelize_packed(taps, st, w[i0 : min(i0 + chunk, n)], m)
+        parts.append(fetch(y))
+    y = np.concatenate(parts, axis=1) if parts else np.zeros((m, 0), np.complex64)
     os.makedirs(args.output, exist_ok=True)
     for ch in range(m):
         path = os.path.join(args.output, f"channel_{ch:02d}.pcm")
