@@ -30,6 +30,7 @@ class App:
         channels: int = 1,
         decode_rds: bool = True,
         integer_input: bool = False,
+        rds_backend: str = "python",
     ):
         """``integer_input=True`` declares the baseband integer-valued (u8 IQ
         recentered by -127, the radio's native format) — enables the fused
@@ -44,7 +45,13 @@ class App:
         self.channels = channels
         self.demod = BroadcastFMDemod(cfg, channels)
         self.decode_rds = decode_rds
-        self.rds_chains = [RDSFullChain() for _ in range(channels)] if decode_rds else []
+        from fm_radio_tpu.rds.chain import make_rds_chain
+
+        self.rds_chains = (
+            [make_rds_chain(rds_backend) for _ in range(channels)]
+            if decode_rds
+            else []
+        )
         self._pending = np.zeros((channels, 0), dtype=np.complex64)
         self.audio_blocks: list[np.ndarray] = []
 

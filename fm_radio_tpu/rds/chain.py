@@ -55,3 +55,50 @@ class RDSFullChain:
     @property
     def db(self) -> RDSDatabase:
         return self.chain.db
+
+
+class NativeRDSFullChain:
+    """``RDSFullChain`` drop-in backed by the NATIVE Manchester + group-sync
+    state machines (runtime/fmtpu_runtime.cpp) — the serving fast path for
+    high channel counts (SCALING.md "What is deliberately NOT distributed"):
+    the bit-serial hot loops run in C++, group-type decode + database stay
+    in Python (identical log lines / database semantics).
+
+    Byte-stream artifacts (``rds_bytes``) are not produced on this path —
+    use the Python chain (the scrape artifact path) when byte-level parity
+    with fm_demod_scraper is required.
+    """
+
+    def __init__(self):
+        from fm_radio_tpu import runtime as rt
+        from fm_radio_tpu.rds.group_sync import RDSBlock
+
+        self._RDSBlock = RDSBlock
+        self._native = rt.NativeRDSBitDecoder()
+        self.chain = RDSDecodingChain()  # reuse decoder/db/log plumbing
+        self.rds_bytes: list[np.ndarray] = []
+
+    def process_symbols(self, soft_symbols: np.ndarray) -> None:
+        for g in self._native.process_symbols(soft_symbols):
+            blocks = [
+                self._RDSBlock(data=d, block_type=t, is_valid=v)
+                for d, t, v in zip(g["data"], g["types"], g["valid"])
+            ]
+            self.chain.groups.append(blocks)
+            line = self.chain.decoder.process_group(blocks)
+            self.chain.log_lines.append(line)
+
+    @property
+    def db(self) -> RDSDatabase:
+        return self.chain.db
+
+
+def make_rds_chain(backend: str = "python"):
+    """Chain factory: "python" (byte-artifact parity) or "native" (C++ bit
+    loops; falls back to Python if the runtime library is unavailable)."""
+    if backend == "native":
+        from fm_radio_tpu import runtime as rt
+
+        if rt.available():
+            return NativeRDSFullChain()
+    return RDSFullChain()

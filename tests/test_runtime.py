@@ -132,3 +132,35 @@ def test_manchester_native_matches_python():
     py_bytes = np.concatenate(emitted)
     assert nbits == 2048
     np.testing.assert_array_equal(out[: len(py_bytes)], py_bytes)
+
+
+def test_native_rds_chain_matches_python_at_app_level():
+    """App(rds_backend="native"): the C++ bit-loop chain must land the same
+    database fields and group words as the Python chain on the same
+    symbols."""
+    if not runtime.available():
+        pytest.skip("native runtime not built")
+    from fm_radio_tpu.rds.chain import NativeRDSFullChain, RDSFullChain
+
+    groups_in = [
+        (0xBEEF, (0 << 12) | (1 << 10) | seg, 0xE101,
+         (b"NATIVE! "[2 * seg] << 8) | b"NATIVE! "[2 * seg + 1])
+        for seg in range(4)
+    ] * 3
+    bits = np.concatenate([encode_rds_group(g) for g in groups_in])
+    symbols = rds_bits_to_symbols(bits).astype(np.float32)
+
+    py, nat = RDSFullChain(), NativeRDSFullChain()
+    for chunk in np.split(symbols, [257, 1031]):
+        py.process_symbols(chunk)
+        nat.process_symbols(chunk)
+
+    assert nat.db.pi_code == py.db.pi_code == 0xBEEF
+    assert nat.db.service_name_str == py.db.service_name_str == "NATIVE! "
+    py_groups = [
+        [b.data for b in g] for g in py.chain.groups if all(b.is_valid for b in g)
+    ]
+    nat_groups = [
+        [b.data for b in g] for g in nat.chain.groups if all(b.is_valid for b in g)
+    ]
+    assert nat_groups[: len(py_groups)] == py_groups
