@@ -486,7 +486,8 @@ def cmd_stations(args) -> None:
 
     taps = make_channelizer_taps(m, args.taps_per_phase)
     st = channelizer_init_state(m, args.taps_per_phase)
-    app = App(block_size=block, channels=len(select), decode_rds=True)
+    app = App(block_size=block, channels=len(select), decode_rds=True,
+              rds_backend="native" if args.rds_native else "python")
 
     # Chunked streaming (constant memory for arbitrarily long captures):
     # the filterbank's (K-1)-frame tail carries exactly across chunks, the
@@ -609,6 +610,9 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("-m", "--num-channels", type=int, default=16)
     st.add_argument("-b", "--block-size", type=int, default=65536)
     st.add_argument("--taps-per-phase", type=int, default=16)
+    st.add_argument("--rds-native", action="store_true",
+                    help="use the C++ runtime for the per-station bit-serial "
+                         "RDS loops (serving fast path at high station counts)")
     st.add_argument(
         "--select", default=None, help="comma-separated channel indices to keep"
     )

@@ -113,6 +113,7 @@ class RDSDecoder:
         dispatch_b = {
             0: self._on_group_0b,
             2: self._on_group_2b,
+            15: self._on_group_15b,
         }
         fn = dispatch_b.get(code)
         if fn is None:
@@ -256,6 +257,30 @@ class RDSDecoder:
             self.handler.on_radio_text(c1, 2 * seg + 1)
         self._ap(f"A/B={ab_flag}, segment_address={seg:+2d}, text='{c0}{c1}'")
         return has_d
+
+    def _on_group_15b(self, group) -> bool:
+        """Type 15B: fast basic tuning and switching (IEC 62106 §6.1.5.21;
+        NOT in the reference).  Blocks B and D both carry the 0B flag set
+        (TA/MS/DI/segment), no PS text — stations repeat it for fast TA
+        switching."""
+        block_b = group[1]
+        ta = (block_b.data >> 4) & 1
+        ms = (block_b.data >> 3) & 1
+        di = (block_b.data >> 2) & 1
+        seg = block_b.data & 0b11
+        tp = (block_b.data >> 10) & 1
+        self.handler.on_music_speech(bool(ms))
+        self.handler.on_traffic_announcement(bool(ta), bool(tp))
+        if seg == 0b00:
+            self.handler.on_decoder_is_dynamic_programme_type(bool(di))
+        elif seg == 0b01:
+            self.handler.on_decoder_is_compressed(bool(di))
+        elif seg == 0b10:
+            self.handler.on_decoder_is_artificial_head(bool(di))
+        else:
+            self.handler.on_decoder_is_stereo(bool(di))
+        self._ap(f"TA={ta}, M/S={ms}, decoder={di}, segment_address={seg}")
+        return True
 
     def _on_group_1a(self, group) -> bool:
         """Type 1A: programme item number / slow labelling

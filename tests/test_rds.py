@@ -236,3 +236,15 @@ def test_decoder_2b_radio_text():
                                 extra_b=seg, c=0x2222, d=d))
     chain.process(_groups_to_bytes(groups * 2))
     assert chain.db.radio_text_str.startswith("HELLO FROM SIDE B OF THE DIAL")
+
+
+def test_decoder_15b_fast_tuning():
+    """Version-B fast tuning (15B): block-B flags land in the database
+    (BEYOND the reference, which logs 15B as unsupported)."""
+    chain = RDSDecodingChain()
+    groups = [_mk_group(pi=0x15B1, gtype=15, version=1,
+                        extra_b=(1 << 4) | 0b11 | (1 << 2), c=0x15B1, d=0x0000)] * 3
+    chain.process(_groups_to_bytes(groups))
+    assert chain.db.pi_code == 0x15B1
+    assert chain.db.traffic_announcement
+    assert chain.db.is_stereo
