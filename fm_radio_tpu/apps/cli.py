@@ -7,6 +7,7 @@
     python -m fm_radio_tpu.apps.cli bench      -i in.pcm [-b 65536] [-c 64]
     python -m fm_radio_tpu.apps.cli channelize -i wide.pcm -o outdir -m 16
     python -m fm_radio_tpu.apps.cli stations   -i wide.pcm -o outdir -m 8 --select 1,5
+    python -m fm_radio_tpu.apps.cli monitor    -i in.pcm [--refresh 4] [--no-ansi]
 
 Flag parity: ``-i`` input (stdin if omitted where meaningful), ``-b`` block
 size power-of-2-ceiled (``fm_demod_no_tuner.cpp:95-129``), ``-o`` output dir
@@ -160,16 +161,7 @@ def cmd_demod(args) -> None:
         db = app.rds_database(0)
         for line in app.rds_log_lines(0):
             print(f"[rds_decoder] {line}", file=sys.stderr)
-        print(
-            json.dumps(
-                {
-                    "pi_code": f"{db.pi_code:04X}",
-                    "service_name": db.service_name_str,
-                    "radio_text": db.radio_text_str,
-                    "programme_type": db.programme_type,
-                }
-            )
-        )
+        print(json.dumps(db.summary()))
 
 
 def cmd_scrape(args) -> None:
@@ -320,15 +312,7 @@ def cmd_tune(args) -> None:
     rds_path = os.path.join(args.output, f"{stamp}_rds.bin")
     app.rds_bytes(0).tofile(rds_path)
     db = app.rds_database(0)
-    print(
-        json.dumps(
-            {
-                "pi_code": f"{db.pi_code:04X}",
-                "service_name": db.service_name_str,
-                "radio_text": db.radio_text_str,
-            }
-        )
-    )
+    print(json.dumps(db.summary()))
     print(f"wrote {wav_path} and {rds_path}")
 
 
@@ -345,16 +329,7 @@ def cmd_rds_decode(args) -> None:
     for line in chain.log_lines:
         print(f"[rds_decoder] {line}", file=sys.stderr)
     db = chain.db
-    print(
-        json.dumps(
-            {
-                "groups": len(chain.groups),
-                "pi_code": f"{db.pi_code:04X}",
-                "service_name": db.service_name_str,
-                "radio_text": db.radio_text_str,
-            }
-        )
-    )
+    print(json.dumps({"groups": len(chain.groups), **db.summary()}))
 
 
 def cmd_bench(args) -> None:
@@ -507,16 +482,15 @@ def cmd_stations(args) -> None:
         wav_path = os.path.join(args.output, f"station_{k:02d}.wav")
         write_wav_int16(wav_path, app.audio[i], app.demod.fs_audio)
         db = app.rds_database(i)
-        summary.append(
-            {
-                "channel": k,
-                "wav": wav_path,
-                "pi_code": f"{db.pi_code:04X}",
-                "service_name": db.service_name_str,
-                "radio_text": db.radio_text_str,
-            }
-        )
+        summary.append({"channel": k, "wav": wav_path, **db.summary()})
     print(json.dumps(summary, indent=1))
+
+
+def cmd_monitor(args) -> None:
+    from fm_radio_tpu.apps.monitor import run_monitor
+
+    args.block = power_ceil(args.block)
+    run_monitor(args)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -617,6 +591,27 @@ def build_parser() -> argparse.ArgumentParser:
         "--select", default=None, help="comma-separated channel indices to keep"
     )
     st.set_defaults(fn=cmd_stations)
+
+    m = sub.add_parser(
+        "monitor",
+        help="live terminal dashboard (spectra/constellation/RDS/profiler — "
+             "the reference GUI's panels, headless)",
+    )
+    m.add_argument("-i", "--input", default=None, help="pcm file (stdin if -)")
+    m.add_argument("-b", "--block", type=int, default=65536)
+    m.add_argument("--refresh", type=int, default=4,
+                   help="blocks per dashboard repaint")
+    m.add_argument("--frames", type=int, default=None,
+                   help="stop after N repaints (default: until EOF)")
+    m.add_argument("--mode", default="average",
+                   choices=["normal", "average", "max_hold"],
+                   help="spectrum display mode (calculate_fft_mag.h:9-10)")
+    m.add_argument("--width", type=int, default=64)
+    m.add_argument("--no-ansi", action="store_true",
+                   help="plain text frames, no cursor control")
+    m.add_argument("--rds-backend", default="python",
+                   choices=["python", "native"])
+    m.set_defaults(fn=cmd_monitor)
     return p
 
 

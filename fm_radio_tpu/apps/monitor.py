@@ -1,0 +1,352 @@
+"""Live terminal dashboard — the framework's equivalent of the reference GUI.
+
+Parity: the reference renders every internal tap point with ImGui/ImPlot
+(``src/gui/``, SURVEY.md §2.8): seven magnitude spectra with per-plot
+display-mode controls (``render_fm_demod.cpp:94-303,375-443``), time-domain
+and constellation plots (``render_fm_demod.cpp:499-640``), BPSK-sync loop
+internals (``render_bpsk_sync.cpp:10-75``), the RDS database table
+(``render_rds_database.cpp:9-47``) and a profiler viewer
+(``render_profiler.cpp:9-67``).  A TPU deployment is headless, so this module
+renders the same panels as a self-refreshing ANSI terminal dashboard driven
+by the tap-point API (``demod_block(include_taps=True)``) — same signals,
+same display modes (NORMAL/AVERAGE/MAX_HOLD via ``ops/spectrum.SpectrumView``),
+plus live throughput the reference GUI never shows.
+
+The frame renderer is a pure function of a stats snapshot, so tests assert on
+its output without a tty.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+# ----------------------------------------------------------------------------
+# low-level character plotting
+
+_BLOCKS = " ▁▂▃▄▅▆▇█"  # ▁▂▃▄▅▆▇█
+_ASCII = " .:-=+*#%@"
+
+
+def spark(values: np.ndarray, width: int = 64, vmin: float | None = None,
+          vmax: float | None = None, ascii_only: bool = False) -> str:
+    """One-row sparkline of ``values`` resampled to ``width`` columns."""
+    ramp = _ASCII if ascii_only else _BLOCKS
+    v = np.asarray(values, np.float64)
+    v = v[np.isfinite(v)] if not np.all(np.isfinite(v)) else v
+    if v.size == 0:
+        return " " * width
+    # bucket-average down to width columns
+    idx = np.linspace(0, v.size, width + 1).astype(int)
+    cols = np.array([v[a:b].mean() if b > a else v[min(a, v.size - 1)]
+                     for a, b in zip(idx[:-1], idx[1:])])
+    lo = float(np.min(cols)) if vmin is None else vmin
+    hi = float(np.max(cols)) if vmax is None else vmax
+    span = max(hi - lo, 1e-9)
+    q = np.clip((cols - lo) / span * (len(ramp) - 1), 0, len(ramp) - 1)
+    return "".join(ramp[int(round(x))] for x in q)
+
+
+def scatter(re: np.ndarray, im: np.ndarray, width: int = 37, height: int = 9,
+            lim: float | None = None) -> list[str]:
+    """Character-grid constellation plot (``render_util.h`` ComplexScatter)."""
+    re = np.asarray(re, np.float64).ravel()
+    im = np.asarray(im, np.float64).ravel()
+    grid = [[" "] * width for _ in range(height)]
+    cx, cy = width // 2, height // 2
+    for y in range(height):
+        grid[y][cx] = "│"  # │ axis
+    for x in range(width):
+        grid[cy][x] = "─"  # ─
+    grid[cy][cx] = "┼"  # ┼
+    if re.size:
+        if lim is None:
+            lim = max(1e-9, 1.2 * float(np.percentile(np.hypot(re, im), 95)))
+        xs = np.clip(((re / lim) * 0.5 + 0.5) * (width - 1), 0, width - 1)
+        ys = np.clip((0.5 - (im / lim) * 0.5) * (height - 1), 0, height - 1)
+        for x, y in zip(xs.astype(int), ys.astype(int)):
+            grid[y][x] = "●"  # ●
+    return ["".join(row) for row in grid]
+
+
+def _meter(value: float, lo: float, hi: float, width: int = 20) -> str:
+    frac = 0.0 if hi <= lo else min(max((value - lo) / (hi - lo), 0.0), 1.0)
+    n = int(round(frac * width))
+    return "[" + "#" * n + "-" * (width - n) + "]"
+
+
+# ----------------------------------------------------------------------------
+# frame snapshot + renderer
+
+
+@dataclasses.dataclass
+class FrameStats:
+    """Everything one dashboard frame displays (host-side numpy only)."""
+
+    block_index: int = 0
+    total_samples: int = 0
+    samples_per_s: float = 0.0
+    spectra: dict = dataclasses.field(default_factory=dict)  # name -> dB array
+    spectrum_mode: str = "average"
+    # pilot loop
+    pll_phase_error_rms: float = 0.0
+    pll_locked: bool = False
+    # audio
+    audio_rms: tuple = (0.0, 0.0)
+    stereo_lmr_rms: float = 0.0
+    # BPSK sync internals (render_bpsk_sync.cpp:10-75)
+    bpsk_points: tuple = (np.zeros(0), np.zeros(0))
+    bpsk_ted_error_rms: float = 0.0
+    bpsk_pll_error_rms: float = 0.0
+    symbols_seen: int = 0
+    # RDS database (render_rds_database.cpp:9-47)
+    rds: dict = dataclasses.field(default_factory=dict)
+    groups_seen: int = 0
+    last_group_line: str = ""
+    # profiler (render_profiler.cpp:9-67)
+    stage_ms: dict = dataclasses.field(default_factory=dict)
+
+
+# display band labels: tap name -> (title, band note)
+SPECTRUM_TAPS = {
+    "fm_in": ("baseband (1.024 MHz)", "fm_in ↓"),
+    "fm_out": ("FM demod (128 kHz)", "mono+pilot+L-R+RDS"),
+    "audio_lpr": ("audio L+R (32 kHz)", ""),
+    "rds": ("RDS band (16 kHz)", "57 kHz →0"),
+}
+
+
+def render_frame(s: FrameStats, width: int = 64, ascii_only: bool = False,
+                 channels: int = 1) -> str:
+    """Pure renderer: stats snapshot -> dashboard text."""
+    bar = "─" * (width + 14) if not ascii_only else "-" * (width + 14)
+    out: list[str] = []
+    rt = s.samples_per_s / 1.024e6 if s.samples_per_s else 0.0
+    out.append(
+        f"fmtpu monitor   block {s.block_index}   "
+        f"{s.total_samples/1e6:.1f} MS in   "
+        f"{s.samples_per_s/1e6:.2f} MS/s ({rt:.1f}x real-time"
+        + (f", {channels} ch" if channels > 1 else "") + ")"
+    )
+    out.append(bar)
+
+    # spectra panels
+    for name, (title, note) in SPECTRUM_TAPS.items():
+        db = s.spectra.get(name)
+        if db is None:
+            continue
+        line = spark(db, width=width, ascii_only=ascii_only)
+        lo, hi = float(np.min(db)), float(np.max(db))
+        out.append(f"{title:<22} |{line}| {lo:5.0f}..{hi:4.0f} dB"
+                   + (f"  {note}" if note else ""))
+    out.append(bar)
+
+    # pilot + audio row
+    lock = "LOCKED" if s.pll_locked else "UNLOCKED"
+    out.append(
+        f"pilot PLL: {lock}  phase-err RMS {s.pll_phase_error_rms:7.4f} rad  "
+        f"{_meter(-s.pll_phase_error_rms, -0.5, 0.0)}"
+    )
+    l_rms, r_rms = s.audio_rms
+    out.append(
+        f"audio: L {_meter(l_rms, 0, 1.0)} {l_rms:5.3f}   "
+        f"R {_meter(r_rms, 0, 1.0)} {r_rms:5.3f}   L-R {s.stereo_lmr_rms:5.3f}"
+    )
+    out.append(bar)
+
+    # BPSK constellation + loop internals side by side
+    con = scatter(*s.bpsk_points, lim=1.5)
+    info = [
+        "BPSK symbol sync",
+        f"  symbols      {s.symbols_seen}",
+        f"  TED err RMS  {s.bpsk_ted_error_rms:6.3f}",
+        f"  PLL err RMS  {s.bpsk_pll_error_rms:6.3f}",
+        "",
+        "RDS",
+        f"  groups       {s.groups_seen}",
+        f"  PI           {s.rds.get('pi', 0):04X}",
+        f"  PTY          {s.rds.get('pty_name', '')}",
+        f"  AF           {s.rds.get('af', '')}",
+    ]
+    for i in range(max(len(con), len(info))):
+        left = con[i] if i < len(con) else " " * len(con[0])
+        right = info[i] if i < len(info) else ""
+        out.append(f"  {left}   {right}")
+    out.append(bar)
+
+    # RDS database table
+    out.append(
+        f"station: '{s.rds.get('ps', '')}'   "
+        f"radiotext: '{s.rds.get('rt', '')}'"
+    )
+    ct = s.rds.get("ct", "")
+    flags = s.rds.get("flags", "")
+    out.append(f"clock: {ct}   {flags}")
+    if s.last_group_line:
+        out.append(f"last group: {s.last_group_line[:width + 12]}")
+    out.append(bar)
+
+    # profiler
+    if s.stage_ms:
+        parts = [f"{k} {v:6.2f} ms" for k, v in s.stage_ms.items()]
+        out.append("stages/frame: " + "  ".join(parts))
+    return "\n".join(out)
+
+
+# ----------------------------------------------------------------------------
+# live driver
+
+
+class Monitor:
+    """Streams blocks through an :class:`~fm_radio_tpu.models.app.App`,
+    maintaining SpectrumViews per displayed tap and producing frames."""
+
+    def __init__(self, app, mode: str = "average", block_size: int = 65536):
+        from fm_radio_tpu.ops.spectrum import SpectrumView
+
+        self.app = app
+        self.block_size = block_size
+        self.mode = mode
+        self.views = {name: SpectrumView(mode=mode) for name in SPECTRUM_TAPS}
+        self.blocks = 0
+        self.samples = 0
+        self.symbols = 0
+        self._t_last = time.perf_counter()
+        self._rate = 0.0
+
+    def step(self, blk: np.ndarray) -> FrameStats:
+        """Process one [C, block] (or [block]) chunk and snapshot a frame."""
+        if blk.ndim == 1:
+            blk = blk[None, :]
+        t0 = time.perf_counter()
+        outs = self.app.demod.process(blk, include_taps=True)
+        taps = outs["taps"]
+        t1 = time.perf_counter()
+
+        # feed RDS chains exactly like App._run_block
+        if self.app.decode_rds:
+            pred, valid = outs["rds_pred"], outs["rds_valid"]
+            for c in range(self.app.channels):
+                sym = pred[c][valid[c]]
+                if sym.size:
+                    self.app.rds_chains[c].process_symbols(sym)
+        t2 = time.perf_counter()
+
+        self.blocks += 1
+        self.samples += blk.shape[-1]
+        dt = max(t2 - self._t_last, 1e-9)
+        self._t_last = t2
+        inst = blk.size / dt
+        self._rate = inst if self._rate == 0 else 0.7 * self._rate + 0.3 * inst
+
+        stats = FrameStats(
+            block_index=self.blocks,
+            total_samples=self.samples,
+            samples_per_s=self._rate,
+            spectrum_mode=self.mode,
+        )
+        c0 = 0  # display channel 0 (the GUI is single-channel too)
+        for name, view in self.views.items():
+            arr = taps.get(name)
+            if arr is None:
+                continue
+            view.update(np.asarray(arr[c0]))
+            stats.spectra[name] = np.asarray(view.buffer)
+
+        pe = taps.get("pll_lpf_phase_error")
+        if pe is not None:
+            rms = float(np.sqrt(np.mean(np.square(np.asarray(pe[c0])))))
+            stats.pll_phase_error_rms = rms
+            stats.pll_locked = rms < 0.2
+        audio = np.asarray(outs["audio"][c0])
+        if audio.size:
+            stats.audio_rms = (
+                float(np.sqrt(np.mean(np.square(audio[:, 0])))),
+                float(np.sqrt(np.mean(np.square(audio[:, 1])))),
+            )
+        lmr = taps.get("audio_lmr")
+        if lmr is not None:
+            stats.stereo_lmr_rms = float(
+                np.sqrt(np.mean(np.square(np.asarray(lmr[c0]))))
+            )
+
+        iq = taps.get("bpsk_iq")
+        valid = np.asarray(outs["rds_valid"][c0])
+        if iq is not None:
+            pts = np.asarray(iq[c0])[valid]
+            stats.bpsk_points = (pts.real, pts.imag)
+        self.symbols += int(valid.sum())
+        stats.symbols_seen = self.symbols
+        for key, attr in (("bpsk_ted_pi_phase_error", "bpsk_ted_error_rms"),
+                          ("bpsk_pll_pi_phase_error", "bpsk_pll_error_rms")):
+            arr = taps.get(key)
+            if arr is not None:
+                setattr(stats, attr, float(
+                    np.sqrt(np.mean(np.square(np.asarray(arr[c0]))))))
+
+        if self.app.decode_rds:
+            chain = self.app.rds_chains[c0]
+            db = chain.db
+            from fm_radio_tpu.rds.database import PROGRAMME_TYPES
+
+            stats.groups_seen = len(chain.chain.groups)
+            lines = chain.chain.log_lines
+            stats.last_group_line = lines[-1] if lines else ""
+            stats.rds = {
+                "pi": db.pi_code,
+                "ps": db.service_name_str,
+                "rt": db.radio_text_str,
+                "pty_name": PROGRAMME_TYPES[db.programme_type][1],
+                "af": " ".join(f"{f/1e6:.1f}" for f in db.alt_freqs[:4]),
+                "ct": (f"{db.hour:02d}:{db.minute:02d} "
+                       f"{db.day:02d}/{db.month:02d}/{db.year:04d}"
+                       if db.year else ""),
+                "flags": (f"stereo={int(db.is_stereo)} "
+                          f"music={int(db.is_music)} "
+                          f"TA={db.traffic_announcement.name}"),
+            }
+        stats.stage_ms = {"demod": (t1 - t0) * 1e3, "rds": (t2 - t1) * 1e3}
+        return stats
+
+
+def run_monitor(args) -> None:
+    """CLI driver: stream a pcm file (or stdin) and repaint the dashboard."""
+    from fm_radio_tpu.models.app import App
+
+    app = App(block_size=args.block, channels=1, integer_input=True,
+              rds_backend=getattr(args, "rds_backend", "python"))
+    mon = Monitor(app, mode=args.mode, block_size=args.block)
+
+    from_file = args.input not in (None, "-")
+    fh = open(args.input, "rb") if from_file else sys.stdin.buffer
+    use_ansi = (not args.no_ansi) and sys.stdout.isatty()
+    frames = 0
+    try:
+        while args.frames is None or frames < args.frames:
+            raw = fh.read(2 * args.block * args.refresh)
+            n = (len(raw) // 2) * 2
+            if n == 0:
+                break
+            iq = np.frombuffer(raw[:n], np.uint8).reshape(-1, 2)
+            f = iq.astype(np.float32) - 127.0
+            x = (f[:, 0] + 1j * f[:, 1]).astype(np.complex64)
+            nb = x.size // args.block
+            if nb == 0:
+                break
+            stats = None
+            for b in range(nb):
+                stats = mon.step(x[b * args.block:(b + 1) * args.block])
+            frame = render_frame(stats, width=args.width,
+                                 ascii_only=args.no_ansi)
+            if use_ansi:
+                sys.stdout.write("\x1b[H\x1b[2J" + frame + "\n")
+            else:
+                sys.stdout.write(frame + "\n\n")
+            sys.stdout.flush()
+            frames += 1
+    finally:
+        if from_file:
+            fh.close()

@@ -477,6 +477,11 @@ def demod_block(
     return st, outs
 
 
+from fm_radio_tpu.utils.lru import LRUCache
+
+_COEFF_CACHE = LRUCache(16)
+
+
 class BroadcastFMDemod:
     """Convenience stateful wrapper around the pure functions (host driver).
 
@@ -538,7 +543,12 @@ class BroadcastFMDemod:
         if bad:
             raise ValueError(f"not runtime-mutable: {sorted(bad)}")
         self.cfg = dataclasses.replace(self.cfg, **changes)
-        self.coeffs = make_coeffs(self.cfg)  # state shapes unchanged
+        # LRU-memoized redesign (lru_cache.h parity): toggling between a few
+        # control settings re-runs the full designer pass only once per
+        # distinct config; state shapes are unchanged by any allowed control.
+        self.coeffs = _COEFF_CACHE.get_or_create(
+            self.cfg, lambda: make_coeffs(self.cfg)
+        )
 
     def process(self, x: np.ndarray, include_taps: bool = False) -> dict:
         """x: [C, B] complex64 centered baseband, or [C, B] f32 of packed

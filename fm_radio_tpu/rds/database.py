@@ -33,7 +33,8 @@ class RDSDatabase:
     is_compressed: bool = False
     is_dynamic_program_type: bool = False
 
-    alt_freqs: list = dataclasses.field(default_factory=list)
+    alt_freqs: list = dataclasses.field(default_factory=list)  # Hz, sorted
+    alt_freq_count: int = 0  # announced AF count (method-A header)
 
     day: int = 0
     month: int = 0
@@ -58,6 +59,17 @@ class RDSDatabase:
     @property
     def programme_type_name_str(self) -> str:
         return "".join(c or "\0" for c in self.programme_type_name).rstrip("\0")
+
+    def summary(self) -> dict:
+        """JSON-ready snapshot of the station record (the CLI's output
+        contract; the GUI table's fields, render_rds_database.cpp:9-47)."""
+        return {
+            "pi_code": f"{self.pi_code:04X}",
+            "service_name": self.service_name_str,
+            "radio_text": self.radio_text_str,
+            "programme_type": self.programme_type,
+            "alt_freqs_mhz": [f / 1e6 for f in self.alt_freqs],
+        }
 
 
 class RDSDatabaseHandler:
@@ -122,10 +134,19 @@ class RDSDatabaseHandler:
     def on_decoder_is_dynamic_programme_type(self, v: bool) -> None:
         self.db.is_dynamic_program_type = v
 
-    # AFs (the reference leaves this as TODO at
-    # rds_database_decoder_handler.cpp:100-102 — same here for parity)
+    # AFs — the reference leaves this as TODO
+    # (rds_database_decoder_handler.cpp:100-102); completed here per
+    # IEC 62106 §6.2.1.6.2 method A: a count header 224+n announces n
+    # following AF codes; codes 1..204 are VHF carriers 87.5+0.1*code MHz.
     def on_alternative_frequency_code(self, code: int, index: int) -> None:
-        pass
+        if 224 <= code <= 249:  # count header (#AFn)
+            self.db.alt_freq_count = code - 224
+            return
+        if 1 <= code <= 204:  # VHF frequency
+            freq_hz = 87_500_000 + code * 100_000
+            if freq_hz not in self.db.alt_freqs:
+                self.db.alt_freqs.append(freq_hz)
+                self.db.alt_freqs.sort()
 
     # time and date
     def on_date(self, day: int, month: int, year: int) -> None:

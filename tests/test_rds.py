@@ -248,3 +248,21 @@ def test_decoder_15b_fast_tuning():
     assert chain.db.pi_code == 0x15B1
     assert chain.db.traffic_announcement
     assert chain.db.is_stereo
+
+
+def test_decoder_0a_alternative_frequencies():
+    """AF method A storage — completes the reference's TODO at
+    rds_database_decoder_handler.cpp:100-102: count header + VHF codes
+    decode into db.alt_freqs (Hz)."""
+    chain = RDSDecodingChain()
+    # block C: (224+2)<<8 | code  -> "#AF2" header then 90.3 MHz (code 28)
+    groups = [
+        _mk_group(gtype=0, extra_b=0, c=((224 + 2) << 8) | 28, d=0x2020),
+        # 87.6 MHz (code 1) + filler (205)
+        _mk_group(gtype=0, extra_b=1, c=(1 << 8) | 205, d=0x2020),
+        # duplicate of 90.3 must not double-store
+        _mk_group(gtype=0, extra_b=2, c=(28 << 8) | 0, d=0x2020),
+    ]
+    chain.process(_groups_to_bytes(groups))
+    assert chain.db.alt_freq_count == 2
+    assert chain.db.alt_freqs == [87_600_000, 90_300_000]

@@ -99,3 +99,34 @@ def test_mix_sources():
     out = np.asarray(mix_sources(jnp.asarray(s)))
     expect = np.clip(0.8 / np.log10(20.0), -1, 1)
     np.testing.assert_allclose(out, expect, rtol=1e-5)
+
+
+def test_lru_cache_semantics():
+    from fm_radio_tpu.utils.lru import LRUCache
+
+    c = LRUCache(2)
+    c.put("a", 1)
+    c.put("b", 2)
+    assert c.get("a") == 1  # refresh 'a'
+    c.put("c", 3)  # evicts least-recent 'b'
+    assert "b" not in c and c.get("b") is None
+    assert c.get("a") == 1 and c.get("c") == 3
+    assert c.get_or_create("d", lambda: 4) == 4  # insert evicts 'a'
+    assert "a" not in c
+    assert c.hits == 3 and c.misses == 2
+
+
+def test_update_controls_coeff_redesign_is_lru_cached():
+    """Toggling between control settings must not re-run the designer pass
+    (the reference's dirty-flag UpdateFilters; here an LRU keyed by config)."""
+    from fm_radio_tpu.models.demod import BroadcastFMDemod
+
+    d = BroadcastFMDemod()
+    d.update_controls(use_deemphasis_filter=False)
+    off = d.coeffs
+    d.update_controls(use_deemphasis_filter=True)
+    on = d.coeffs
+    d.update_controls(use_deemphasis_filter=False)
+    assert d.coeffs is off  # same object: designer not re-run
+    d.update_controls(use_deemphasis_filter=True)
+    assert d.coeffs is on
