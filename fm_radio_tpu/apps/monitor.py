@@ -202,7 +202,12 @@ def render_frame(s: FrameStats, width: int = 64, ascii_only: bool = False,
 
 class Monitor:
     """Streams blocks through an :class:`~fm_radio_tpu.models.app.App`,
-    maintaining SpectrumViews per displayed tap and producing frames."""
+    maintaining SpectrumViews per displayed tap and producing frames.
+
+    Per-block work is kept cheap (production kernel path, no tap fetch);
+    taps are requested only for the block a frame is rendered from — the
+    reference GUI's pull semantics (``calculate_fft_mag.h:25-28``: spectra
+    compute when the display asks, not per DSP block)."""
 
     def __init__(self, app, mode: str = "average", block_size: int = 65536):
         from fm_radio_tpu.ops.spectrum import SpectrumView
@@ -214,16 +219,21 @@ class Monitor:
         self.blocks = 0
         self.samples = 0
         self.symbols = 0
+        self.groups_seen = 0
+        self.last_group_line = ""
         self._t_last = time.perf_counter()
         self._rate = 0.0
+        self._last: tuple[dict, dict, float, float] | None = None
 
-    def step(self, blk: np.ndarray) -> FrameStats:
-        """Process one [C, block] (or [block]) chunk and snapshot a frame."""
+    def step(self, blk: np.ndarray, with_taps: bool = True) -> None:
+        """Process one [C, block] (or [block]) chunk.  ``with_taps`` keeps
+        the intermediates of THIS block for the next :meth:`snapshot`; pass
+        False for blocks between repaints (faster: fused-kernel path, no
+        device->host tap fetch)."""
         if blk.ndim == 1:
             blk = blk[None, :]
         t0 = time.perf_counter()
-        outs = self.app.demod.process(blk, include_taps=True)
-        taps = outs["taps"]
+        outs = self.app.demod.process(blk, include_taps=with_taps)
         t1 = time.perf_counter()
 
         # feed RDS chains exactly like App._run_block
@@ -233,14 +243,36 @@ class Monitor:
                 sym = pred[c][valid[c]]
                 if sym.size:
                     self.app.rds_chains[c].process_symbols(sym)
+            # drain chain history into bounded monitor state — a live
+            # monitor runs for hours and must not accumulate per-group
+            # lists (the GUI equivalent keeps ring buffers)
+            for c, full_chain in enumerate(self.app.rds_chains):
+                ch = full_chain.chain
+                if c == 0:
+                    self.groups_seen += len(ch.groups)
+                    if ch.log_lines:
+                        self.last_group_line = ch.log_lines[-1]
+                ch.groups.clear()
+                ch.log_lines.clear()
+                rds_bytes = getattr(full_chain, "rds_bytes", None)
+                if rds_bytes:
+                    rds_bytes.clear()
         t2 = time.perf_counter()
 
         self.blocks += 1
         self.samples += blk.shape[-1]
+        self.symbols += int(np.asarray(outs["rds_valid"]).sum())
         dt = max(t2 - self._t_last, 1e-9)
         self._t_last = t2
         inst = blk.size / dt
         self._rate = inst if self._rate == 0 else 0.7 * self._rate + 0.3 * inst
+        if with_taps:
+            self._last = (outs, outs["taps"], (t1 - t0) * 1e3, (t2 - t1) * 1e3)
+
+    def snapshot(self) -> FrameStats:
+        """Build a frame from the most recent tapped block."""
+        assert self._last is not None, "step(with_taps=True) first"
+        outs, taps, demod_ms, rds_ms = self._last
 
         stats = FrameStats(
             block_index=self.blocks,
@@ -278,7 +310,6 @@ class Monitor:
         if iq is not None:
             pts = np.asarray(iq[c0])[valid]
             stats.bpsk_points = (pts.real, pts.imag)
-        self.symbols += int(valid.sum())
         stats.symbols_seen = self.symbols
         for key, attr in (("bpsk_ted_pi_phase_error", "bpsk_ted_error_rms"),
                           ("bpsk_pll_pi_phase_error", "bpsk_pll_error_rms")):
@@ -288,13 +319,11 @@ class Monitor:
                     np.sqrt(np.mean(np.square(np.asarray(arr[c0]))))))
 
         if self.app.decode_rds:
-            chain = self.app.rds_chains[c0]
-            db = chain.db
+            db = self.app.rds_chains[c0].db
             from fm_radio_tpu.rds.database import PROGRAMME_TYPES
 
-            stats.groups_seen = len(chain.chain.groups)
-            lines = chain.chain.log_lines
-            stats.last_group_line = lines[-1] if lines else ""
+            stats.groups_seen = self.groups_seen
+            stats.last_group_line = self.last_group_line
             stats.rds = {
                 "pi": db.pi_code,
                 "ps": db.service_name_str,
@@ -308,7 +337,7 @@ class Monitor:
                           f"music={int(db.is_music)} "
                           f"TA={db.traffic_announcement.name}"),
             }
-        stats.stage_ms = {"demod": (t1 - t0) * 1e3, "rds": (t2 - t1) * 1e3}
+        stats.stage_ms = {"demod": demod_ms, "rds": rds_ms}
         return stats
 
 
@@ -330,16 +359,16 @@ def run_monitor(args) -> None:
             n = (len(raw) // 2) * 2
             if n == 0:
                 break
-            iq = np.frombuffer(raw[:n], np.uint8).reshape(-1, 2)
-            f = iq.astype(np.float32) - 127.0
-            x = (f[:, 0] + 1j * f[:, 1]).astype(np.complex64)
+            from fm_radio_tpu.io.pcm import u8_to_c64
+
+            x = u8_to_c64(np.frombuffer(raw[:n], np.uint8).reshape(-1, 2))
             nb = x.size // args.block
             if nb == 0:
                 break
-            stats = None
             for b in range(nb):
-                stats = mon.step(x[b * args.block:(b + 1) * args.block])
-            frame = render_frame(stats, width=args.width,
+                mon.step(x[b * args.block:(b + 1) * args.block],
+                         with_taps=(b == nb - 1))
+            frame = render_frame(mon.snapshot(), width=args.width,
                                  ascii_only=args.no_ansi)
             if use_ansi:
                 sys.stdout.write("\x1b[H\x1b[2J" + frame + "\n")

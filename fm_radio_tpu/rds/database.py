@@ -80,6 +80,8 @@ class RDSDatabaseHandler:
         self.db = db
         self._ab_flag_ptyn: int | None = None
         self._ab_flag_rt: int | None = None
+        self._af_pending: list = []  # list cycle in progress (method A)
+        self._af_lfmf_next = False  # code 250: next code is LF/MF
 
     # identifiers
     def on_programme_identifier(self, pi_code: int) -> None:
@@ -137,16 +139,41 @@ class RDSDatabaseHandler:
     # AFs — the reference leaves this as TODO
     # (rds_database_decoder_handler.cpp:100-102); completed here per
     # IEC 62106 §6.2.1.6.2 method A: a count header 224+n announces n
-    # following AF codes; codes 1..204 are VHF carriers 87.5+0.1*code MHz.
+    # following AF codes; codes 1..204 are VHF carriers 87.5+0.1*code MHz;
+    # code 250 escapes ONE following LF/MF code (1..15 -> LF 153+9(code-1)
+    # kHz, 16..135 -> MF 531+9(code-16) kHz).  A list builds in a pending
+    # buffer and commits when the announced count is reached, so the
+    # database always shows a complete, current cycle (stale entries from a
+    # revised list drop out at the next commit).
     def on_alternative_frequency_code(self, code: int, index: int) -> None:
-        if 224 <= code <= 249:  # count header (#AFn)
+        if self._af_lfmf_next:
+            self._af_lfmf_next = False
+            if 1 <= code <= 15:
+                self._af_add(153_000 + (code - 1) * 9_000)
+            elif 16 <= code <= 135:
+                self._af_add(531_000 + (code - 16) * 9_000)
+            return
+        if 224 <= code <= 249:  # count header (#AFn): a new list cycle
             self.db.alt_freq_count = code - 224
+            self._af_pending = []
+            return
+        if code == 250:  # LF/MF escape
+            self._af_lfmf_next = True
             return
         if 1 <= code <= 204:  # VHF frequency
-            freq_hz = 87_500_000 + code * 100_000
-            if freq_hz not in self.db.alt_freqs:
-                self.db.alt_freqs.append(freq_hz)
-                self.db.alt_freqs.sort()
+            self._af_add(87_500_000 + code * 100_000)
+
+    def _af_add(self, freq_hz: int) -> None:
+        if freq_hz not in self._af_pending:
+            self._af_pending.append(freq_hz)
+        count = self.db.alt_freq_count
+        if count and len(self._af_pending) >= count:
+            self.db.alt_freqs = sorted(self._af_pending)
+            self._af_pending = []
+        elif not count:  # no header seen yet: expose what we have
+            self.db.alt_freqs = sorted(
+                set(self.db.alt_freqs) | {freq_hz}
+            )
 
     # time and date
     def on_date(self, day: int, month: int, year: int) -> None:

@@ -266,3 +266,26 @@ def test_decoder_0a_alternative_frequencies():
     chain.process(_groups_to_bytes(groups))
     assert chain.db.alt_freq_count == 2
     assert chain.db.alt_freqs == [87_600_000, 90_300_000]
+
+
+def test_decoder_af_lfmf_escape_and_list_commit():
+    """Code 250 escapes one LF/MF code (not a VHF carrier); a list commits
+    when the announced count is reached, replacing any previous cycle."""
+    chain = RDSDecodingChain()
+    groups = [
+        # header #AF3, then VHF 90.3
+        _mk_group(gtype=0, extra_b=0, c=((224 + 3) << 8) | 28, d=0x2020),
+        # LF/MF escape, then MF code 20 -> 531 + 4*9 = 567 kHz
+        _mk_group(gtype=0, extra_b=1, c=(250 << 8) | 20, d=0x2020),
+        # VHF 87.6 completes the 3-entry list
+        _mk_group(gtype=0, extra_b=2, c=(1 << 8) | 205, d=0x2020),
+    ]
+    chain.process(_groups_to_bytes(groups))
+    assert chain.db.alt_freq_count == 3
+    assert chain.db.alt_freqs == [567_000, 87_600_000, 90_300_000]
+    # a revised list (new header cycle) replaces the old one on commit
+    groups2 = [
+        _mk_group(gtype=0, extra_b=0, c=((224 + 1) << 8) | 40, d=0x2020),
+    ]
+    chain.process(_groups_to_bytes(groups2))
+    assert chain.db.alt_freqs == [87_500_000 + 40 * 100_000]

@@ -19,12 +19,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from fm_radio_tpu.io.pcm import c64_to_u8, u8_to_c64  # noqa: E402
 from fm_radio_tpu.io.synth import FMModulator, ModulatorConfig  # noqa: E402
