@@ -8,6 +8,7 @@
     python -m fm_radio_tpu.apps.cli channelize -i wide.pcm -o outdir -m 16
     python -m fm_radio_tpu.apps.cli stations   -i wide.pcm -o outdir -m 8 --select 1,5
     python -m fm_radio_tpu.apps.cli monitor    -i in.pcm [--refresh 4] [--no-ansi]
+    python -m fm_radio_tpu.apps.cli synth      -o out.pcm [--ps NAME --rt TEXT --af 87.6] [--stations K -m M]
 
 Flag parity: ``-i`` input (stdin if omitted where meaningful), ``-b`` block
 size power-of-2-ceiled (``fm_demod_no_tuner.cpp:95-129``), ``-o`` output dir
@@ -486,6 +487,58 @@ def cmd_stations(args) -> None:
     print(json.dumps(summary, indent=1))
 
 
+def cmd_synth(args) -> None:
+    """Signal generator: synthesize reference-format ``*.pcm`` captures (the
+    reference has no transmitter at all — its users need off-air recordings;
+    ``fmtpu synth`` produces a complete stereo+RDS station, or a wideband
+    multi-station capture on the channelizer's carrier grid, optionally with
+    AWGN at a chosen CNR)."""
+    from fm_radio_tpu.io.pcm import c64_to_u8
+    from fm_radio_tpu.io.synth import (
+        FMModulator,
+        ModulatorConfig,
+        make_wideband,
+        station_group_schedule,
+    )
+
+    n = int(args.seconds * 1_024_000)
+    af = ([float(s) for s in args.af.split(",")] if args.af else None)
+
+    def one_station(pi: int, ps: str, left: float, right: float):
+        mod = FMModulator(ModulatorConfig())
+        groups = station_group_schedule(pi, ps=ps, rt=args.rt, af_mhz=af,
+                                        pty=args.pty)
+        return mod.generate(n, left_hz=left, right_hz=right,
+                            rds_groups=groups)
+
+    if args.stations <= 1:
+        iq = one_station(int(args.pi, 0), args.ps, args.left_hz,
+                         args.right_hz)
+        rate = 1_024_000
+    else:
+        m = args.num_channels or power_ceil(args.stations + 2)
+        base_pi = int(args.pi, 0)
+        station_iq = {
+            k + 1: one_station(base_pi + k, f"ST {k + 1:02d}".ljust(8),
+                               args.left_hz * (1 + 0.5 * k), args.right_hz)
+            for k in range(args.stations)
+        }
+        iq = make_wideband(station_iq, m) / 2.0  # headroom for the u8 grid
+        rate = 1_024_000 * m
+
+    if args.cnr is not None:
+        amp = float(np.mean(np.abs(iq)))
+        sigma = amp / np.sqrt(2.0 * 10.0 ** (args.cnr / 10.0))
+        rng = np.random.default_rng(args.seed)
+        iq = iq + sigma * (rng.standard_normal(iq.size)
+                           + 1j * rng.standard_normal(iq.size)
+                           ).astype(np.complex64)
+
+    c64_to_u8(iq.astype(np.complex64)).tofile(args.output)
+    print(json.dumps({"path": args.output, "samples": int(iq.size),
+                      "rate": rate, "stations": max(args.stations, 1)}))
+
+
 def cmd_monitor(args) -> None:
     from fm_radio_tpu.apps.monitor import run_monitor
 
@@ -591,6 +644,30 @@ def build_parser() -> argparse.ArgumentParser:
         "--select", default=None, help="comma-separated channel indices to keep"
     )
     st.set_defaults(fn=cmd_stations)
+
+    sy = sub.add_parser(
+        "synth",
+        help="signal generator: synthesize a stereo+RDS station (or a "
+             "wideband multi-station capture) as reference-format pcm",
+    )
+    sy.add_argument("-o", "--output", required=True)
+    sy.add_argument("--seconds", type=float, default=1.0)
+    sy.add_argument("--pi", default="0x1234", help="PI code (hex ok)")
+    sy.add_argument("--ps", default="FMTPU   ", help="8-char service name")
+    sy.add_argument("--rt", default="", help="RadioText (<=64 chars)")
+    sy.add_argument("--af", default=None,
+                    help="comma-separated alternative freqs in MHz")
+    sy.add_argument("--pty", type=int, default=0)
+    sy.add_argument("--left-hz", type=float, default=1000.0)
+    sy.add_argument("--right-hz", type=float, default=3000.0)
+    sy.add_argument("--cnr", type=float, default=None,
+                    help="add AWGN at this carrier-to-noise (dB)")
+    sy.add_argument("--seed", type=int, default=0)
+    sy.add_argument("--stations", type=int, default=1,
+                    help=">1: wideband capture, stations on the carrier grid")
+    sy.add_argument("-m", "--num-channels", type=int, default=None,
+                    help="wideband oversample factor (default: fits stations)")
+    sy.set_defaults(fn=cmd_synth)
 
     m = sub.add_parser(
         "monitor",

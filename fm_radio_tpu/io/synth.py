@@ -85,6 +85,69 @@ def rds_bits_to_symbols(bits: np.ndarray, initial: int = 0) -> np.ndarray:
     return sym
 
 
+def station_group_schedule(
+    pi: int,
+    ps: str = "",
+    rt: str = "",
+    af_mhz: list[float] | None = None,
+    pty: int = 0,
+    tp: int = 0,
+) -> list[tuple[int, int, int, int]]:
+    """Build the repeating RDS group cycle for a station: 0A groups carrying
+    the 8-char programme-service name + method-A alternative frequencies,
+    interleaved with 2A RadioText groups (IEC 62106 §6.1.5.1/.3 layouts —
+    the same fields ``rds_decoder.cpp:159-337`` parses)."""
+    groups: list[tuple[int, int, int, int]] = []
+    ps8 = (ps or "").ljust(8)[:8].encode("latin-1", "replace")
+    # AF code stream: count header then VHF codes, padded to pairs with 205
+    af_codes: list[int] = []
+    if af_mhz:
+        af_codes.append(224 + len(af_mhz))
+        for f in af_mhz:
+            code = int(round((f - 87.5) * 10))
+            if not 1 <= code <= 204:
+                raise ValueError(f"AF {f} MHz outside 87.6..107.9")
+            af_codes.append(code)
+    if len(af_codes) % 2:
+        af_codes.append(205)  # filler
+    for seg in range(4):
+        b = (0 << 12) | (tp << 10) | ((pty & 0x1F) << 5) | seg
+        if seg == 3:
+            b |= 1 << 2  # DI stereo bit arrives on segment 3
+        c = ((af_codes[2 * seg] << 8) | af_codes[2 * seg + 1]
+             if 2 * seg + 1 < len(af_codes) else (205 << 8) | 205)
+        d = (ps8[2 * seg] << 8) | ps8[2 * seg + 1]
+        groups.append((pi, b, c, d))
+    if rt:
+        text = rt[:64]
+        if len(text) < 64:
+            text += "\r"  # carriage-return terminator (Clause 6.1.5.3)
+        text += "\r" * ((-len(text)) % 4)  # pad the last group
+        tb = text.encode("latin-1", "replace")
+        for seg in range(len(tb) // 4):
+            b = (2 << 12) | (tp << 10) | ((pty & 0x1F) << 5) | seg
+            c = (tb[4 * seg] << 8) | tb[4 * seg + 1]
+            d = (tb[4 * seg + 2] << 8) | tb[4 * seg + 3]
+            groups.append((pi, b, c, d))
+    return groups
+
+
+def make_wideband(
+    station_iq: dict[int, np.ndarray], m: int, fs_ch: float = 1_024_000.0
+) -> np.ndarray:
+    """Mix channel-rate station IQ into one wideband capture at ``m*fs_ch``:
+    station ``k`` lands at carrier ``k*fs_ch`` (the channelizer's bin grid).
+    Zero-order-hold interpolation: its sinc images are far below FM's
+    capture threshold and fall in other bins' stopbands."""
+    n_wide = max(iq.size for iq in station_iq.values()) * m
+    t = np.arange(n_wide) / (fs_ch * m)
+    wide = np.zeros(n_wide, np.complex64)
+    for k, iq in station_iq.items():
+        up = np.repeat(iq, m)[:n_wide]
+        wide += (up * np.exp(2j * np.pi * (k * fs_ch) * t)).astype(np.complex64)
+    return wide
+
+
 class FMModulator:
     """Stateful block modulator (phase-continuous across blocks)."""
 

@@ -253,3 +253,41 @@ def test_scrape_stream_matches_batch(pcm_file, tmp_path):
     assert b1 == b2
     # WAV payloads identical; headers may differ only in chunk-size fields
     assert w1[44:] == w2[44:] and len(w1) == len(w2)
+
+
+def test_synth_single_station_roundtrip(tmp_path):
+    """`synth` -> `demod`: generated station must decode its PI, service
+    name, RadioText and alternative-frequency list."""
+    pcm = str(tmp_path / "syn.pcm")
+    out = run_cli("synth", "-o", pcm, "--seconds", "1.0", "--pi", "0xABCD",
+                  "--ps", "TESTFM  ", "--rt", "HELLO FROM TPU",
+                  "--af", "87.6,90.3")
+    assert out.returncode == 0, out.stderr.decode()
+    info = json.loads(out.stdout.decode().strip())
+    assert info["samples"] == 1_024_000 and info["rate"] == 1_024_000
+
+    out = run_cli("demod", "-i", pcm, "-b", "32768",
+                  "-o", str(tmp_path / "syn.wav"))
+    assert out.returncode == 0, out.stderr.decode()
+    db = json.loads(out.stdout.decode().strip().splitlines()[-1])
+    assert db["pi_code"] == "ABCD"
+    assert db["service_name"] == "TESTFM  "
+    assert db["radio_text"] == "HELLO FROM TPU"
+    assert db["alt_freqs_mhz"] == [87.6, 90.3]
+
+
+def test_synth_wideband_stations_roundtrip(tmp_path):
+    """`synth --stations` -> `stations`: each station in the generated
+    wideband capture decodes its own PI/name."""
+    pcm = str(tmp_path / "wide.pcm")
+    out = run_cli("synth", "-o", pcm, "--seconds", "1.0",
+                  "--stations", "2", "-m", "4", "--pi", "0x3000")
+    assert out.returncode == 0, out.stderr.decode()
+
+    out = run_cli("stations", "-i", pcm, "-o", str(tmp_path / "st"),
+                  "-m", "4", "-b", "32768", "--select", "1,2")
+    assert out.returncode == 0, out.stderr.decode()
+    text = out.stdout.decode()
+    rows = json.loads(text[text.index("["):])
+    assert [r["pi_code"] for r in rows] == ["3000", "3001"]
+    assert [r["service_name"] for r in rows] == ["ST 01   ", "ST 02   "]
