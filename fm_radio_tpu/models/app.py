@@ -41,7 +41,6 @@ class App:
         if integer_input:
             cfg = dataclasses.replace(cfg, assume_integer_input=True)
         self.block_size = block_size
-        self.cfg = cfg
         self.channels = channels
         self.demod = BroadcastFMDemod(cfg, channels)
         self.decode_rds = decode_rds
@@ -54,6 +53,13 @@ class App:
         )
         self._pending = np.zeros((channels, 0), dtype=np.complex64)
         self.audio_blocks: list[np.ndarray] = []
+
+    @property
+    def cfg(self) -> DemodConfig:
+        """The live config — delegates to the demodulator so runtime control
+        changes (``demod.update_controls``) are never shadowed by a stale
+        App-level copy."""
+        return self.demod.cfg
 
     # -- input paths -------------------------------------------------------
 
@@ -110,10 +116,11 @@ class App:
             return
         t = n_blocks * self.block_size
         final_state, outs = demod_stream(
-            self.cfg,
+            self.demod.cfg,  # demod.cfg tracks update_controls; self.cfg doesn't
             np.ascontiguousarray(buf[:, :t]),
             self.block_size,
             state=self.demod.state,
+            coeffs=self.demod.coeffs,
         )
         self.demod.state = final_state
         from fm_radio_tpu.utils.transfer import fetch
@@ -167,7 +174,7 @@ def demod_stream(
     x: np.ndarray,
     block_size: int = 65536,
     state: dict | None = None,
-    channels_first: bool = True,
+    coeffs: dict | None = None,
 ):
     """Whole-stream demodulation in ONE device call: ``lax.scan`` over blocks.
 
@@ -179,8 +186,11 @@ def demod_stream(
 
     This is the offline/throughput path (the jitted equivalent of the
     fm_demod_benchmark fread loop) — one trace, no host round-trips.
+    Pass ``coeffs`` to reuse an existing design (e.g. after
+    ``update_controls``); by default they are designed from ``cfg``.
     """
-    coeffs = make_coeffs(cfg)
+    if coeffs is None:
+        coeffs = make_coeffs(cfg)
     c, t = x.shape
     assert t % block_size == 0
     n_blocks = t // block_size
@@ -203,7 +213,10 @@ def demod_stream(
 
     def step(st, blk):
         st, outs = demod_block(cfg, coeffs, st, blk)
-        return st, outs
+        # return only what demod_stream consumes — anything else (complex
+        # rds_sym, per-sample bpsk iq) would be stacked across ALL blocks
+        # by lax.scan: pure wasted HBM on the throughput path
+        return st, {k: outs[k] for k in ("audio", "rds_pred", "rds_valid")}
 
     final_state, outs = jax.lax.scan(step, state, xb)
     # [n_blocks, C, ...] -> [C, n_blocks*...]

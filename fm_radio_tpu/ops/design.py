@@ -36,13 +36,20 @@ def prewarp_normalised_frequency(kd: float) -> float:
     return 2.0 / np.pi * np.tan(np.pi / 2.0 * kd)
 
 
-def create_fir_lpf(n: int, k: float, window=window_hamming) -> np.ndarray:
-    """Windowed-sinc low-pass FIR (``filter_designer.cpp:84-107``)."""
-    assert n > 0 and 0.0 < k < 1.0
+def _sinc_grid(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Windowed-sinc design grid shared by LPF/HPF/BPF: returns
+    (window argument 2*pi*i/(n-1), centered index i-(n-1)/2).
+    ``n > 1``: a single-tap sinc design divides by n-1 == 0."""
+    assert n > 1, "windowed-sinc designers need n > 1 taps"
     i = np.arange(n, dtype=np.float64)
     m = float(n - 1)
-    t0 = 2.0 * np.pi * i / m
-    t1 = i - m / 2.0
+    return 2.0 * np.pi * i / m, i - m / 2.0
+
+
+def create_fir_lpf(n: int, k: float, window=window_hamming) -> np.ndarray:
+    """Windowed-sinc low-pass FIR (``filter_designer.cpp:84-107``)."""
+    assert 0.0 < k < 1.0
+    t0, t1 = _sinc_grid(n)
     h = window(t0) * (k * _sinc(k * t1))
     return h.astype(np.float32)
 
@@ -50,22 +57,16 @@ def create_fir_lpf(n: int, k: float, window=window_hamming) -> np.ndarray:
 def create_fir_hpf(n: int, k: float, window=window_hamming) -> np.ndarray:
     """Windowed-sinc high-pass FIR: h = sinc - k*sinc(k t)
     (``filter_designer.cpp:109-129``)."""
-    assert n > 0 and 0.0 < k < 1.0
-    i = np.arange(n, dtype=np.float64)
-    m = float(n - 1)
-    t0 = 2.0 * np.pi * i / m
-    t1 = i - m / 2.0
+    assert 0.0 < k < 1.0
+    t0, t1 = _sinc_grid(n)
     h = window(t0) * (_sinc(t1) - k * _sinc(k * t1))
     return h.astype(np.float32)
 
 
 def create_fir_bpf(n: int, k1: float, k2: float, window=window_hamming) -> np.ndarray:
     """Band-pass as difference of two LPFs (``filter_designer.cpp:131-155``)."""
-    assert n > 0 and 0.0 < k1 < k2 < 1.0
-    i = np.arange(n, dtype=np.float64)
-    m = float(n - 1)
-    t0 = 2.0 * np.pi * i / m
-    t1 = i - m / 2.0
+    assert 0.0 < k1 < k2 < 1.0
+    t0, t1 = _sinc_grid(n)
     h = window(t0) * (k2 * _sinc(k2 * t1) - k1 * _sinc(k1 * t1))
     return h.astype(np.float32)
 

@@ -327,7 +327,8 @@ def polyphase_upsample(taps, state: jnp.ndarray, x: jnp.ndarray, factor: int):
     assert nn % factor == 0
     k = nn // factor
     x_pad = jnp.concatenate([state.astype(x.dtype), x], axis=-1)  # [C, N+K-1]
-    new_state = x_pad[:, -(k - 1):]
+    # positive slice start: `-(k-1):` with k==1 would return the WHOLE array
+    new_state = x_pad[:, x_pad.shape[-1] - (k - 1):]
 
     # Phase p of output i uses taps h[p], h[p+L], ... against the last K inputs.
     # y[i*L + p] = sum_q h_rev_p[q] * x_pad[i + q]  (matches the reference's

@@ -35,4 +35,5 @@ def delay_line(state: jnp.ndarray, x: jnp.ndarray):
     """
     k = state.shape[-1]
     x_pad = jnp.concatenate([state, x], axis=-1)
-    return x_pad[:, -k:], x_pad[:, : x.shape[-1]]
+    # positive slice start: `-k:` with k==0 would return the WHOLE array
+    return x_pad[:, x_pad.shape[-1] - k:], x_pad[:, : x.shape[-1]]

@@ -9,10 +9,13 @@ TPU mapping: the polyphase partial filters are the same feature-contraction
 conv as the decimator (MXU), and the cross-phase DFT is a single batched FFT
 along an axis of length M — both dense, both compiler-friendly.
 
-Math (critically sampled DFT filterbank, h = prototype LPF of length M*K):
-    y_k[n] = sum_m exp(+j 2 pi k m / M) * (sum_i h[iM + m] x[nM - iM - m])
-i.e. polyphase-filter each input phase, then IFFT across phases.  Channel k
-is x mixed down by k*Fs/M and LPF'd to Fs/M, times M (FFT scaling).
+Math (critically sampled DFT filterbank, h = prototype LPF of length M*K;
+frames[j, p] = x[j*M + p]):
+    z_p[n] = sum_r h_rev[r*M + p] * frames[n + r, p]
+    y_k[n] = sum_p exp(-j 2 pi k p / M) * z_p[n]       (forward FFT over p)
+Channel k is x mixed down by k*Fs/M and LPF'd to Fs/M, times M (FFT
+scaling) — the e^{-j} sign is pinned by
+test_channelizer_matches_direct_downconversion.
 """
 
 from __future__ import annotations
@@ -90,7 +93,9 @@ def channelize_p(taps, state_p, xp, num_channels: int):
 
     xr_pad = jnp.concatenate([sr, xr], axis=-1)
     xi_pad = jnp.concatenate([si, xi], axis=-1)
-    new_state = (xr_pad[-(k - 1) * m :], xi_pad[-(k - 1) * m :])
+    # positive slice start: `-(k-1)*m:` with k==1 would carry the whole block
+    tail = xr_pad.shape[-1] - (k - 1) * m
+    new_state = (xr_pad[tail:], xi_pad[tail:])
     n_frames = xr_pad.shape[-1] // m  # T/M + K - 1
     n_out = n_frames - (k - 1)
 

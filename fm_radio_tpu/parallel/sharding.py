@@ -122,8 +122,9 @@ def demod_time_parallel(
     def shard_fn(x_local: jnp.ndarray):
         # x_local: [C_local, T/n_t]
         c_local = x_local.shape[0]
-        # halo: my last `halo` samples -> right neighbor
-        my_tail = x_local[:, -halo:]
+        # halo: my last `halo` samples -> right neighbor (positive slice
+        # start: `-halo:` with warmup_blocks==0 would send the whole shard)
+        my_tail = x_local[:, x_local.shape[-1] - halo:]
         left_tail = jax.lax.ppermute(
             my_tail, mesh_axis, [(i, (i + 1) % n_t) for i in range(n_t)]
         )

@@ -290,3 +290,22 @@ def test_update_controls_midstream():
     import pytest
     with pytest.raises(ValueError):
         d.update_controls(order_fir_hilbert=129)  # orders are not mutable
+
+
+def test_process_all_respects_runtime_controls():
+    """`process_all` (the one-dispatch scan path) must honor controls applied
+    via demod.update_controls — it once re-designed coefficients from a stale
+    App-level config and silently diverged from `process`."""
+    mod = FMModulator(ModulatorConfig())
+    iq = mod.generate(BLOCK * 2, left_hz=1000.0, right_hz=3000.0)
+
+    def run(batch: bool):
+        app = App(block_size=BLOCK, channels=1, decode_rds=False)
+        app.demod.update_controls(audio_out="lpr", use_deemphasis_filter=True)
+        (app.process_all if batch else app.process)(iq)
+        return app.audio[0]
+
+    a, b = run(False), run(True)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    # LPR mode: both channels identical
+    np.testing.assert_array_equal(a[:, 0], a[:, 1])

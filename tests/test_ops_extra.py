@@ -108,3 +108,47 @@ def test_spectrum_view_triggers():
     env = np.asarray(m.buffer)
     for x in (x1, x2):
         assert env.max() >= np.asarray(fft_mag_db(jnp.asarray(x))).max() - 1e-3
+
+
+def test_polyphase_upsample_streaming_single_tap_phase():
+    """Degenerate taps_per_phase==1 (len(taps)==factor): the carried state
+    must stay EMPTY — a `-0:` slice once returned the whole block and
+    duplicated output on the next call."""
+    l = 4
+    taps = np.full(l, 1.0 / l, np.float32)  # K=1 per phase
+    x = RNG.standard_normal((2, 64)).astype(np.float32)
+    st = polyphase_upsample_init_state(2, 1)
+    st1, y_full = polyphase_upsample(taps, st, jnp.asarray(x), l)
+    assert st1.shape[-1] == 0
+    st = polyphase_upsample_init_state(2, 1)
+    parts = []
+    for blk in np.split(x, 2, axis=1):
+        st, y = polyphase_upsample(taps, st, jnp.asarray(blk), l)
+        parts.append(np.asarray(y))
+    got = np.concatenate(parts, axis=1)
+    assert got.shape == np.asarray(y_full).shape
+    np.testing.assert_allclose(np.asarray(y_full), got, atol=1e-6)
+
+
+def test_delay_line_zero_delay():
+    """K==0 must be the identity with an empty carried state (a `-0:` slice
+    once grew the state by a block per call)."""
+    x = RNG.standard_normal((1, 16)).astype(np.float32)
+    st = jnp.zeros((1, 0), jnp.float32)
+    st, y1 = delay_line(st, jnp.asarray(x[:, :8]))
+    assert st.shape[-1] == 0
+    st, y2 = delay_line(st, jnp.asarray(x[:, 8:]))
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(y1), np.asarray(y2)], axis=1), x
+    )
+
+
+def test_fir_designers_reject_single_tap():
+    import pytest
+
+    from fm_radio_tpu.ops.design import create_fir_bpf, create_fir_hpf
+
+    for fn, args in ((create_fir_lpf, (1, 0.5)), (create_fir_hpf, (1, 0.5)),
+                     (create_fir_bpf, (1, 0.2, 0.5))):
+        with pytest.raises(AssertionError):
+            fn(*args)

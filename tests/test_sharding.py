@@ -265,3 +265,38 @@ def test_channelizer_packed_matches_planes():
     np.testing.assert_array_equal(np.asarray(ai), np.asarray(bi))
     for a, b in zip(st1, st2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_channelizer_streaming_single_tap_phase():
+    """taps_per_phase==1: carried state must be empty (a `-(k-1)*m:` slice
+    once carried the whole padded block and duplicated channel samples)."""
+    m = 4
+    n = 64 * m
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    taps = np.full(m, 1.0, np.float32)  # K=1: plain M-point DFT bank
+    st = channelizer_init_state(m, 1)
+    _, y_full = channelize(taps, st, jnp.asarray(x), m)
+    st = channelizer_init_state(m, 1)
+    parts = []
+    for blk in np.split(x, 2):
+        st, y = channelize(taps, st, jnp.asarray(blk), m)
+        parts.append(np.asarray(y))
+    got = np.concatenate(parts, axis=1)
+    assert got.shape == np.asarray(y_full).shape
+    np.testing.assert_allclose(np.asarray(y_full), got, atol=1e-5)
+
+
+def test_time_parallel_zero_warmup_shapes(iq):
+    """warmup_blocks=0 must emit exactly the payload length (a `-0:` halo
+    slice once prepended the ENTIRE left shard, doubling the output)."""
+    cfg = DemodConfig()
+    coeffs = make_coeffs(cfg)
+    x = np.asarray(iq)[None, :]
+    mesh = make_mesh(1, 4)
+    outs = demod_time_parallel(
+        cfg, coeffs, jnp.asarray(x), mesh, block_size=BLOCK, warmup_blocks=0
+    )
+    audio = np.asarray(outs["audio"])
+    assert audio.shape == (1, x.shape[-1] // 32, 2)
+    assert np.isfinite(audio).all()
