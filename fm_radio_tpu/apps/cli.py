@@ -420,9 +420,13 @@ def cmd_channelize(args) -> None:
         parts.append(fetch(y))
     y = np.concatenate(parts, axis=1) if parts else np.zeros((m, 0), np.complex64)
     os.makedirs(args.output, exist_ok=True)
+    # ONE common scale across channels: per-channel normalization would
+    # blow empty bins' leakage floor up to full-scale u8 noise and destroy
+    # relative station levels
+    scale = max(float(np.abs(y).max()) / 100.0, 1e-9) if y.size else 1.0
     for ch in range(m):
         path = os.path.join(args.output, f"channel_{ch:02d}.pcm")
-        c64_to_u8(y[ch] / max(np.abs(y[ch]).max() / 100.0, 1e-9)).tofile(path)
+        c64_to_u8(y[ch] / scale).tofile(path)
     print(f"wrote {m} channel files to {args.output}")
 
 
@@ -523,7 +527,11 @@ def cmd_synth(args) -> None:
                                args.left_hz * (1 + 0.5 * k), args.right_hz)
             for k in range(args.stations)
         }
-        iq = make_wideband(station_iq, m) / 2.0  # headroom for the u8 grid
+        iq = make_wideband(station_iq, m)
+        # normalize the SUM to the u8 grid: a fixed /2 clips at >=3 stations
+        # (each station has amplitude 100; peaks add)
+        peak = max(float(np.abs(iq.real).max()), float(np.abs(iq.imag).max()))
+        iq = iq * (120.0 / max(peak, 1e-9))
         rate = 1_024_000 * m
 
     if args.cnr is not None:

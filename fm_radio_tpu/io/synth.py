@@ -110,12 +110,17 @@ def station_group_schedule(
             af_codes.append(code)
     if len(af_codes) % 2:
         af_codes.append(205)  # filler
-    for seg in range(4):
+    # AF codes stream 2-per-0A-group independent of the PS segment address,
+    # so a long AF list needs more than one 4-segment PS cycle — otherwise
+    # the announced count is never reached and no list ever commits
+    n_0a = max(4, len(af_codes) // 2)
+    for gi in range(n_0a):
+        seg = gi % 4
         b = (0 << 12) | (tp << 10) | ((pty & 0x1F) << 5) | seg
         if seg == 3:
             b |= 1 << 2  # DI stereo bit arrives on segment 3
-        c = ((af_codes[2 * seg] << 8) | af_codes[2 * seg + 1]
-             if 2 * seg + 1 < len(af_codes) else (205 << 8) | 205)
+        c = ((af_codes[2 * gi] << 8) | af_codes[2 * gi + 1]
+             if 2 * gi + 1 < len(af_codes) else (205 << 8) | 205)
         d = (ps8[2 * seg] << 8) | ps8[2 * seg + 1]
         groups.append((pi, b, c, d))
     if rt:
@@ -209,8 +214,13 @@ class FMModulator:
             # repeat the BIT stream, then differentially encode once:
             # tiling the encoded symbols instead would break differential
             # continuity at every repetition seam (one bit error per ~104
-            # bits unless the final encoded level happens to be 0)
-            need_sym = int(np.ceil(n_samples / (cfg.fs / (2 * cfg.rds_symbol_rate)))) + 1
+            # bits unless the final encoded level happens to be 0).
+            # multiplex() indexes symbols by the ABSOLUTE sample counter, so
+            # a streaming (multi-call) modulator must cover 0.._n+n_samples
+            # — sizing from n_samples alone froze the subcarrier at the last
+            # symbol from the second block on.
+            sps = cfg.fs / (2 * cfg.rds_symbol_rate)
+            need_sym = int(np.ceil((self._n + n_samples) / sps)) + 1
             reps = max(int(np.ceil(need_sym / (2 * len(bits)))), 1)
             sym = rds_bits_to_symbols(np.tile(bits, reps))
         return self.modulate(self.multiplex(left, right, sym))

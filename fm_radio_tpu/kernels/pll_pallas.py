@@ -16,6 +16,7 @@ jit-static ``DemodConfig``.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -214,8 +215,10 @@ def _pilot_pll_run(cfg, state: PilotPLLState, theta_cn: jnp.ndarray,
     producing/consuming kernels); the flips to the loop's time-major form
     happen in VMEM inside the kernel — no XLA transpose passes."""
     c, n = theta_cn.shape
-    ct = c if c <= 2048 else 2048
-    assert c % ct == 0, "channel count must tile by 2048"
+    # channel tile: whole array up to 2048 lanes, else the largest
+    # power-of-two divisor of c (gcd with 2048) — any c works, unlike a
+    # fixed 2048 tile which rejected e.g. 2560 (= 5*512)
+    ct = c if c <= 2048 else math.gcd(c, 2048)
     nc = pick_time_chunk(n, ct)
     n_chunks = n // nc
     channel_major = ct % 8 == 0  # in-VMEM transpose wants full sublane tiles

@@ -79,8 +79,7 @@ class RDSGroupSync:
             # sync test (rds_group_sync.cpp:58-63): raw CRC of the
             # A-offset-stripped word must be exactly 0 (no correction here)
             if crc10_bitserial(self._buf ^ OFFSET_WORDS["A"]) != 0:
-                self._bits_desync += 1
-                continue
+                continue  # counted once above, not twice
             log.info("Locked onto block A after %d bits", self._bits_desync)
             self._state = "READ_BLOCK"
             self._bits_desync = 0

@@ -180,8 +180,21 @@ class NativeRDSBitDecoder:
         self._bits = np.zeros(1 << 16, dtype=np.uint8)  # packed bit staging
         self._nbits = 0
 
+    # The bit staging buffer holds 2^16 bytes = 2^19 bits; one bit lands per
+    # 2 symbols, so cap each native call well under 2^20 symbols (otherwise
+    # the C loop would write past the numpy buffer).
+    _MAX_SYMBOLS_PER_CALL = 1 << 19
+
     def process_symbols(self, symbols: np.ndarray) -> list[dict]:
         s = np.ascontiguousarray(symbols, dtype=np.float32)
+        groups: list[dict] = []
+        for i0 in range(0, len(s), self._MAX_SYMBOLS_PER_CALL):
+            groups.extend(
+                self._process_chunk(s[i0 : i0 + self._MAX_SYMBOLS_PER_CALL])
+            )
+        return groups
+
+    def _process_chunk(self, s: np.ndarray) -> list[dict]:
         self._nbits = self._lib.rt_manchester_process(
             self._m,
             s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -192,13 +205,16 @@ class NativeRDSBitDecoder:
         n_bytes = self._nbits // 8
         if n_bytes == 0:
             return []
-        out = np.zeros(12 * 64, dtype=np.uint16)
+        # worst case one group per 104 bits — size the output for the chunk
+        # instead of a fixed cap that silently drops groups
+        max_groups = n_bytes * 8 // 104 + 2
+        out = np.zeros(12 * max_groups, dtype=np.uint16)
         n = self._lib.rt_group_sync_process(
             self._g,
             self._bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             n_bytes,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-            64,
+            max_groups,
         )
         # keep leftover bits (not full bytes) at the front of the staging buf
         rem_bits = self._nbits - 8 * n_bytes

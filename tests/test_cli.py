@@ -291,3 +291,15 @@ def test_synth_wideband_stations_roundtrip(tmp_path):
     rows = json.loads(text[text.index("["):])
     assert [r["pi_code"] for r in rows] == ["3000", "3001"]
     assert [r["service_name"] for r in rows] == ["ST 01   ", "ST 02   "]
+
+
+def test_synth_wideband_no_clipping(tmp_path):
+    """>=3 stations summed must be normalized to the u8 grid (a fixed /2
+    scale once clipped ~19% of samples into intermod products)."""
+    pcm = str(tmp_path / "w4.pcm")
+    out = run_cli("synth", "-o", pcm, "--seconds", "0.25",
+                  "--stations", "4", "-m", "8")
+    assert out.returncode == 0, out.stderr.decode()
+    raw = np.fromfile(pcm, np.uint8)
+    clipped = np.mean((raw == 0) | (raw == 255))
+    assert clipped < 1e-4, f"{clipped:.2%} of samples clipped"

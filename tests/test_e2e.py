@@ -309,3 +309,19 @@ def test_process_all_respects_runtime_controls():
     np.testing.assert_allclose(a, b, atol=1e-5)
     # LPR mode: both channels identical
     np.testing.assert_array_equal(a[:, 0], a[:, 1])
+
+
+def test_modulator_streaming_matches_one_shot():
+    """Two generate() calls must produce the identical IQ as one call of the
+    combined length (phase- and RDS-symbol-continuity across blocks; the
+    symbol stream was once sized per call and froze from block 2 on)."""
+    groups = [(0x1234, 0, 0x0000, 0x4142)]
+    n = 65536
+    m1 = FMModulator(ModulatorConfig())
+    one = m1.generate(2 * n, left_hz=700.0, right_hz=1900.0, rds_groups=groups)
+    m2 = FMModulator(ModulatorConfig())
+    a = m2.generate(n, left_hz=700.0, right_hz=1900.0, rds_groups=groups)
+    b = m2.generate(n, left_hz=700.0, right_hz=1900.0, rds_groups=groups)
+    np.testing.assert_allclose(
+        np.concatenate([a, b]), one, atol=1e-3
+    )

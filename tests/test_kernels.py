@@ -473,3 +473,16 @@ def test_channelizer_pallas_matches_xla():
         np.testing.assert_allclose(np.asarray(br), np.asarray(ar), atol=2e-5)
         np.testing.assert_allclose(np.asarray(bi), np.asarray(ai), atol=2e-5)
     np.testing.assert_array_equal(np.asarray(st_a[0]), np.asarray(st_b[0]))
+
+
+def test_pll_pallas_non_power_of_two_channel_tile():
+    """c=2560 (5*512) used to crash the fixed c%2048 tiling assert; the
+    tile is now the largest power-of-two divisor."""
+    c, n = 2560, 128
+    coeffs = make_coeffs(CFG)
+    pilot = jnp.asarray(_pilot_signal(4, n))
+    pilot = jnp.tile(pilot, (c // 4, 1))
+    st0 = init_on_device(pilot_pll_init_state, c)
+    st_scan, taps = pilot_pll_scan(coeffs.pll, st0, pilot)
+    st_pal, dt = pilot_pll_pallas(CFG, st0, pilot, interpret=True)
+    np.testing.assert_allclose(np.asarray(dt), np.asarray(taps["dt"]), atol=2e-6)

@@ -289,3 +289,19 @@ def test_decoder_af_lfmf_escape_and_list_commit():
     ]
     chain.process(_groups_to_bytes(groups2))
     assert chain.db.alt_freqs == [87_500_000 + 40 * 100_000]
+
+
+def test_station_schedule_long_af_list_commits():
+    """9 alternative frequencies need >4 0A groups; the schedule must carry
+    every announced code so the decoder's pending list reaches the count."""
+    from fm_radio_tpu.io.synth import station_group_schedule
+
+    af = [87.6 + 0.1 * i for i in range(9)]
+    groups = station_group_schedule(0x1234, ps="NINEAFS ", af_mhz=af)
+    chain = RDSDecodingChain()
+    chain.process(_groups_to_bytes(groups * 2))
+    assert chain.db.alt_freq_count == 9
+    assert len(chain.db.alt_freqs) == 9
+    np.testing.assert_allclose(
+        [f / 1e6 for f in chain.db.alt_freqs], af, atol=1e-6
+    )

@@ -164,3 +164,21 @@ def test_native_rds_chain_matches_python_at_app_level():
         [b.data for b in g] for g in nat.chain.groups if all(b.is_valid for b in g)
     ]
     assert nat_groups[: len(py_groups)] == py_groups
+
+
+def test_native_rds_decoder_many_groups_one_call():
+    """A single process_symbols call with hundreds of groups must return
+    them ALL (a fixed 64-group output buffer once silently dropped the
+    rest) without overrunning the bit staging buffer."""
+    from fm_radio_tpu.runtime import NativeRDSBitDecoder
+
+    n_groups = 300
+    blocks = (0x1234, 0x0000, 0x1111, 0x2222)
+    bits = np.tile(encode_rds_group(blocks), n_groups)
+    symbols = rds_bits_to_symbols(bits).astype(np.float32)
+    dec = NativeRDSBitDecoder()
+    groups = dec.process_symbols(symbols)
+    full = [g for g in groups if all(g["valid"])]
+    # first group may be lost to differential/sync alignment
+    assert len(full) >= n_groups - 2
+    assert all(g["data"] == [0x1234, 0x0000, 0x1111, 0x2222] for g in full)
