@@ -9,6 +9,7 @@
     python -m fm_radio_tpu.apps.cli stations   -i wide.pcm -o outdir -m 8 --select 1,5
     python -m fm_radio_tpu.apps.cli monitor    -i in.pcm [--refresh 4] [--no-ansi]
     python -m fm_radio_tpu.apps.cli synth      -o out.pcm [--ps NAME --rt TEXT --af 87.6] [--stations K -m M]
+    python -m fm_radio_tpu.apps.cli selftest   [--seconds 2.0] [--cnr 30]
 
 Flag parity: ``-i`` input (stdin if omitted where meaningful), ``-b`` block
 size power-of-2-ceiled (``fm_demod_no_tuner.cpp:95-129``), ``-o`` output dir
@@ -554,6 +555,87 @@ def cmd_monitor(args) -> None:
     run_monitor(args)
 
 
+def cmd_selftest(args) -> None:
+    """Headless install/accuracy check: synthesize a known stereo+RDS station,
+    run the full demod chain on the active backend, and gate on tone recovery,
+    stereo separation, and RDS field decode.  This is the framework's
+    replacement for the reference's manual validation loop (play a sample
+    recording, eye-check the GUI spectra/constellation/database —
+    ``README.md:56-60`` + render_rds_database.cpp); here it is one command
+    with machine-readable pass/fail."""
+    from fm_radio_tpu.io.pcm import c64_to_u8
+    from fm_radio_tpu.io.synth import (
+        FMModulator,
+        ModulatorConfig,
+        station_group_schedule,
+    )
+    from fm_radio_tpu.models.app import App
+
+    pi, ps = 0x1234, "SELFTEST"
+    left_hz, right_hz = 1000.0, 3000.0
+    block = power_ceil(args.block_size)
+    n = max(int(args.seconds * 1_024_000) // block, 8) * block
+
+    mod = FMModulator(ModulatorConfig())
+    groups = station_group_schedule(pi, ps=ps, rt="FMTPU SELFTEST")
+    iq = mod.generate(n, left_hz=left_hz, right_hz=right_hz, rds_groups=groups)
+    if args.cnr is not None:
+        amp = float(np.mean(np.abs(iq)))
+        sigma = amp / np.sqrt(2.0 * 10.0 ** (args.cnr / 10.0))
+        rng = np.random.default_rng(0)
+        iq = iq + sigma * (
+            rng.standard_normal(iq.size) + 1j * rng.standard_normal(iq.size)
+        ).astype(np.complex64)
+
+    # exercise the real user ingest path: u8 quantization + packed words
+    u8 = c64_to_u8(iq.astype(np.complex64)).reshape(-1, 2)
+    app = App(block_size=block, channels=1, integer_input=True)
+    t0 = time.time()
+    app.process(pack_iq_u8(u8))
+    elapsed = time.time() - t0
+
+    audio = app.audio[0]
+    fs = app.demod.fs_audio
+    settle = int(0.15 * fs)
+    left, right = audio[settle:, 0], audio[settle:, 1]
+
+    def tone_ratio_db(x, f0, bw=100.0):
+        spec = np.abs(np.fft.rfft(x * np.hanning(len(x)))) ** 2
+        freqs = np.fft.rfftfreq(len(x), 1 / fs)
+        band = (freqs > f0 - bw) & (freqs < f0 + bw)
+        return 10 * np.log10(spec[band].sum() / (spec.sum() + 1e-30))
+
+    separation = tone_ratio_db(right, right_hz) - tone_ratio_db(left, right_hz)
+    db = app.rds_database(0).summary()
+    n_groups = len(app.rds_log_lines(0))
+
+    checks = {
+        "left_tone_db": (round(float(tone_ratio_db(left, left_hz)), 1), -3.0),
+        "right_tone_db": (round(float(tone_ratio_db(right, right_hz)), 1), -3.0),
+        "stereo_separation_db": (round(float(separation), 1), 20.0),
+        "rds_groups": (int(n_groups), 5),
+    }
+    results = {k: {"value": v, "min": lo, "pass": bool(v > lo)}
+               for k, (v, lo) in checks.items()}
+    results["rds_pi"] = {"value": db["pi_code"], "expect": f"{pi:04X}",
+                         "pass": db["pi_code"] == f"{pi:04X}"}
+    results["rds_service_name"] = {"value": db["service_name"], "expect": ps,
+                                   "pass": db["service_name"] == ps}
+    ok = all(r["pass"] for r in results.values())
+
+    import jax
+
+    print(json.dumps({
+        "pass": ok,
+        "backend": jax.devices()[0].platform,
+        "seconds_audio": round(n / 1_024_000, 3),
+        "seconds_elapsed": round(elapsed, 3),
+        "checks": results,
+    }))
+    if not ok:
+        sys.exit(1)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fmtpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -697,6 +779,16 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--rds-backend", default="python",
                    choices=["python", "native"])
     m.set_defaults(fn=cmd_monitor)
+
+    sf = sub.add_parser(
+        "selftest",
+        help="synthesize a known station, demod it, gate accuracy (one-line "
+             "JSON verdict; exit 1 on failure)")
+    sf.add_argument("--seconds", type=float, default=2.0)
+    sf.add_argument("-b", "--block-size", type=int, default=65536)
+    sf.add_argument("--cnr", type=float, default=None,
+                    help="optionally add AWGN at this carrier-to-noise dB")
+    sf.set_defaults(fn=cmd_selftest)
     return p
 
 

@@ -303,3 +303,15 @@ def test_synth_wideband_no_clipping(tmp_path):
     raw = np.fromfile(pcm, np.uint8)
     clipped = np.mean((raw == 0) | (raw == 255))
     assert clipped < 1e-4, f"{clipped:.2%} of samples clipped"
+
+
+def test_selftest_passes():
+    """`fmtpu selftest` — the headless install check (synth -> demod ->
+    gates) must pass end-to-end on a clean checkout."""
+    out = run_cli("selftest")
+    assert out.returncode == 0, out.stderr.decode()
+    text = out.stdout.decode()
+    verdict = json.loads(text[text.index("{"):])
+    assert verdict["pass"] is True
+    assert verdict["checks"]["rds_service_name"]["value"] == "SELFTEST"
+    assert verdict["checks"]["stereo_separation_db"]["value"] > 20.0
