@@ -576,6 +576,9 @@ def cmd_selftest(args) -> None:
     block = power_ceil(args.block_size)
     n = max(int(args.seconds * 1_024_000) // block, 8) * block
 
+    if args.stations > 1:
+        return _selftest_wideband(args, n, block, pi, left_hz, right_hz)
+
     mod = FMModulator(ModulatorConfig())
     groups = station_group_schedule(pi, ps=ps, rt="FMTPU SELFTEST")
     iq = mod.generate(n, left_hz=left_hz, right_hz=right_hz, rds_groups=groups)
@@ -628,6 +631,83 @@ def cmd_selftest(args) -> None:
     print(json.dumps({
         "pass": ok,
         "backend": jax.devices()[0].platform,
+        "seconds_audio": round(n / 1_024_000, 3),
+        "seconds_elapsed": round(elapsed, 3),
+        "checks": results,
+    }))
+    if not ok:
+        sys.exit(1)
+
+
+def _selftest_wideband(args, n: int, block: int, base_pi: int,
+                       left_hz: float, right_hz: float) -> None:
+    """Wideband leg of ``fmtpu selftest``: K stations on the channelizer
+    carrier grid -> polyphase FFT filterbank -> ONE channel-batched demod ->
+    per-station PI/PS gates.  Exercises the framework's headline path
+    (synth --stations + channelize + stations) end-to-end in-process."""
+    import jax
+    import jax.numpy as jnp
+
+    from fm_radio_tpu.io.pcm import c64_to_u8
+    from fm_radio_tpu.io.synth import (
+        FMModulator,
+        ModulatorConfig,
+        make_wideband,
+        station_group_schedule,
+    )
+    from fm_radio_tpu.models.app import App
+    from fm_radio_tpu.parallel.channelizer import (
+        channelize_packed,
+        channelizer_init_state,
+        make_channelizer_taps,
+    )
+    from fm_radio_tpu.utils.transfer import fetch
+
+    k_st = int(args.stations)
+    m = power_ceil(k_st + 2)
+    station_iq = {}
+    for k in range(k_st):
+        mod = FMModulator(ModulatorConfig())
+        groups = station_group_schedule(base_pi + k,
+                                        ps=f"ST {k + 1:02d}".ljust(8))
+        station_iq[k + 1] = mod.generate(
+            n, left_hz=left_hz * (1 + 0.5 * k), right_hz=right_hz,
+            rds_groups=groups)
+    iq = make_wideband(station_iq, m)
+    peak = max(float(np.abs(iq.real).max()), float(np.abs(iq.imag).max()))
+    u8 = c64_to_u8((iq * (120.0 / max(peak, 1e-9))).astype(np.complex64))
+
+    taps = make_channelizer_taps(m, 16)
+    st = channelizer_init_state(m, 16)
+    sel = jnp.asarray(np.arange(1, k_st + 1, dtype=np.int32))
+    app = App(block_size=block, channels=k_st)
+    w = pack_iq_u8(u8.reshape(-1, 2))
+    t0 = time.time()
+    chunk = max(m * block, 1 << 22)
+    chunk -= chunk % m
+    for i0 in range(0, (len(w) // m) * m, chunk):
+        st, y = channelize_packed(taps, st, w[i0 : i0 + chunk], m)
+        app.process(fetch(jnp.take(y, sel, axis=0)).astype(np.complex64) / m)
+    elapsed = time.time() - t0
+
+    results = {}
+    ok = True
+    for i in range(k_st):
+        db = app.rds_database(i).summary()
+        want_pi, want_ps = f"{base_pi + i:04X}", f"ST {i + 1:02d}".ljust(8)
+        st_ok = (db["pi_code"] == want_pi
+                 and db["service_name"] == want_ps
+                 and len(app.rds_log_lines(i)) >= 5)
+        results[f"station_{i + 1}"] = {
+            "pi": db["pi_code"], "expect_pi": want_pi,
+            "service_name": db["service_name"], "pass": st_ok,
+        }
+        ok = ok and st_ok
+
+    print(json.dumps({
+        "pass": ok,
+        "backend": jax.devices()[0].platform,
+        "mode": f"wideband x{k_st} (m={m})",
         "seconds_audio": round(n / 1_024_000, 3),
         "seconds_elapsed": round(elapsed, 3),
         "checks": results,
@@ -788,6 +868,9 @@ def build_parser() -> argparse.ArgumentParser:
     sf.add_argument("-b", "--block-size", type=int, default=65536)
     sf.add_argument("--cnr", type=float, default=None,
                     help="optionally add AWGN at this carrier-to-noise dB")
+    sf.add_argument("--stations", type=int, default=1,
+                    help=">1: wideband mode — K stations through the "
+                         "channelize->batched-demod pipeline")
     sf.set_defaults(fn=cmd_selftest)
     return p
 

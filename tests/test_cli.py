@@ -315,3 +315,14 @@ def test_selftest_passes():
     assert verdict["pass"] is True
     assert verdict["checks"]["rds_service_name"]["value"] == "SELFTEST"
     assert verdict["checks"]["stereo_separation_db"]["value"] > 20.0
+
+
+def test_selftest_wideband():
+    """`fmtpu selftest --stations 2` gates the channelize -> batched-demod
+    pipeline: each station's PI + service name must decode."""
+    out = run_cli("selftest", "--stations", "2")
+    assert out.returncode == 0, out.stderr.decode()
+    text = out.stdout.decode()
+    verdict = json.loads(text[text.index("{"):])
+    assert verdict["pass"] is True
+    assert verdict["checks"]["station_2"]["pi"] == "1235"
