@@ -431,6 +431,52 @@ def cmd_channelize(args) -> None:
     print(f"wrote {m} channel files to {args.output}")
 
 
+def _add_awgn(iq: np.ndarray, cnr_db: float, seed: int = 0) -> np.ndarray:
+    """Complex AWGN at a chosen carrier-to-noise ratio (dB) relative to the
+    mean carrier amplitude — shared by synth and the selftest gates."""
+    amp = float(np.mean(np.abs(iq)))
+    sigma = amp / np.sqrt(2.0 * 10.0 ** (cnr_db / 10.0))
+    rng = np.random.default_rng(seed)
+    return iq + sigma * (
+        rng.standard_normal(iq.size) + 1j * rng.standard_normal(iq.size)
+    ).astype(np.complex64)
+
+
+def _normalize_wideband(iq: np.ndarray) -> np.ndarray:
+    """Scale a multi-station sum to the u8 grid: a fixed /2 clips at >=3
+    stations (each has amplitude 100; peaks add)."""
+    peak = max(float(np.abs(iq.real).max()), float(np.abs(iq.imag).max()))
+    return iq * (120.0 / max(peak, 1e-9))
+
+
+def _run_channelized(w: np.ndarray, m: int, taps_per_phase: int,
+                     select: list[int], app) -> None:
+    """Chunked wideband streaming: packed words -> polyphase FFT filterbank
+    -> the SELECTED station rows into a channel-batched App.  Constant
+    memory for arbitrarily long captures: the filterbank's (K-1)-frame tail
+    carries exactly across chunks, the demod state carries in App — outputs
+    are identical to one-shot."""
+    import jax.numpy as jnp
+
+    from fm_radio_tpu.parallel.channelizer import (
+        channelize_packed,
+        channelizer_init_state,
+        make_channelizer_taps,
+    )
+    from fm_radio_tpu.utils.transfer import fetch
+
+    taps = make_channelizer_taps(m, taps_per_phase)
+    st = channelizer_init_state(m, taps_per_phase)
+    sel = jnp.asarray(np.asarray(select, np.int32))
+    n = (len(w) // m) * m
+    chunk = max(m * app.block_size, 1 << 22)
+    chunk -= chunk % m
+    for i0 in range(0, n, chunk):
+        st, y = channelize_packed(taps, st, w[i0 : min(i0 + chunk, n)], m)
+        # fetch() splits complex into f32 planes for the tunneled boundary
+        app.process(fetch(jnp.take(y, sel, axis=0)) / m)
+
+
 def cmd_stations(args) -> None:
     """Wideband IQ -> channelize -> ONE channel-batched demod of every
     station -> per-station WAV + RDS database.
@@ -442,45 +488,21 @@ def cmd_stations(args) -> None:
     """
     from fm_radio_tpu.io.wav import write_wav_int16
     from fm_radio_tpu.models.app import App
-    from fm_radio_tpu.parallel.channelizer import (
-        channelize_packed,
-        channelizer_init_state,
-        make_channelizer_taps,
-    )
-    from fm_radio_tpu.utils.transfer import fetch
-
-    import jax.numpy as jnp
 
     m = args.num_channels
     block = power_ceil(args.block_size)
     # packed ingest: one f32 word per sample (half the host->device bytes),
     # unpacked in-VMEM by the channelizer kernel
     w = pack_iq_u8(_read_input_u8(args.input))
-    n = (len(w) // m) * m
 
     select = (
         sorted(int(s) for s in args.select.split(","))
         if args.select
         else list(range(m))
     )
-    sel = jnp.asarray(np.asarray(select, np.int32))
-
-    taps = make_channelizer_taps(m, args.taps_per_phase)
-    st = channelizer_init_state(m, args.taps_per_phase)
     app = App(block_size=block, channels=len(select), decode_rds=True,
               rds_backend="native" if args.rds_native else "python")
-
-    # Chunked streaming (constant memory for arbitrarily long captures):
-    # the filterbank's (K-1)-frame tail carries exactly across chunks, the
-    # demod state carries in App — outputs are identical to one-shot.  Only
-    # the SELECTED station rows come back to host.
-    chunk = max(m * block, 1 << 22)
-    chunk -= chunk % m
-    for i0 in range(0, n, chunk):
-        st, y = channelize_packed(taps, st, w[i0 : min(i0 + chunk, n)], m)
-        # fetch() splits complex into f32 planes for the tunneled boundary
-        x = fetch(jnp.take(y, sel, axis=0)) / m
-        app.process(x.astype(np.complex64))
+    _run_channelized(w, m, args.taps_per_phase, select, app)
 
     os.makedirs(args.output, exist_ok=True)
     summary = []
@@ -528,20 +550,11 @@ def cmd_synth(args) -> None:
                                args.left_hz * (1 + 0.5 * k), args.right_hz)
             for k in range(args.stations)
         }
-        iq = make_wideband(station_iq, m)
-        # normalize the SUM to the u8 grid: a fixed /2 clips at >=3 stations
-        # (each station has amplitude 100; peaks add)
-        peak = max(float(np.abs(iq.real).max()), float(np.abs(iq.imag).max()))
-        iq = iq * (120.0 / max(peak, 1e-9))
+        iq = _normalize_wideband(make_wideband(station_iq, m))
         rate = 1_024_000 * m
 
     if args.cnr is not None:
-        amp = float(np.mean(np.abs(iq)))
-        sigma = amp / np.sqrt(2.0 * 10.0 ** (args.cnr / 10.0))
-        rng = np.random.default_rng(args.seed)
-        iq = iq + sigma * (rng.standard_normal(iq.size)
-                           + 1j * rng.standard_normal(iq.size)
-                           ).astype(np.complex64)
+        iq = _add_awgn(iq, args.cnr, args.seed)
 
     c64_to_u8(iq.astype(np.complex64)).tofile(args.output)
     print(json.dumps({"path": args.output, "samples": int(iq.size),
@@ -583,12 +596,7 @@ def cmd_selftest(args) -> None:
     groups = station_group_schedule(pi, ps=ps, rt="FMTPU SELFTEST")
     iq = mod.generate(n, left_hz=left_hz, right_hz=right_hz, rds_groups=groups)
     if args.cnr is not None:
-        amp = float(np.mean(np.abs(iq)))
-        sigma = amp / np.sqrt(2.0 * 10.0 ** (args.cnr / 10.0))
-        rng = np.random.default_rng(0)
-        iq = iq + sigma * (
-            rng.standard_normal(iq.size) + 1j * rng.standard_normal(iq.size)
-        ).astype(np.complex64)
+        iq = _add_awgn(iq, args.cnr)
 
     # exercise the real user ingest path: u8 quantization + packed words
     u8 = c64_to_u8(iq.astype(np.complex64)).reshape(-1, 2)
@@ -646,7 +654,6 @@ def _selftest_wideband(args, n: int, block: int, base_pi: int,
     per-station PI/PS gates.  Exercises the framework's headline path
     (synth --stations + channelize + stations) end-to-end in-process."""
     import jax
-    import jax.numpy as jnp
 
     from fm_radio_tpu.io.pcm import c64_to_u8
     from fm_radio_tpu.io.synth import (
@@ -656,12 +663,6 @@ def _selftest_wideband(args, n: int, block: int, base_pi: int,
         station_group_schedule,
     )
     from fm_radio_tpu.models.app import App
-    from fm_radio_tpu.parallel.channelizer import (
-        channelize_packed,
-        channelizer_init_state,
-        make_channelizer_taps,
-    )
-    from fm_radio_tpu.utils.transfer import fetch
 
     k_st = int(args.stations)
     m = power_ceil(k_st + 2)
@@ -673,21 +674,15 @@ def _selftest_wideband(args, n: int, block: int, base_pi: int,
         station_iq[k + 1] = mod.generate(
             n, left_hz=left_hz * (1 + 0.5 * k), right_hz=right_hz,
             rds_groups=groups)
-    iq = make_wideband(station_iq, m)
-    peak = max(float(np.abs(iq.real).max()), float(np.abs(iq.imag).max()))
-    u8 = c64_to_u8((iq * (120.0 / max(peak, 1e-9))).astype(np.complex64))
+    iq = _normalize_wideband(make_wideband(station_iq, m))
+    if args.cnr is not None:
+        iq = _add_awgn(iq, args.cnr)
+    u8 = c64_to_u8(iq.astype(np.complex64))
 
-    taps = make_channelizer_taps(m, 16)
-    st = channelizer_init_state(m, 16)
-    sel = jnp.asarray(np.arange(1, k_st + 1, dtype=np.int32))
     app = App(block_size=block, channels=k_st)
     w = pack_iq_u8(u8.reshape(-1, 2))
     t0 = time.time()
-    chunk = max(m * block, 1 << 22)
-    chunk -= chunk % m
-    for i0 in range(0, (len(w) // m) * m, chunk):
-        st, y = channelize_packed(taps, st, w[i0 : i0 + chunk], m)
-        app.process(fetch(jnp.take(y, sel, axis=0)).astype(np.complex64) / m)
+    _run_channelized(w, m, 16, list(range(1, k_st + 1)), app)
     elapsed = time.time() - t0
 
     results = {}
