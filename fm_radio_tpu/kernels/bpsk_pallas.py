@@ -9,6 +9,7 @@ zero-crossing detector with cooldown, TED ramp clock, integrate-&-dump — a
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -172,8 +173,10 @@ def bpsk_sync_pallas(cfg, state: BPSKState, x: jnp.ndarray, interpret: bool = Fa
 
     xr, xi = x if isinstance(x, tuple) else (x.real, x.imag)
     c, n = xr.shape
-    ct = c if c <= 512 else 512
-    assert c % ct == 0
+    # channel tile: whole array up to 512 lanes, else the largest power-of-2
+    # divisor (gcd with 512) — any c works; narrow gcds are slow but correct
+    # (the auto gate in models/demod.py keeps such shapes on the scan path)
+    ct = c if c <= 512 else math.gcd(c, 512)
     nc = pick_time_chunk(n, ct)
     n_chunks = n // nc
 

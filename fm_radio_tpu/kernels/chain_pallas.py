@@ -38,14 +38,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fm_radio_tpu.kernels.frontend_pallas import _band_matrix, _ds4_disc_core
-from fm_radio_tpu.kernels.midend_pallas import (
-    _DE_X1, _DE_Y1, _NSTATE,
-    _PKI_X1, _PKI_X2, _PKI_Y1, _PKI_Y2,
-    _PKR_X1, _PKR_X2, _PKR_Y1, _PKR_Y2,
-    _band_m, _iir_tile_mats, _midend_body, _LI, _NO, _TB,
+from fm_radio_tpu.kernels.frontend_pallas import (
+    _band_matrix, _ds4_disc_core, disc_scale, pack_front_tail,
 )
-from fm_radio_tpu.kernels.extract_pallas import _extract_body
+from fm_radio_tpu.kernels.midend_pallas import (
+    _band_m, _midend_body, _LI, _NO, _NSTATE, _TB,
+    mid_iir_params, pack_mid_state, unpack_mid_iir_state,
+)
+from fm_radio_tpu.kernels.extract_pallas import _extract_body, pack_ext_tails
 from fm_radio_tpu.kernels.pll_pallas import pll_consts_from_cfg, _wrap
 from fm_radio_tpu.models.pilot_pll import PilotPLLState
 
@@ -269,19 +269,16 @@ def demod_chain_pallas(
     lr = t_blk // 64
 
     r = cfg.rates
-    # ---- K1 params (as frontend_pallas.ds4_disc_pallas) ------------------
+    # ---- K1 params (shared helpers: frontend_pallas) ---------------------
     nn1 = coeffs.taps_fm_in.shape[0]
     halo1 = nn1 - 4
     band1 = _band_matrix(coeffs.taps_fm_in)
-    k1_tail = jnp.zeros((2, c, _TB), jnp.float32)
-    k1_tail = k1_tail.at[0, :, _TB - halo1 :].set(state["ds_fm_in"].real)
-    k1_tail = k1_tail.at[1, :, _TB - halo1 :].set(state["ds_fm_in"].imag)
-    scale = (
-        1.0 / (2.0 * np.pi * cfg.analog.f_wbfm_deviation * (1.0 / float(r.fs_fm_in)))
-        * 0.5
+    k1_tail = pack_front_tail(
+        (state["ds_fm_in"].real, state["ds_fm_in"].imag), c, halo1
     )
+    scale = disc_scale(cfg.analog.f_wbfm_deviation, float(r.fs_fm_in))
 
-    # ---- K2 params (as midend_pallas.midend_pallas) ----------------------
+    # ---- K2 params (shared helpers: midend_pallas) -----------------------
     nn2 = coeffs.taps_fm_out.shape[0]
     halo2 = nn2 - 2
     k_h = coeffs.taps_hilbert.shape[0]
@@ -289,33 +286,8 @@ def demod_chain_pallas(
     use_deemph = bool(cfg.use_deemphasis_filter)
     band2 = _band_m(coeffs.taps_fm_out, 2)
     band3 = _band_m(coeffs.taps_hilbert, 1)
-    if use_deemph:
-        t1, hm1, pm1 = _iir_tile_mats(coeffs.deemph_b, coeffs.deemph_a, _LI)
-        aux1 = jnp.concatenate([hm1, pm1], axis=0)
-    else:
-        t1 = jnp.zeros((_LI, _LI), jnp.float32)
-        aux1 = jnp.zeros((2, _LI), jnp.float32)
-    tp, hm_p, pm_p = _iir_tile_mats(coeffs.peak_b, coeffs.peak_a, _LI)
-    auxp = jnp.concatenate([hm_p, pm_p], axis=0)
-    tail2 = jnp.zeros((c, _TB), jnp.float32).at[:, _TB - halo2 :].set(
-        state["ds_fm_out"]
-    )
-    htail = jnp.zeros((c, _TB), jnp.float32).at[:, _TB - (k_h - 1) :].set(
-        state["hilbert"]
-    )
-    de = state["deemph"]
-    pk = state["peak_pilot"]
-    mid_st0 = jnp.zeros((c, _NSTATE), jnp.float32)
-    mid_st0 = mid_st0.at[:, _DE_X1].set(de["x_hist"][:, 0])
-    mid_st0 = mid_st0.at[:, _DE_Y1].set(de["y_hist"][:, 0])
-    mid_st0 = mid_st0.at[:, _PKR_X1].set(pk["x_hist"][:c, 0])
-    mid_st0 = mid_st0.at[:, _PKR_X2].set(pk["x_hist"][:c, 1])
-    mid_st0 = mid_st0.at[:, _PKI_X1].set(pk["x_hist"][c:, 0])
-    mid_st0 = mid_st0.at[:, _PKI_X2].set(pk["x_hist"][c:, 1])
-    mid_st0 = mid_st0.at[:, _PKR_Y1].set(pk["y_hist"][:c, 0])
-    mid_st0 = mid_st0.at[:, _PKR_Y2].set(pk["y_hist"][:c, 1])
-    mid_st0 = mid_st0.at[:, _PKI_Y1].set(pk["y_hist"][c:, 0])
-    mid_st0 = mid_st0.at[:, _PKI_Y2].set(pk["y_hist"][c:, 1])
+    t1, aux1, tp, auxp = mid_iir_params(coeffs, use_deemph)
+    tail2, htail, mid_st0 = pack_mid_state(state, c, halo2, k_h)
 
     # ---- PLL params ------------------------------------------------------
     pst = state["pll"]
@@ -333,12 +305,7 @@ def demod_chain_pallas(
     ba = _band_m(coeffs.taps_audio_lpr, 4, la)
     bm = _band_m(coeffs.taps_audio_lmr, 4, la)
     br = _band_m(coeffs.taps_rds, 8, lr)
-    ext_tails = jnp.zeros((5, c, _TB), jnp.float32)
-    ext_tails = ext_tails.at[0, :, _TB - halo_a :].set(state["ds_audio_lpr"].real)
-    ext_tails = ext_tails.at[1, :, _TB - halo_a :].set(state["ds_audio_lmr"].real)
-    ext_tails = ext_tails.at[2, :, _TB - halo_a :].set(state["ds_audio_lmr"].imag)
-    ext_tails = ext_tails.at[3, :, _TB - halo_r :].set(state["ds_rds"].real)
-    ext_tails = ext_tails.at[4, :, _TB - halo_r :].set(state["ds_rds"].imag)
+    ext_tails = pack_ext_tails(state, c, halo_a, halo_r)
 
     kern = functools.partial(
         _chain_kernel_packed if packed else _chain_kernel_planes,
@@ -448,20 +415,9 @@ def demod_chain_pallas(
     new_state["disc_prev_theta"] = out_k1_prev[:, 0]
     new_state["ds_fm_out"] = out_tail2[:, _TB - halo2 :]
     new_state["hilbert"] = out_htail[:, _TB - (k_h - 1) :]
-    new_state["deemph"] = {
-        "x_hist": out_mid_st[:, _DE_X1 : _DE_X1 + 1],
-        "y_hist": out_mid_st[:, _DE_Y1 : _DE_Y1 + 1],
-    }
-    new_state["peak_pilot"] = {
-        "x_hist": jnp.concatenate(
-            [out_mid_st[:, [_PKR_X1, _PKR_X2]], out_mid_st[:, [_PKI_X1, _PKI_X2]]],
-            axis=0,
-        ),
-        "y_hist": jnp.concatenate(
-            [out_mid_st[:, [_PKR_Y1, _PKR_Y2]], out_mid_st[:, [_PKI_Y1, _PKI_Y2]]],
-            axis=0,
-        ),
-    }
+    new_state["deemph"], new_state["peak_pilot"] = unpack_mid_iir_state(
+        out_mid_st
+    )
     avg_power = out_pow[:, 0] / jnp.float32(b // 8)
     new_state["agc_pilot"] = _agc_gain(state["agc_pilot"], avg_power, 1.0, 0.2)
     new_state["pll"] = PilotPLLState(

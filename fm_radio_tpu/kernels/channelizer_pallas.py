@@ -109,13 +109,30 @@ def _chan_kernel_packed(
     )
 
 
+def _chan_vmem_bytes(n_t: int, m: int) -> int:
+    """Scoped-VMEM footprint of one grid step (f32): double-buffered packed
+    input + two double-buffered [m, n_t] outputs + two scratch rings + the
+    [m, m] DFT matrices (single-buffered: constant index map) + tails.
+    The lane axis is budgeted at its VMEM-padded width (multiples of 128)."""
+    m_pad = -(-m // 128) * 128
+    stream = 2 * n_t * m_pad + 2 * 2 * n_t * m_pad  # in (2x) + 2 outs (2x each)
+    scratch = 2 * (_TBF + n_t) * m_pad
+    consts = 2 * m * m_pad + (5 * _TBF) * m_pad  # DFT pair + tails/taps
+    return 4 * (stream + scratch + consts)
+
+
 def pick_tile_chan(n_frames: int, m: int) -> int | None:
+    """Largest power-of-2 time tile in [256, 2048] dividing n_frames whose
+    footprint fits the 16 MB scoped-VMEM budget (with margin); None demotes
+    to the XLA path — e.g. m=1024, whose DFT matrices alone are ~8 MB."""
     if m % 8 != 0 or m > 1024:
         return None
+    budget = 12 << 20
     n_t = 256
-    if n_frames % n_t != 0:
+    if n_frames % n_t != 0 or _chan_vmem_bytes(n_t, m) > budget:
         return None
-    while n_t * 2 <= 2048 and n_frames % (n_t * 2) == 0:
+    while (n_t * 2 <= 2048 and n_frames % (n_t * 2) == 0
+           and _chan_vmem_bytes(n_t * 2, m) <= budget):
         n_t *= 2
     return n_t
 

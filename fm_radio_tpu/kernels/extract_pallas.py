@@ -31,24 +31,10 @@ from jax.experimental.pallas import tpu as pltpu
 from fm_radio_tpu.kernels.frontend_pallas import _dot3, _split_bf16
 from fm_radio_tpu.kernels.midend_pallas import _band_m, _NO, _TB
 
-_CHEB = (
-    -25.13274193, 64.83583069, -67.07687378, 38.50016403, -14.07150173,
-    3.20396066,
-)
-
-
-def _cheb_sine(x):
-    """sin(2*pi*x), x in [-0.5, 0.5] — the reference's polynomial
-    (chebyshev_sine.h:13-46), inlined for the VPU."""
-    z = x * x
-    b = jnp.float32(_CHEB[5])
-    for c in _CHEB[4::-1]:
-        b = b * z + jnp.float32(c)
-    return b * (z - jnp.float32(0.25)) * x
-
-
-def _wrapc(t):
-    return t - jnp.round(t)
+# the reference's sin(2*pi*x) polynomial (chebyshev_sine.h:13-46) and cycle
+# wrap — single-sourced in ops/cmath, shared with the PLL/BPSK/chain kernels
+from fm_radio_tpu.ops.cmath import chebyshev_sine as _cheb_sine
+from fm_radio_tpu.ops.cmath import wrap_cycles as _wrapc
 
 
 def _extract_body(
@@ -171,6 +157,19 @@ def pick_tiles_ext(c: int, b8: int) -> tuple[int, int] | None:
     return c_blk, t_blk
 
 
+def pack_ext_tails(state: dict, c: int, halo_a: int, halo_r: int):
+    """Carried decimator tails -> the kernel's [5, C, _TB] plane rows
+    (lpr.re, lmr.re, lmr.im, rds.re, rds.im) — shared with the chain
+    megakernel.  (lpr.im is carried separately by the chain variant.)"""
+    tails = jnp.zeros((5, c, _TB), jnp.float32)
+    tails = tails.at[0, :, _TB - halo_a :].set(state["ds_audio_lpr"].real)
+    tails = tails.at[1, :, _TB - halo_a :].set(state["ds_audio_lmr"].real)
+    tails = tails.at[2, :, _TB - halo_a :].set(state["ds_audio_lmr"].imag)
+    tails = tails.at[3, :, _TB - halo_r :].set(state["ds_rds"].real)
+    tails = tails.at[4, :, _TB - halo_r :].set(state["ds_rds"].imag)
+    return tails
+
+
 def extract_pallas(
     coeffs,
     cfg,
@@ -205,12 +204,7 @@ def extract_pallas(
     bm = _band_m(coeffs.taps_audio_lmr, 4)
     br = _band_m(coeffs.taps_rds, 8)
 
-    tails = jnp.zeros((5, c, _TB), jnp.float32)
-    tails = tails.at[0, :, _TB - halo_a :].set(state["ds_audio_lpr"].real)
-    tails = tails.at[1, :, _TB - halo_a :].set(state["ds_audio_lmr"].real)
-    tails = tails.at[2, :, _TB - halo_a :].set(state["ds_audio_lmr"].imag)
-    tails = tails.at[3, :, _TB - halo_r :].set(state["ds_rds"].real)
-    tails = tails.at[4, :, _TB - halo_r :].set(state["ds_rds"].imag)
+    tails = pack_ext_tails(state, c, halo_a, halo_r)
 
     kern = functools.partial(
         _extract_kernel, t_blk=t_blk, n_tt=n_tt, h_lmr=h_lmr, h_rds=h_rds,

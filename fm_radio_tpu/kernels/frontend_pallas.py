@@ -210,6 +210,21 @@ def pick_tiles(c: int, b: int) -> tuple[int, int] | None:
     return c_blk, t_blk
 
 
+def disc_scale(fd: float, fs_out: float) -> float:
+    """FM discriminator gain 1/(2*pi*Fd*Ts)*0.5 (fm_demod.cpp:30-45; the
+    *0.5 is compensated by the x2 in the audio mix) — shared with the chain
+    megakernel so the formula has one author."""
+    return 1.0 / (2.0 * np.pi * fd * (1.0 / fs_out)) * 0.5
+
+
+def pack_front_tail(tail_p, c: int, halo: int) -> jnp.ndarray:
+    """(re, im) carried tails -> the kernel's [2, C, _TB] left-padded form."""
+    tail = jnp.zeros((2, c, _TB), jnp.float32)
+    tail = tail.at[0, :, _TB - halo :].set(tail_p[0])
+    tail = tail.at[1, :, _TB - halo :].set(tail_p[1])
+    return tail
+
+
 def ds4_disc_pallas(
     taps,
     tail_p: tuple[jnp.ndarray, jnp.ndarray],
@@ -260,12 +275,8 @@ def ds4_disc_pallas(
     band = _band_matrix(taps)
 
     # tail padded left into the TB-wide aligned buffer head
-    tr, tim = tail_p
-    tail = jnp.zeros((2, c, _TB), jnp.float32)
-    tail = tail.at[0, :, _TB - halo :].set(tr)
-    tail = tail.at[1, :, _TB - halo :].set(tim)
-
-    scale = 1.0 / (2.0 * np.pi * fd * (1.0 / fs_out)) * 0.5
+    tail = pack_front_tail(tail_p, c, halo)
+    scale = disc_scale(fd, fs_out)
 
     kern = functools.partial(
         _ds4_disc_packed_kernel if packed else _ds4_disc_kernel,

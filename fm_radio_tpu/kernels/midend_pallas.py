@@ -260,6 +260,64 @@ def pick_tiles_mid(c: int, b4: int) -> tuple[int, int] | None:
     return c_blk, t_blk
 
 
+def mid_iir_params(coeffs, use_deemph: bool):
+    """IIR Toeplitz tile matrices (t1, aux1, tp, auxp) for the de-emphasis
+    and pilot-peak stages — shared with the chain megakernel so the state
+    layout has exactly one author."""
+    if use_deemph:
+        t1, hm1, pm1 = _iir_tile_mats(coeffs.deemph_b, coeffs.deemph_a, _LI)
+        aux1 = jnp.concatenate([hm1, pm1], axis=0)  # [2, LI]
+    else:
+        t1 = jnp.zeros((_LI, _LI), jnp.float32)
+        aux1 = jnp.zeros((2, _LI), jnp.float32)
+    tp, hm_p, pm_p = _iir_tile_mats(coeffs.peak_b, coeffs.peak_a, _LI)
+    auxp = jnp.concatenate([hm_p, pm_p], axis=0)    # [4, LI]
+    return t1, aux1, tp, auxp
+
+
+def pack_mid_state(state: dict, c: int, halo2: int, k_h: int):
+    """Carried mid-end state -> kernel form: ds2 tail + Hilbert tail padded
+    into [C, _TB] aligned buffers, IIR scalars as [C, _NSTATE] columns."""
+    tail2 = jnp.zeros((c, _TB), jnp.float32).at[:, _TB - halo2 :].set(
+        state["ds_fm_out"]
+    )
+    htail = jnp.zeros((c, _TB), jnp.float32).at[:, _TB - (k_h - 1) :].set(
+        state["hilbert"]
+    )
+    de = state["deemph"]
+    pk = state["peak_pilot"]
+    st0 = jnp.zeros((c, _NSTATE), jnp.float32)
+    st0 = st0.at[:, _DE_X1].set(de["x_hist"][:, 0])
+    st0 = st0.at[:, _DE_Y1].set(de["y_hist"][:, 0])
+    # peak state: planes stacked [2C, 2] newest-first
+    st0 = st0.at[:, _PKR_X1].set(pk["x_hist"][:c, 0])
+    st0 = st0.at[:, _PKR_X2].set(pk["x_hist"][:c, 1])
+    st0 = st0.at[:, _PKI_X1].set(pk["x_hist"][c:, 0])
+    st0 = st0.at[:, _PKI_X2].set(pk["x_hist"][c:, 1])
+    st0 = st0.at[:, _PKR_Y1].set(pk["y_hist"][:c, 0])
+    st0 = st0.at[:, _PKR_Y2].set(pk["y_hist"][:c, 1])
+    st0 = st0.at[:, _PKI_Y1].set(pk["y_hist"][c:, 0])
+    st0 = st0.at[:, _PKI_Y2].set(pk["y_hist"][c:, 1])
+    return tail2, htail, st0
+
+
+def unpack_mid_iir_state(out_st: jnp.ndarray):
+    """[C, _NSTATE] column state -> (deemph, peak_pilot) state dicts."""
+    deemph = {
+        "x_hist": out_st[:, _DE_X1 : _DE_X1 + 1],
+        "y_hist": out_st[:, _DE_Y1 : _DE_Y1 + 1],
+    }
+    peak = {
+        "x_hist": jnp.concatenate(
+            [out_st[:, [_PKR_X1, _PKR_X2]], out_st[:, [_PKI_X1, _PKI_X2]]], axis=0
+        ),
+        "y_hist": jnp.concatenate(
+            [out_st[:, [_PKR_Y1, _PKR_Y2]], out_st[:, [_PKI_Y1, _PKI_Y2]]], axis=0
+        ),
+    }
+    return deemph, peak
+
+
 def midend_pallas(
     coeffs,
     cfg,
@@ -289,37 +347,8 @@ def midend_pallas(
 
     band2 = _band_m(coeffs.taps_fm_out, 2)
     band3 = _band_m(coeffs.taps_hilbert, 1)
-
-    if use_deemph:
-        t1, hm1, pm1 = _iir_tile_mats(coeffs.deemph_b, coeffs.deemph_a, _LI)
-        aux1 = jnp.concatenate([hm1, pm1], axis=0)  # [2, LI]
-    else:
-        t1 = jnp.zeros((_LI, _LI), jnp.float32)
-        aux1 = jnp.zeros((2, _LI), jnp.float32)
-    tp, hm_p, pm_p = _iir_tile_mats(coeffs.peak_b, coeffs.peak_a, _LI)
-    auxp = jnp.concatenate([hm_p, pm_p], axis=0)    # [4, LI]
-
-    # pack carried states
-    tail2 = jnp.zeros((c, _TB), jnp.float32).at[:, _TB - halo2 :].set(
-        state["ds_fm_out"]
-    )
-    htail = jnp.zeros((c, _TB), jnp.float32).at[:, _TB - (k_h - 1) :].set(
-        state["hilbert"]
-    )
-    de = state["deemph"]
-    pk = state["peak_pilot"]
-    st0 = jnp.zeros((c, _NSTATE), jnp.float32)
-    st0 = st0.at[:, _DE_X1].set(de["x_hist"][:, 0])
-    st0 = st0.at[:, _DE_Y1].set(de["y_hist"][:, 0])
-    # peak state: planes stacked [2C, 2] newest-first
-    st0 = st0.at[:, _PKR_X1].set(pk["x_hist"][:c, 0])
-    st0 = st0.at[:, _PKR_X2].set(pk["x_hist"][:c, 1])
-    st0 = st0.at[:, _PKI_X1].set(pk["x_hist"][c:, 0])
-    st0 = st0.at[:, _PKI_X2].set(pk["x_hist"][c:, 1])
-    st0 = st0.at[:, _PKR_Y1].set(pk["y_hist"][:c, 0])
-    st0 = st0.at[:, _PKR_Y2].set(pk["y_hist"][:c, 1])
-    st0 = st0.at[:, _PKI_Y1].set(pk["y_hist"][c:, 0])
-    st0 = st0.at[:, _PKI_Y2].set(pk["y_hist"][c:, 1])
+    t1, aux1, tp, auxp = mid_iir_params(coeffs, use_deemph)
+    tail2, htail, st0 = pack_mid_state(state, c, halo2, k_h)
 
     kern = functools.partial(
         _midend_kernel, t_blk=t_blk, n_tt=n_tt, use_deemph=use_deemph,
@@ -372,18 +401,7 @@ def midend_pallas(
     new_state = dict(state)
     new_state["ds_fm_out"] = fm_demod[:, b4 - halo2 :]
     new_state["hilbert"] = out_htail[:, _TB - (k_h - 1) :]
-    new_state["deemph"] = {
-        "x_hist": out_st[:, _DE_X1 : _DE_X1 + 1],
-        "y_hist": out_st[:, _DE_Y1 : _DE_Y1 + 1],
-    }
-    new_state["peak_pilot"] = {
-        "x_hist": jnp.concatenate(
-            [out_st[:, [_PKR_X1, _PKR_X2]], out_st[:, [_PKI_X1, _PKI_X2]]], axis=0
-        ),
-        "y_hist": jnp.concatenate(
-            [out_st[:, [_PKR_Y1, _PKR_Y2]], out_st[:, [_PKI_Y1, _PKI_Y2]]], axis=0
-        ),
-    }
+    new_state["deemph"], new_state["peak_pilot"] = unpack_mid_iir_state(out_st)
     # AGC gain state from the in-kernel power sum (scaling itself is skipped:
     # the PLL phase detector is amplitude-invariant — see models/demod.py)
     avg_power = out_pow[:, 0] / jnp.float32(b8)

@@ -28,23 +28,11 @@ from fm_radio_tpu.models.pilot_pll import PilotPLLParams, PilotPLLState
 _STATE_ROWS = 5  # lpf_x1, lpf_y1, integ, nco_t, prev_pe
 
 
-def _cheb(x):
-    # chebyshev_sine inlined (ops/cmath.py) — keep f32 literals
-    a0, a1, a2, a3, a4, a5 = (
-        -25.13274193, 64.83583069, -67.07687378, 38.50016403, -14.07150173, 3.20396066,
-    )
-    z = x * x
-    b = jnp.float32(a5)
-    b = b * z + jnp.float32(a4)
-    b = b * z + jnp.float32(a3)
-    b = b * z + jnp.float32(a2)
-    b = b * z + jnp.float32(a1)
-    b = b * z + jnp.float32(a0)
-    return b * (z - jnp.float32(0.25)) * x
-
-
-def _wrap(t):
-    return t - jnp.round(t)
+# the reference's 6-coefficient sin(2*pi*x) polynomial and cycle wrap,
+# single-sourced in ops/cmath (pure jnp — traces fine under Mosaic); bpsk_
+# and chain_pallas import these names from here
+from fm_radio_tpu.ops.cmath import chebyshev_sine as _cheb  # noqa: E402
+from fm_radio_tpu.ops.cmath import wrap_cycles as _wrap  # noqa: E402
 
 
 # atan(r)/r as a degree-8 polynomial in s = r^2 on [0, 1]; max f32 error
@@ -352,13 +340,12 @@ def _pilot_pll_chunked(cfg, state: PilotPLLState, theta_cn: jnp.ndarray,
     # slower than one block.
 
     cg = g * c
-    ct = cg if cg <= 2048 else 2048
-    assert cg % ct == 0
+    # same any-lane-count tiling as _pilot_pll_run (gcd with 2048, e.g.
+    # c=2560,g=2 -> ct=2048 would NOT divide; gcd gives 1024)
+    ct = cg if cg <= 2048 else math.gcd(cg, 2048)
+    # pick_time_chunk returns a divisor of its n, so L+W splits exactly
     nc = pick_time_chunk(l + w, ct)
-    # pad steps up to a multiple of the VMEM chunk (outputs past L+W unused)
-    steps = -(-(l + w) // nc) * nc
-    if steps != l + w:
-        xw = jnp.pad(xw, ((0, 0), (0, steps - (l + w))))
+    steps = l + w
     n_chunks = steps // nc
 
     kern = functools.partial(
@@ -399,27 +386,10 @@ def _pilot_pll_chunked(cfg, state: PilotPLLState, theta_cn: jnp.ndarray,
     ]
     dt = jnp.concatenate(kept, axis=1)  # [C, N]
 
-    # carried-out state: the LAST chunk's state at the end of its payload.
-    # Its input ends exactly at sample N when the step padding is zero; with
-    # padding, the extra steps integrate zeros of theta — roll the state back
-    # by rerunning nothing: instead take the final state only when pad == 0,
-    # else recompute the tail strictly (tiny sequential cost).
-    if steps == l + w:
-        fin = out_st[:, (g - 1) * c :]
-        new_state = PilotPLLState(
-            lpf_x1=fin[0], lpf_y1=fin[1], integ=fin[2], nco_t=fin[3], prev_pe=fin[4]
-        )
-    else:
-        # run the last pad-free tail sequentially from the last chunk's
-        # entry to get an un-padded carry (rare path; tail is < nc steps)
-        tail_state = PilotPLLState(
-            lpf_x1=st_all[0, (g - 1) * c :],
-            lpf_y1=st_all[1, (g - 1) * c :],
-            integ=st_all[2, (g - 1) * c :],
-            nco_t=st_all[3, (g - 1) * c :],
-            prev_pe=st_all[4, (g - 1) * c :],
-        )
-        new_state, _ = _pilot_pll_run(
-            cfg, tail_state, theta_cn[:, starts[-1] :], interpret=interpret
-        )
+    # carried-out state: the LAST chunk's state — its input ends exactly at
+    # sample N (steps == L+W, see above), so this is the stream carry.
+    fin = out_st[:, (g - 1) * c :]
+    new_state = PilotPLLState(
+        lpf_x1=fin[0], lpf_y1=fin[1], integ=fin[2], nco_t=fin[3], prev_pe=fin[4]
+    )
     return new_state, dt

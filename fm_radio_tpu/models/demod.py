@@ -24,6 +24,7 @@ time-shard handoff for free (SURVEY.md §5.4/§5.7).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, NamedTuple
 
 import jax
@@ -210,11 +211,15 @@ def demod_block(
 
     c = x.shape[-2] if packed else xp[0].shape[0]
     b = x.shape[-1] if packed else xp[0].shape[-1]
+    # Auto gate: the serial-loop kernels (PLL/BPSK) tile channels by
+    # gcd(c, 512) — correct for ANY c, but narrow tiles multiply the serial
+    # time, so auto only takes the kernel path when tiles stay >= 128 lanes
+    # (forced loop_impl="pallas" always takes it).
     use_pallas = cfg.loop_impl == "pallas" or (
         cfg.loop_impl == "auto"
         and jax.default_backend() == "tpu"
         and not include_taps
-        and (c <= 512 or c % 512 == 0)
+        and (c <= 512 or math.gcd(c, 512) >= 128)
     )
 
     # ---- Full-chain megakernel (kernels/chain_pallas.py): front end +
@@ -557,11 +562,13 @@ class BroadcastFMDemod:
 
         if x.ndim == 1:
             x = x[None, :]
-        if np.iscomplexobj(x):
-            xd = device_put_complex(x)
+        if np.iscomplexobj(x) and isinstance(x, np.ndarray):
+            xd = device_put_complex(x)  # host complex crosses the wire as f32
         elif isinstance(x, np.ndarray):
             xd = jnp.asarray(np.asarray(x, np.float32))
         else:
+            # already a device array (e.g. channelizer output fed straight to
+            # the demod): use in place, complex or not — no host round trip
             xd = jnp.asarray(x)
         self.state, outs = demod_block(
             self.cfg, self.coeffs, self.state, xd, include_taps

@@ -486,3 +486,57 @@ def test_pll_pallas_non_power_of_two_channel_tile():
     st_scan, taps = pilot_pll_scan(coeffs.pll, st0, pilot)
     st_pal, dt = pilot_pll_pallas(CFG, st0, pilot, interpret=True)
     np.testing.assert_allclose(np.asarray(dt), np.asarray(taps["dt"]), atol=2e-6)
+
+
+def test_bpsk_pallas_gcd_channel_tile():
+    """c > 512 and not divisible by 512 (e.g. 768 -> gcd tile 256): the
+    kernel must tile by gcd instead of crashing, output-identical to scan."""
+    c, n = 768, 256
+    coeffs = make_coeffs(CFG)
+    x = jnp.asarray(_rds_signal(c, n))
+    st0 = init_on_device(bpsk_init_state, c)
+
+    st_scan, outs_scan = bpsk_sync_scan(coeffs.bpsk, st0, x)
+    st_pal, outs_pal = bpsk_sync_pallas(CFG, st0, x, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(outs_pal["valid"]), np.asarray(outs_scan["valid"])
+    )
+    for name in st_scan._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(st_scan, name)),
+            np.asarray(getattr(st_pal, name)), atol=1e-5, err_msg=name,
+        )
+
+
+def test_pll_chunked_gcd_lane_count():
+    """Chunked PLL with C*G not divisible by 2048 (1280*2 = 2560 -> gcd tile
+    512): must run, with chunk 0 bit-exact vs the sequential kernel."""
+    from dataclasses import replace
+
+    c, n, g = 1280, 4096, 2
+    t = np.arange(n) / 128000.0
+    x = (np.exp(2j * np.pi * 19000 * t)[None, :] * np.ones((c, 1))).astype(
+        np.complex64
+    )
+    pilot = jnp.asarray(x)
+    cfg_par = replace(CFG, pll_time_chunks=g, pll_chunk_warmup=512)
+    st0 = init_on_device(pilot_pll_init_state, c)
+    _, dt_seq = pilot_pll_pallas(CFG, st0, pilot, interpret=True)
+    _, dt_par = pilot_pll_pallas(cfg_par, st0, pilot, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(dt_par)[:, : n // g], np.asarray(dt_seq)[:, : n // g]
+    )
+
+
+def test_channelizer_tile_fits_vmem():
+    """pick_tile_chan must budget VMEM against the channel count: large m
+    shrinks (or refuses) the time tile instead of OOMing at compile."""
+    from fm_radio_tpu.kernels.channelizer_pallas import (
+        _chan_vmem_bytes, pick_tile_chan,
+    )
+
+    assert pick_tile_chan(1 << 16, 8) == 2048       # small m: full tile
+    n_t_256 = pick_tile_chan(1 << 16, 256)
+    assert n_t_256 is not None and n_t_256 < 2048   # shrunk for m=256
+    assert _chan_vmem_bytes(n_t_256, 256) <= 12 << 20
+    assert pick_tile_chan(1 << 16, 1024) is None    # DFT matrices alone ~8MB
