@@ -35,7 +35,10 @@ def main() -> None:
 
     # u8-faithful input (the radio's native format is 8-bit IQ): declare it
     # so the front-end kernel uses the exact integer bf16 fast path.
-    cfg = DemodConfig(assume_integer_input=True)
+    # optional second arg: block-parallel PLL chunk count (A/B lens on the
+    # opt-in approximate PLL, kernels/pll_pallas.py::_pilot_pll_chunked)
+    pll_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    cfg = DemodConfig(assume_integer_input=True, pll_time_chunks=pll_chunks)
     coeffs = make_coeffs(cfg)
 
     channels = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
