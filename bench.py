@@ -16,6 +16,8 @@ no throughput numbers).
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -38,14 +40,23 @@ def main() -> None:
     # optional second arg: block-parallel PLL chunk count (A/B lens on the
     # opt-in approximate PLL, kernels/pll_pallas.py::_pilot_pll_chunked)
     pll_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    cpu_fallback = os.environ.get("FMTPU_BENCH_CPU") == "1"
+    if cpu_fallback:
+        # degraded-environment path (TPU tunnel unreachable): still emit a
+        # valid measurement, honestly labeled, at a CPU-feasible scale
+        jax.config.update("jax_platforms", "cpu")
     cfg = DemodConfig(assume_integer_input=True, pll_time_chunks=pll_chunks)
     coeffs = make_coeffs(cfg)
 
     channels = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    if cpu_fallback:
+        channels = min(channels, 8)
     # constant ~256M samples per scan step: big-C configs shrink the block so
     # input + per-block intermediates stay inside HBM
     block = min(1 << 20, (1 << 28) // channels)
     n_blocks = 8
+    if cpu_fallback:
+        block, n_blocks = 1 << 16, 2
 
     rng = np.random.default_rng(0)
     # FM-like signal: constant envelope, random phase walk (cheap to make)
@@ -98,10 +109,13 @@ def main() -> None:
     total_samples = channels * block * n_blocks
     msps = total_samples / best / 1e6
     baseline_msps = 1.024  # reference real-time design point per station
+    metric = "full-chain IQ demod throughput (stereo+RDS), aggregate per chip"
+    if cpu_fallback:
+        metric += " [DEGRADED: TPU tunnel unreachable, CPU-backend fallback]"
     print(
         json.dumps(
             {
-                "metric": "full-chain IQ demod throughput (stereo+RDS), aggregate per chip",
+                "metric": metric,
                 "value": round(msps, 3),
                 "unit": "Msamples/s",
                 "vs_baseline": round(msps / baseline_msps, 2),
@@ -110,5 +124,50 @@ def main() -> None:
     )
 
 
+def _supervise() -> None:
+    """Run the measurement in a child with a watchdog.
+
+    The tunneled TPU backend can hang indefinitely mid-transfer when the
+    tunnel drops; a hung bench would leave the round with no record at all.
+    Parent tries the real chip twice (generous timeout: first compile is
+    slow), then falls back to a labeled CPU measurement so ONE JSON line is
+    always produced.
+    """
+    argv = [sys.executable, os.path.abspath(__file__), *sys.argv[1:]]
+    env = {**os.environ, "FMTPU_BENCH_CHILD": "1"}
+
+    def attempt(extra_env: dict, timeout: float) -> str | None:
+        try:
+            p = subprocess.run(
+                argv, env={**env, **extra_env}, timeout=timeout,
+                capture_output=True, text=True,
+            )
+        except subprocess.TimeoutExpired:
+            return None
+        for line in reversed((p.stdout or "").strip().splitlines()):
+            if line.startswith("{"):
+                return line
+        sys.stderr.write(p.stderr[-2000:] if p.stderr else "")
+        return None
+
+    for timeout in (1800.0, 900.0):
+        line = attempt({}, timeout)
+        if line:
+            print(line)
+            return
+    line = attempt({"FMTPU_BENCH_CPU": "1", "JAX_PLATFORMS": "cpu"}, 1800.0)
+    if line:
+        print(line)
+        return
+    print(json.dumps({
+        "metric": "full-chain IQ demod throughput (bench could not run: "
+                  "TPU tunnel down and CPU fallback failed)",
+        "value": 0.0, "unit": "Msamples/s", "vs_baseline": 0.0,
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("FMTPU_BENCH_CHILD") == "1":
+        main()
+    else:
+        _supervise()
