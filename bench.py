@@ -21,12 +21,22 @@ import subprocess
 import sys
 import time
 
-import numpy as np
-
 
 def main() -> None:
+    # degraded-environment path (TPU tunnel unreachable): still emit a valid
+    # measurement, honestly labeled, at a CPU-feasible scale.  Forcing CPU in
+    # this environment requires BOTH the env var and the config update (the
+    # axon sitecustomize hook pins JAX_PLATFORMS — see tests/conftest.py).
+    cpu_fallback = os.environ.get("FMTPU_BENCH_CPU") == "1"
+    if cpu_fallback:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
     import jax
     import jax.numpy as jnp
+    import numpy as np
+
+    if cpu_fallback:
+        jax.config.update("jax_platforms", "cpu")
 
     from fm_radio_tpu.utils.cache import enable_persistent_cache
 
@@ -40,23 +50,17 @@ def main() -> None:
     # optional second arg: block-parallel PLL chunk count (A/B lens on the
     # opt-in approximate PLL, kernels/pll_pallas.py::_pilot_pll_chunked)
     pll_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-    cpu_fallback = os.environ.get("FMTPU_BENCH_CPU") == "1"
-    if cpu_fallback:
-        # degraded-environment path (TPU tunnel unreachable): still emit a
-        # valid measurement, honestly labeled, at a CPU-feasible scale
-        jax.config.update("jax_platforms", "cpu")
     cfg = DemodConfig(assume_integer_input=True, pll_time_chunks=pll_chunks)
     coeffs = make_coeffs(cfg)
 
     channels = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     if cpu_fallback:
-        channels = min(channels, 8)
-    # constant ~256M samples per scan step: big-C configs shrink the block so
-    # input + per-block intermediates stay inside HBM
-    block = min(1 << 20, (1 << 28) // channels)
-    n_blocks = 8
-    if cpu_fallback:
-        block, n_blocks = 1 << 16, 2
+        channels, block, n_blocks = min(channels, 8), 1 << 16, 2
+    else:
+        # constant ~256M samples per scan step: big-C configs shrink the
+        # block so input + per-block intermediates stay inside HBM
+        block = min(1 << 20, (1 << 28) // channels)
+        n_blocks = 8
 
     rng = np.random.default_rng(0)
     # FM-like signal: constant envelope, random phase walk (cheap to make)
@@ -111,7 +115,10 @@ def main() -> None:
     baseline_msps = 1.024  # reference real-time design point per station
     metric = "full-chain IQ demod throughput (stereo+RDS), aggregate per chip"
     if cpu_fallback:
-        metric += " [DEGRADED: TPU tunnel unreachable, CPU-backend fallback]"
+        metric += " [DEGRADED: TPU backend unavailable, CPU-backend fallback]"
+    # flush: the supervisor may have to SIGKILL this process if the tunnel
+    # hangs at teardown AFTER the result was printed — don't lose it in a
+    # block-buffered pipe
     print(
         json.dumps(
             {
@@ -120,50 +127,63 @@ def main() -> None:
                 "unit": "Msamples/s",
                 "vs_baseline": round(msps / baseline_msps, 2),
             }
-        )
+        ),
+        flush=True,
     )
 
 
 def _supervise() -> None:
     """Run the measurement in a child with a watchdog.
 
-    The tunneled TPU backend can hang indefinitely mid-transfer when the
-    tunnel drops; a hung bench would leave the round with no record at all.
-    Parent tries the real chip twice (generous timeout: first compile is
-    slow), then falls back to a labeled CPU measurement so ONE JSON line is
-    always produced.
+    The tunneled TPU backend can hang indefinitely mid-transfer (or at
+    interpreter teardown) when the tunnel drops; a hung bench would leave
+    the round with no record at all.  Parent tries the real chip (twice,
+    but only if the failure was a hang — crashes are deterministic), then
+    falls back to a labeled CPU measurement so ONE JSON line is always
+    produced.
     """
     argv = [sys.executable, os.path.abspath(__file__), *sys.argv[1:]]
-    env = {**os.environ, "FMTPU_BENCH_CHILD": "1"}
+    base_env = {**os.environ, "FMTPU_BENCH_CHILD": "1"}
+    # the real-chip attempts must not inherit a lingering CPU override from
+    # the caller's shell
+    chip_env = {k: v for k, v in base_env.items()
+                if k not in ("FMTPU_BENCH_CPU", "JAX_PLATFORMS")}
 
-    def attempt(extra_env: dict, timeout: float) -> str | None:
+    def attempt(env: dict, timeout: float) -> tuple[str | None, str]:
+        """Returns (json_line | None, failure_kind)."""
         try:
             p = subprocess.run(
-                argv, env={**env, **extra_env}, timeout=timeout,
-                capture_output=True, text=True,
+                argv, env=env, timeout=timeout, capture_output=True, text=True
             )
-        except subprocess.TimeoutExpired:
-            return None
-        for line in reversed((p.stdout or "").strip().splitlines()):
+            out, err, kind = p.stdout, p.stderr, "crash"
+        except subprocess.TimeoutExpired as e:
+            # the child may have printed the result and then hung in
+            # backend teardown — the measurement is still valid
+            out = e.stdout.decode() if isinstance(e.stdout, bytes) else e.stdout
+            err = e.stderr.decode() if isinstance(e.stderr, bytes) else e.stderr
+            kind = "hang"
+        for line in reversed((out or "").strip().splitlines()):
             if line.startswith("{"):
-                return line
-        sys.stderr.write(p.stderr[-2000:] if p.stderr else "")
-        return None
+                return line, ""
+        if err:
+            sys.stderr.write(err[-2000:])
+        return None, kind
 
-    for timeout in (1800.0, 900.0):
-        line = attempt({}, timeout)
-        if line:
-            print(line)
-            return
-    line = attempt({"FMTPU_BENCH_CPU": "1", "JAX_PLATFORMS": "cpu"}, 1800.0)
-    if line:
-        print(line)
-        return
-    print(json.dumps({
-        "metric": "full-chain IQ demod throughput (bench could not run: "
-                  "TPU tunnel down and CPU fallback failed)",
-        "value": 0.0, "unit": "Msamples/s", "vs_baseline": 0.0,
-    }))
+    t1 = float(os.environ.get("FMTPU_BENCH_TIMEOUT", "1800"))
+    line, kind = attempt(chip_env, t1)
+    if line is None and kind == "hang":  # crashes are deterministic: no retry
+        line, kind = attempt(chip_env, t1 / 2)
+    if line is None:
+        cpu_env = {**base_env, "FMTPU_BENCH_CPU": "1", "JAX_PLATFORMS": "cpu"}
+        line, cpu_kind = attempt(cpu_env, t1)
+        if line is None:
+            line = json.dumps({
+                "metric": "full-chain IQ demod throughput (bench could not "
+                          f"run: TPU attempt failed [{kind}] and CPU "
+                          f"fallback failed [{cpu_kind}])",
+                "value": 0.0, "unit": "Msamples/s", "vs_baseline": 0.0,
+            })
+    print(line)
 
 
 if __name__ == "__main__":
