@@ -50,7 +50,12 @@ def main() -> None:
     # optional second arg: block-parallel PLL chunk count (A/B lens on the
     # opt-in approximate PLL, kernels/pll_pallas.py::_pilot_pll_chunked)
     pll_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-    cfg = DemodConfig(assume_integer_input=True, pll_time_chunks=pll_chunks)
+    cfg = DemodConfig(
+        assume_integer_input=True,
+        pll_time_chunks=pll_chunks,
+        # A/B lens on the int8-MXU front end (kernels/frontend_pallas.py)
+        frontend_int8=os.environ.get("FMTPU_BENCH_INT8") == "1",
+    )
     coeffs = make_coeffs(cfg)
 
     channels = int(sys.argv[1]) if len(sys.argv) > 1 else 2048

@@ -165,6 +165,14 @@ class DemodConfig:
     # Must be False for non-integer baseband (e.g. channelizer output).
     assume_integer_input: bool = False
 
+    # Run the front-end kernel's band matmuls on the MXU int8 path (2x the
+    # bf16 rate on v5e): input shifted into int8, taps quantized to two int8
+    # fixed-point planes (~-89 dB tap error, below the golden audio budget;
+    # the dequant scale cancels in the discriminator's atan2).  Requires
+    # integer-valued input (packed ingest or assume_integer_input).
+    # Opt-in until measured faster on hardware (kernels/frontend_pallas.py).
+    frontend_int8: bool = False
+
     # Full-chain megakernel (kernels/chain_pallas.py): front end + mid-end +
     # pilot PLL + extraction in ONE Pallas kernel / one HBM pass.  "auto"
     # uses it whenever the shape fits (pick_tiles_chain).  Default "split"

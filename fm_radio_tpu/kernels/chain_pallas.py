@@ -98,7 +98,7 @@ def _chain_kernel(
 
     # ---- K1: polyphase ds x4 + FM discriminator -> fm tile in VMEM -------
     _ds4_disc_core(
-        k1_tail_ref, k1_prev_ref, band1_ref,
+        k1_tail_ref, k1_prev_ref, (band1_ref,),
         fm_ref, out_k1_tail_ref, out_k1_prev_ref,
         bufr_ref, bufi_ref, k1_carry_ref,
         t_blk=t_blk, n_tt=n_tt, scale=scale, interp=interp,

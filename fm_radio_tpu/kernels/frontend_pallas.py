@@ -87,11 +87,31 @@ def _dot3(x_hi, x_lo, b_hi, b_lo):
     )
 
 
+def quantize_band_int8(band):
+    """Two-plane int8 fixed-point split of the band matrix for MXU int8 dots.
+
+    band*q ~ b1 + b2*2^-7 with b1, b2 int8 and q = 2^a the largest power of
+    two keeping |band*q| <= 127.  Returns (b1, b2, s_row) where s_row[0, j]
+    = sum_r (b1 + b2*2^-7)[r, j] — the +1 input-shift correction at the SAME
+    q-scale as the dot outputs (see int8 notes in ``ds4_disc_pallas``).
+    Tap error <= 0.5*2^-7 of the max tap (~2^-14.5 relative, ~-89 dB), far
+    below the ~83 dB golden audio budget.  Traceable.
+    """
+    band = jnp.asarray(band, jnp.float32)
+    amax = jnp.max(jnp.abs(band))
+    q = jnp.exp2(jnp.floor(jnp.log2(127.0 / amax)))
+    b1 = jnp.clip(jnp.round(band * q), -127, 127)
+    b2 = jnp.clip(jnp.round((band * q - b1) * 128.0), -127, 127)
+    s_row = jnp.sum(b1 + b2 * (1.0 / 128.0), axis=0, keepdims=True)
+    return b1.astype(jnp.int8), b2.astype(jnp.int8), s_row
+
+
 def _ds4_disc_core(
-    tail_ref, prev_ref, band_ref,
+    tail_ref, prev_ref, band_refs,
     y_ref, out_tail_ref, out_prev_ref,
     bufr_ref, bufi_ref, carry_ref,
     *, t_blk: int, n_tt: int, scale: float, interp: bool, int_input: bool,
+    int8_dots: bool = False,
 ):
     """Shared body: assumes bufr/bufi[:, _TB:] hold this tile's input planes."""
     ti = pl.program_id(1)
@@ -104,18 +124,43 @@ def _ds4_disc_core(
         bufi_ref[:, :_TB] = tail_ref[1]
         carry_ref[...] = prev_ref[...]
 
-    b_hi, b_lo = _split_bf16(band_ref[...], interp)
-    if int_input:
-        # u8-derived baseband (the radio's native format, app.cpp:57-63) is
-        # integer-valued in [-127, 128] — EXACT in bf16, so the x-lo plane is
-        # identically zero: skip the split and the lo@hi dot (1/3 of the MXU
-        # work and most of the VPU split cost).
-        xr_hi = bufr_ref[...].astype(jnp.bfloat16)
-        xi_hi = bufi_ref[...].astype(jnp.bfloat16)
-        xr_lo = xi_lo = None
+    if int8_dots:
+        # int8 MXU path (2x the bf16 rate on v5e).  x' = x - 1 maps the
+        # integer baseband [-127, 128] into int8 range [-128, 127]; the
+        # shift is corrected by +s_row (the band column sums) AFTER the dot.
+        # The dot outputs are scaled by the quantizer's q — irrelevant,
+        # because the only consumer is atan2(fi, fr), which is
+        # scale-invariant.  int32 accumulation is exact (<= 128*127*640
+        # < 2^31); the only approximation is the two-plane tap quantization
+        # (~-89 dB, quantize_band_int8).
+        assert int_input, "int8 dots require integer-valued input"
+        b1_ref, b2_ref, srow_ref = band_refs
+        xr8 = (bufr_ref[...] - 1.0).astype(jnp.int8)
+        xi8 = (bufi_ref[...] - 1.0).astype(jnp.int8)
+        s_row = srow_ref[...]
     else:
-        xr_hi, xr_lo = _split_bf16(bufr_ref[...], interp)
-        xi_hi, xi_lo = _split_bf16(bufi_ref[...], interp)
+        (band_ref,) = band_refs
+        b_hi, b_lo = _split_bf16(band_ref[...], interp)
+        if int_input:
+            # u8-derived baseband (the radio's native format, app.cpp:57-63)
+            # is integer-valued in [-127, 128] — EXACT in bf16, so the x-lo
+            # plane is identically zero: skip the split and the lo@hi dot
+            # (1/3 of the MXU work and most of the VPU split cost).
+            xr_hi = bufr_ref[...].astype(jnp.bfloat16)
+            xi_hi = bufi_ref[...].astype(jnp.bfloat16)
+            xr_lo = xi_lo = None
+        else:
+            xr_hi, xr_lo = _split_bf16(bufr_ref[...], interp)
+            xi_hi, xi_lo = _split_bf16(bufi_ref[...], interp)
+
+    def dot_x8(x8, w0):
+        i32, f32 = jnp.int32, jnp.float32
+        xw = x8[:, w0 : w0 + _W]
+        y1 = jnp.dot(xw, b1_ref[...], preferred_element_type=i32)
+        y2 = jnp.dot(xw, b2_ref[...], preferred_element_type=i32)
+        return (
+            y1.astype(f32) + y2.astype(f32) * jnp.float32(1.0 / 128.0)
+        ) + s_row
 
     def dot_x(x_hi, x_lo, w0):
         if int_input:
@@ -129,8 +174,12 @@ def _ds4_disc_core(
     # decimated IQ tile, built 128 outputs at a time from aligned windows
     for s in range(n_sub):
         w0 = s * _NO * _M
-        fr = dot_x(xr_hi, xr_lo, w0)
-        fi = dot_x(xi_hi, xi_lo, w0)
+        if int8_dots:
+            fr = dot_x8(xr8, w0)
+            fi = dot_x8(xi8, w0)
+        else:
+            fr = dot_x(xr_hi, xr_lo, w0)
+            fi = dot_x(xi_hi, xi_lo, w0)
         if s == 0:
             fm_r, fm_i = fr, fi
         else:
@@ -160,38 +209,42 @@ def _ds4_disc_core(
 
 
 def _ds4_disc_kernel(
-    xr_ref, xi_ref, tail_ref, prev_ref, band_ref,
-    y_ref, out_tail_ref, out_prev_ref,
-    bufr_ref, bufi_ref, carry_ref,
-    *, t_blk: int, n_tt: int, scale: float, interp: bool, int_input: bool,
+    xr_ref, xi_ref, tail_ref, prev_ref, *rest,
+    t_blk: int, n_tt: int, scale: float, interp: bool, int_input: bool,
+    int8_dots: bool = False,
 ):
+    nb = 3 if int8_dots else 1
+    band_refs, out_scratch = rest[:nb], rest[nb:]
+    y_ref, out_tail_ref, out_prev_ref, bufr_ref, bufi_ref, carry_ref = out_scratch
     bufr_ref[:, _TB:] = xr_ref[...]
     bufi_ref[:, _TB:] = xi_ref[...]
     _ds4_disc_core(
-        tail_ref, prev_ref, band_ref, y_ref, out_tail_ref, out_prev_ref,
+        tail_ref, prev_ref, band_refs, y_ref, out_tail_ref, out_prev_ref,
         bufr_ref, bufi_ref, carry_ref,
         t_blk=t_blk, n_tt=n_tt, scale=scale, interp=interp,
-        int_input=int_input,
+        int_input=int_input, int8_dots=int8_dots,
     )
 
 
 def _ds4_disc_packed_kernel(
-    xw_ref, tail_ref, prev_ref, band_ref,
-    y_ref, out_tail_ref, out_prev_ref,
-    bufr_ref, bufi_ref, carry_ref,
-    *, t_blk: int, n_tt: int, scale: float, interp: bool, int_input: bool,
+    xw_ref, tail_ref, prev_ref, *rest,
+    t_blk: int, n_tt: int, scale: float, interp: bool, int_input: bool,
+    int8_dots: bool = False,
 ):
     # Packed u8 IQ: one f32 word per complex sample, w = I_u8*256 + Q_u8
     # (exact integers < 2^16 — the only dtype the tunneled host boundary
     # moves is f32, and this halves both the transfer and the HBM read).
     from fm_radio_tpu.utils.transfer import unpack_iq_words
 
+    nb = 3 if int8_dots else 1
+    band_refs, out_scratch = rest[:nb], rest[nb:]
+    y_ref, out_tail_ref, out_prev_ref, bufr_ref, bufi_ref, carry_ref = out_scratch
     bufr_ref[:, _TB:], bufi_ref[:, _TB:] = unpack_iq_words(xw_ref[...])
     _ds4_disc_core(
-        tail_ref, prev_ref, band_ref, y_ref, out_tail_ref, out_prev_ref,
+        tail_ref, prev_ref, band_refs, y_ref, out_tail_ref, out_prev_ref,
         bufr_ref, bufi_ref, carry_ref,
         t_blk=t_blk, n_tt=n_tt, scale=scale, interp=interp,
-        int_input=int_input,
+        int_input=int_input, int8_dots=int8_dots,
     )
 
 
@@ -234,6 +287,7 @@ def ds4_disc_pallas(
     fs_out: float,
     interpret: bool = False,
     int_input: bool = False,
+    int8_dots: bool = False,
 ):
     """Fused polyphase-ds4 + FM discriminator.
 
@@ -254,6 +308,14 @@ def ds4_disc_pallas(
     (``w = I_u8*256 + Q_u8``, see utils/transfer.pack_iq_u8): the kernel
     unpacks and recenters in-VMEM (exact), halving the HBM input read —
     the front end is input-bandwidth-bound.  Packed implies int_input.
+
+    ``int8_dots=True`` (requires int_input) runs the band matmuls on the
+    MXU's int8 path (2x the bf16 rate on v5e): x is shifted by -1 into int8
+    range and the taps are quantized to two int8 fixed-point planes
+    (quantize_band_int8).  The dequantization SCALE is never applied — the
+    kernel's only consumer of the decimated IQ is atan2, which is scale-
+    invariant; only the column-sum shift correction is added.  Accuracy cost
+    is the ~-89 dB tap quantization, below the golden audio budget.
     """
     packed = not isinstance(xp, (tuple, list))
     if packed:
@@ -273,6 +335,23 @@ def ds4_disc_pallas(
     # band stays f32 on the wire (the tunneled backend only transfers f32);
     # the bf16 hi/lo split happens in-kernel (tiny VPU cost on [640, 128])
     band = _band_matrix(taps)
+    if int8_dots:
+        assert int_input, "int8 dots require integer-valued input"
+        band_in = quantize_band_int8(band)
+        band_specs = [
+            pl.BlockSpec((_W, _NO), lambda ci, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_W, _NO), lambda ci, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _NO), lambda ci, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        band_in = (band,)
+        band_specs = [
+            pl.BlockSpec((_W, _NO), lambda ci, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
 
     # tail padded left into the TB-wide aligned buffer head
     tail = pack_front_tail(tail_p, c, halo)
@@ -281,7 +360,7 @@ def ds4_disc_pallas(
     kern = functools.partial(
         _ds4_disc_packed_kernel if packed else _ds4_disc_kernel,
         t_blk=t_blk, n_tt=n_tt, scale=scale,
-        interp=interpret, int_input=int_input,
+        interp=interpret, int_input=int_input, int8_dots=int8_dots,
     )
     grid = (c // c_blk, n_tt)
     x_spec = pl.BlockSpec((c_blk, t_blk), lambda ci, ti: (ci, ti),
@@ -295,9 +374,7 @@ def ds4_disc_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c_blk, 1), lambda ci, ti: (ci, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_W, _NO), lambda ci, ti: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + band_specs,
         out_specs=[
             pl.BlockSpec((c_blk, t_blk // _M), lambda ci, ti: (ci, ti),
                          memory_space=pltpu.VMEM),
@@ -317,7 +394,7 @@ def ds4_disc_pallas(
             pltpu.VMEM((c_blk, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(*x_in, tail, prev_theta[:, None], band)
+    )(*x_in, tail, prev_theta[:, None], *band_in)
 
     new_tail = (out_tail[0, :, _TB - halo :], out_tail[1, :, _TB - halo :])
     return new_tail, out_prev[:, 0], y

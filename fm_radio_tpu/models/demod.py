@@ -280,6 +280,8 @@ def demod_block(
                 float(r.fs_fm_in),
                 interpret=jax.default_backend() != "tpu",
                 int_input=packed or cfg.assume_integer_input,
+                int8_dots=cfg.frontend_int8
+                and (packed or cfg.assume_integer_input),
             )
             st["ds_fm_in"] = jax.lax.complex(*tail)
             st["disc_prev_theta"] = prev

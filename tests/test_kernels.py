@@ -259,6 +259,57 @@ def test_ds4_disc_pallas_matches_ops():
     np.testing.assert_allclose(np.asarray(ptk), np.asarray(pt), atol=2e-5)
 
 
+def test_ds4_disc_pallas_int8_dots():
+    """int8-MXU front-end variant (quantize_band_int8 + shifted int8 input)
+    vs the bf16 integer fast path: only the ~-89 dB two-plane tap
+    quantization separates them (kernels/frontend_pallas.py int8 notes).
+    Streaming split + packed-ingest form included."""
+    from fm_radio_tpu.kernels.frontend_pallas import ds4_disc_pallas
+    from fm_radio_tpu.utils.transfer import pack_iq_u8
+
+    c, b = 3, 4096
+    cfg = CFG
+    co = make_coeffs(cfg)
+    nn = int(np.asarray(co.taps_fm_in).shape[0])
+    rng = np.random.default_rng(13)
+    phase = np.cumsum(rng.standard_normal((c, 2 * b)).astype(np.float32) * 0.4, -1)
+    iq_u8 = np.stack(
+        [np.round(100 * np.cos(phase) + 127.0),
+         np.round(100 * np.sin(phase) + 127.0)], axis=-1,
+    ).astype(np.uint8)
+    xr = iq_u8[..., 0].astype(np.float32) - 127.0
+    xi = iq_u8[..., 1].astype(np.float32) - 127.0
+
+    def run(x_of_blk, **kw):
+        tail = (jnp.zeros((c, nn - 4), jnp.float32),) * 2
+        pt = jnp.zeros((c,), jnp.float32)
+        ys = []
+        for blk in range(2):
+            tail, pt, y = ds4_disc_pallas(
+                co.taps_fm_in, tail, pt, x_of_blk(blk),
+                cfg.analog.f_wbfm_deviation, float(cfg.rates.fs_fm_in),
+                interpret=True, int_input=True, **kw,
+            )
+            ys.append(np.asarray(y))
+        return np.concatenate(ys, axis=-1)
+
+    def planes(blk):
+        sl = slice(blk * b, (blk + 1) * b)
+        return (jnp.asarray(xr[:, sl]), jnp.asarray(xi[:, sl]))
+
+    y_ref = run(planes)
+    y_i8 = run(planes, int8_dots=True)
+    d = y_i8[:, 64:] - y_ref[:, 64:]
+    snr = 10 * np.log10((y_ref[:, 64:] ** 2).mean() / (d**2).mean())
+    assert snr > 80.0, f"int8 front end only {snr:.1f} dB vs bf16 path"
+
+    # packed-ingest form: identical to the planes form (same int8 math)
+    w = pack_iq_u8(iq_u8)
+    y_pk = run(lambda blk: jnp.asarray(w[:, blk * b : (blk + 1) * b]),
+               int8_dots=True)
+    np.testing.assert_array_equal(y_pk, y_i8)
+
+
 @pytest.mark.parametrize("use_deemph", [False, True])
 def test_midend_pallas_matches_ops(use_deemph):
     """Fused ds2+deemph+hilbert+peak+theta kernel (kernels/midend_pallas.py)
