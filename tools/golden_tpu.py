@@ -50,7 +50,13 @@ def main() -> int:
     golden_rds = np.fromfile(rds_f, np.uint8)
 
     w = pack_iq_u8(u8.reshape(-1, 2))
-    app = App(block_size=block, channels=1, decode_rds=True, integer_input=True)
+    # FMTPU_GOLDEN_INT8=1: gate the opt-in int8-MXU front end against the
+    # same golden bound before any thought of making it the default
+    from fm_radio_tpu.config import DemodConfig
+
+    cfg = DemodConfig(frontend_int8=os.environ.get("FMTPU_GOLDEN_INT8") == "1")
+    app = App(block_size=block, cfg=cfg, channels=1, decode_rds=True,
+              integer_input=True)
     app.process(w)
     ours = app.audio[0]
     settle = 32000 // 5

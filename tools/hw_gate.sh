@@ -1,0 +1,46 @@
+#!/usr/bin/env bash
+# Hardware gate runbook: everything that must run on the real TPU chip,
+# in priority order, logging to a file. Run whenever the tunnel recovers
+# (it drops for hours at a time); safe to re-run.
+#
+#   bash tools/hw_gate.sh [logfile]
+#
+# 1. tunnel smoke probe (fast fail if still down)
+# 2. hardware-only accuracy gates (tests/test_tpu_accuracy.py)
+# 3. golden parity vs the compiled reference binary (tools/golden_tpu.py)
+# 4. bench baseline + int8 front-end A/B (FMTPU_BENCH_INT8)
+set -u
+cd "$(dirname "$0")/.."
+LOG="${1:-/tmp/hw_gate.log}"
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+note() { echo "=== $* ($(date +%T)) ===" | tee -a "$LOG"; }
+
+note "tunnel probe"
+if ! timeout 90 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((8,128), jnp.float32)
+(x@x.T).block_until_ready()
+print('TUNNEL-OK', jax.devices())
+" >>"$LOG" 2>&1; then
+    note "tunnel DOWN - aborting"
+    exit 1
+fi
+
+note "hardware accuracy gates"
+FMTPU_TPU_TESTS=1 timeout 2400 python -m pytest tests/test_tpu_accuracy.py -q \
+    2>&1 | tail -5 | tee -a "$LOG"
+
+note "golden parity on the TPU path"
+timeout 2400 python tools/golden_tpu.py 2>&1 | tail -8 | tee -a "$LOG"
+
+note "bench baseline (2048ch)"
+timeout 2400 python bench.py 2048 2>&1 | tail -2 | tee -a "$LOG"
+
+note "bench int8 front end A/B (2048ch)"
+FMTPU_BENCH_INT8=1 timeout 2400 python bench.py 2048 2>&1 | tail -2 | tee -a "$LOG"
+
+note "golden parity with the int8 front end"
+FMTPU_GOLDEN_INT8=1 timeout 2400 python tools/golden_tpu.py 2>&1 | tail -8 | tee -a "$LOG"
+
+note "done"
