@@ -55,6 +55,9 @@ def main() -> None:
         pll_time_chunks=pll_chunks,
         # A/B lens on the int8-MXU front end (kernels/frontend_pallas.py)
         frontend_int8=os.environ.get("FMTPU_BENCH_INT8") == "1",
+        # A/B lens on the wide band sub-matmul (128 default; 256 halves the
+        # front end's dot count — it is dot-issue-bound)
+        frontend_band_no=int(os.environ.get("FMTPU_BENCH_NO", "128")),
     )
     coeffs = make_coeffs(cfg)
 

@@ -173,6 +173,12 @@ class DemodConfig:
     # Opt-in until measured faster on hardware (kernels/frontend_pallas.py).
     frontend_int8: bool = False
 
+    # Outputs per banded MXU sub-matmul in the front-end kernel (128 or 256).
+    # The front end is dot-ISSUE-bound (~0.4-0.6 us per small straight-line
+    # dot, docs/PERF.md); 256 halves the dot count for a 4x bigger band
+    # matrix in VMEM.  Output-identical; opt-in until measured on hardware.
+    frontend_band_no: int = 128
+
     # Full-chain megakernel (kernels/chain_pallas.py): front end + mid-end +
     # pilot PLL + extraction in ONE Pallas kernel / one HBM pass.  "auto"
     # uses it whenever the shape fits (pick_tiles_chain).  Default "split"

@@ -36,22 +36,26 @@ from jax.experimental.pallas import tpu as pltpu
 from fm_radio_tpu.kernels.pll_pallas import _atan2
 
 _M = 4          # decimation factor (fm_in stage is always x4)
-_NO = 128       # outputs per banded sub-matmul
+_NO = 128       # default outputs per banded sub-matmul (see ``no`` params)
 _TB = 128       # carried-tail buffer width (lane-aligned); requires nn-_M <= _TB
-_W = _NO * _M + _TB  # aligned window width per sub-matmul
+_W = _NO * _M + _TB  # aligned window width per sub-matmul (at the default no)
 
 
-def _band_matrix(taps) -> jnp.ndarray:
-    """[_W, _NO] band for y[j] = sum_k w_rev[k] x_buf[TB - halo + 4j + k].
+def _band_matrix(taps, no: int = _NO) -> jnp.ndarray:
+    """[no*_M+_TB, no] band for y[j] = sum_k w_rev[k] x_buf[TB - halo + 4j + k].
 
-    Traceable (taps may be a jit-traced coefficient array)."""
+    ``no`` = outputs per banded sub-matmul.  Wider bands (256) halve the
+    sub-dot count — the front end is dot-ISSUE-bound (~0.4-0.6 us per small
+    straight-line MXU dot, see docs/PERF.md), so fewer/bigger dots win as
+    long as the band stays inside VMEM.  Traceable (taps may be a jit-traced
+    coefficient array)."""
     taps = jnp.asarray(taps, jnp.float32)
     nn = taps.shape[0]
     halo = nn - _M
     assert halo <= _TB, "filter too long for the carried tail"
     w_rev = taps[::-1]
-    rows = jnp.arange(_W)[:, None]
-    cols = jnp.arange(_NO)[None, :]
+    rows = jnp.arange(no * _M + _TB)[:, None]
+    cols = jnp.arange(no)[None, :]
     k = rows - (_TB - halo + _M * cols)
     valid = (k >= 0) & (k < nn)
     return jnp.where(valid, jnp.take(w_rev, jnp.clip(k, 0, nn - 1)), 0.0)
@@ -111,11 +115,12 @@ def _ds4_disc_core(
     y_ref, out_tail_ref, out_prev_ref,
     bufr_ref, bufi_ref, carry_ref,
     *, t_blk: int, n_tt: int, scale: float, interp: bool, int_input: bool,
-    int8_dots: bool = False,
+    int8_dots: bool = False, no: int = _NO,
 ):
     """Shared body: assumes bufr/bufi[:, _TB:] hold this tile's input planes."""
     ti = pl.program_id(1)
-    n_sub = t_blk // (_NO * _M)
+    _w = no * _M + _TB
+    n_sub = t_blk // (no * _M)
     n_out = t_blk // _M
 
     @pl.when(ti == 0)
@@ -155,7 +160,7 @@ def _ds4_disc_core(
 
     def dot_x8(x8, w0):
         i32, f32 = jnp.int32, jnp.float32
-        xw = x8[:, w0 : w0 + _W]
+        xw = x8[:, w0 : w0 + _w]
         y1 = jnp.dot(xw, b1_ref[...], preferred_element_type=i32)
         y2 = jnp.dot(xw, b2_ref[...], preferred_element_type=i32)
         return (
@@ -166,14 +171,14 @@ def _ds4_disc_core(
         if int_input:
             f32 = jnp.float32
             return (
-                jnp.dot(x_hi[:, w0 : w0 + _W], b_hi, preferred_element_type=f32)
-                + jnp.dot(x_hi[:, w0 : w0 + _W], b_lo, preferred_element_type=f32)
+                jnp.dot(x_hi[:, w0 : w0 + _w], b_hi, preferred_element_type=f32)
+                + jnp.dot(x_hi[:, w0 : w0 + _w], b_lo, preferred_element_type=f32)
             )
-        return _dot3(x_hi[:, w0 : w0 + _W], x_lo[:, w0 : w0 + _W], b_hi, b_lo)
+        return _dot3(x_hi[:, w0 : w0 + _w], x_lo[:, w0 : w0 + _w], b_hi, b_lo)
 
-    # decimated IQ tile, built 128 outputs at a time from aligned windows
+    # decimated IQ tile, built ``no`` outputs at a time from aligned windows
     for s in range(n_sub):
-        w0 = s * _NO * _M
+        w0 = s * no * _M
         if int8_dots:
             fr = dot_x8(xr8, w0)
             fi = dot_x8(xi8, w0)
@@ -211,7 +216,7 @@ def _ds4_disc_core(
 def _ds4_disc_kernel(
     xr_ref, xi_ref, tail_ref, prev_ref, *rest,
     t_blk: int, n_tt: int, scale: float, interp: bool, int_input: bool,
-    int8_dots: bool = False,
+    int8_dots: bool = False, no: int = _NO,
 ):
     nb = 3 if int8_dots else 1
     band_refs, out_scratch = rest[:nb], rest[nb:]
@@ -222,14 +227,14 @@ def _ds4_disc_kernel(
         tail_ref, prev_ref, band_refs, y_ref, out_tail_ref, out_prev_ref,
         bufr_ref, bufi_ref, carry_ref,
         t_blk=t_blk, n_tt=n_tt, scale=scale, interp=interp,
-        int_input=int_input, int8_dots=int8_dots,
+        int_input=int_input, int8_dots=int8_dots, no=no,
     )
 
 
 def _ds4_disc_packed_kernel(
     xw_ref, tail_ref, prev_ref, *rest,
     t_blk: int, n_tt: int, scale: float, interp: bool, int_input: bool,
-    int8_dots: bool = False,
+    int8_dots: bool = False, no: int = _NO,
 ):
     # Packed u8 IQ: one f32 word per complex sample, w = I_u8*256 + Q_u8
     # (exact integers < 2^16 — the only dtype the tunneled host boundary
@@ -244,17 +249,17 @@ def _ds4_disc_packed_kernel(
         tail_ref, prev_ref, band_refs, y_ref, out_tail_ref, out_prev_ref,
         bufr_ref, bufi_ref, carry_ref,
         t_blk=t_blk, n_tt=n_tt, scale=scale, interp=interp,
-        int_input=int_input, int8_dots=int8_dots,
+        int_input=int_input, int8_dots=int8_dots, no=no,
     )
 
 
-def pick_tiles(c: int, b: int) -> tuple[int, int] | None:
+def pick_tiles(c: int, b: int, no: int = _NO) -> tuple[int, int] | None:
     """(c_blk, t_blk) or None if shapes don't fit the kernel's contract."""
-    if b % (_NO * _M) != 0:
+    if b % (no * _M) != 0:
         return None
     # 2048 keeps (2 planes x double-buffered input) + 2 tail-extended scratch
     # buffers + outputs well inside the 16 MB scoped-VMEM budget at c_blk=128
-    t_blk = _NO * _M
+    t_blk = no * _M
     while t_blk * 2 <= 2048 and b % (t_blk * 2) == 0:
         t_blk *= 2
     c_blk = c if c <= 128 else 128
@@ -288,6 +293,7 @@ def ds4_disc_pallas(
     interpret: bool = False,
     int_input: bool = False,
     int8_dots: bool = False,
+    n_out_sub: int = _NO,
 ):
     """Fused polyphase-ds4 + FM discriminator.
 
@@ -316,7 +322,13 @@ def ds4_disc_pallas(
     kernel's only consumer of the decimated IQ is atan2, which is scale-
     invariant; only the column-sum shift correction is added.  Accuracy cost
     is the ~-89 dB tap quantization, below the golden audio budget.
+
+    ``n_out_sub`` widens the banded sub-matmul (outputs per MXU dot, default
+    128).  256 halves the dot count — the front end is dot-issue-bound — at
+    the cost of a 4x bigger band matrix in VMEM.  Output-identical.
     """
+    no = n_out_sub
+    _w = no * _M + _TB
     packed = not isinstance(xp, (tuple, list))
     if packed:
         xw = xp
@@ -325,7 +337,7 @@ def ds4_disc_pallas(
     else:
         xr, xi = xp
         c, b = xr.shape
-    tiles = pick_tiles(c, b)
+    tiles = pick_tiles(c, b, no)
     assert tiles is not None, "shape not supported; gate with pick_tiles"
     c_blk, t_blk = tiles
     n_tt = b // t_blk
@@ -334,22 +346,22 @@ def ds4_disc_pallas(
     halo = nn - _M
     # band stays f32 on the wire (the tunneled backend only transfers f32);
     # the bf16 hi/lo split happens in-kernel (tiny VPU cost on [640, 128])
-    band = _band_matrix(taps)
+    band = _band_matrix(taps, no)
     if int8_dots:
         assert int_input, "int8 dots require integer-valued input"
         band_in = quantize_band_int8(band)
         band_specs = [
-            pl.BlockSpec((_W, _NO), lambda ci, ti: (0, 0),
+            pl.BlockSpec((_w, no), lambda ci, ti: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_W, _NO), lambda ci, ti: (0, 0),
+            pl.BlockSpec((_w, no), lambda ci, ti: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _NO), lambda ci, ti: (0, 0),
+            pl.BlockSpec((1, no), lambda ci, ti: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
     else:
         band_in = (band,)
         band_specs = [
-            pl.BlockSpec((_W, _NO), lambda ci, ti: (0, 0),
+            pl.BlockSpec((_w, no), lambda ci, ti: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
 
@@ -360,7 +372,7 @@ def ds4_disc_pallas(
     kern = functools.partial(
         _ds4_disc_packed_kernel if packed else _ds4_disc_kernel,
         t_blk=t_blk, n_tt=n_tt, scale=scale,
-        interp=interpret, int_input=int_input, int8_dots=int8_dots,
+        interp=interpret, int_input=int_input, int8_dots=int8_dots, no=no,
     )
     grid = (c // c_blk, n_tt)
     x_spec = pl.BlockSpec((c_blk, t_blk), lambda ci, ti: (ci, ti),

@@ -262,7 +262,7 @@ def demod_block(
             and not include_taps
             and r.ds_fm_in == 4
             and coeffs.taps_fm_in.shape[0] - 4 <= 128
-            and pick_tiles(c, b) is not None
+            and pick_tiles(c, b, cfg.frontend_band_no) is not None
         )
         if packed and not fuse_front:
             # exact XLA unpack fallback (CPU / odd shapes / taps mode)
@@ -282,6 +282,7 @@ def demod_block(
                 int_input=packed or cfg.assume_integer_input,
                 int8_dots=cfg.frontend_int8
                 and (packed or cfg.assume_integer_input),
+                n_out_sub=cfg.frontend_band_no,
             )
             st["ds_fm_in"] = jax.lax.complex(*tail)
             st["disc_prev_theta"] = prev

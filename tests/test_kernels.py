@@ -479,6 +479,42 @@ def test_ds4_disc_pallas_packed_input():
     np.testing.assert_array_equal(np.asarray(y_pk), np.asarray(y_pl))
 
 
+def test_ds4_disc_pallas_wide_band():
+    """n_out_sub=256 (half the MXU dots, the dot-issue-bound front end's
+    wide-band lens) must be output-identical to the default 128 band —
+    same taps, same windows, only the sub-matmul partitioning changes."""
+    from fm_radio_tpu.kernels.frontend_pallas import ds4_disc_pallas
+    from fm_radio_tpu.utils.transfer import pack_iq_u8
+
+    cfg = CFG
+    co = make_coeffs(cfg)
+    nn = int(np.asarray(co.taps_fm_in).shape[0])
+    c, b = 2, 4096  # b % (256*4) == 0 so both band widths tile it
+    rng = np.random.default_rng(11)
+    iq_u8 = rng.integers(0, 256, (c, b, 2)).astype(np.uint8)
+    w = pack_iq_u8(iq_u8)
+    tail = (jnp.zeros((c, nn - 4), jnp.float32), jnp.zeros((c, nn - 4), jnp.float32))
+    pt = jnp.zeros((c,), jnp.float32)
+
+    args = (co.taps_fm_in, tail, pt, jnp.asarray(w),
+            cfg.analog.f_wbfm_deviation, float(cfg.rates.fs_fm_in))
+    (t128r, t128i), p128, y128 = ds4_disc_pallas(*args, interpret=True)
+    (t256r, t256i), p256, y256 = ds4_disc_pallas(*args, interpret=True,
+                                                 n_out_sub=256)
+    # f32 accumulation order differs with the contraction length (640 vs
+    # 1152 rows) -> last-ulp rounding only (measured max 7.5e-8)
+    np.testing.assert_allclose(np.asarray(y256), np.asarray(y128), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(t256r), np.asarray(t128r))
+    np.testing.assert_array_equal(np.asarray(t256i), np.asarray(t128i))
+    np.testing.assert_allclose(np.asarray(p256), np.asarray(p128), atol=1e-6)
+    # with int8 dots on top (the two levers compose) the accumulation is
+    # int32 == associative -> band width cannot change the result at all
+    _, _, y256q = ds4_disc_pallas(*args, interpret=True, n_out_sub=256,
+                                  int8_dots=True)
+    _, _, y128q = ds4_disc_pallas(*args, interpret=True, int8_dots=True)
+    np.testing.assert_array_equal(np.asarray(y256q), np.asarray(y128q))
+
+
 def test_demod_block_packed_input_matches_planes():
     """Full demod_block on packed words == plane form (both CPU fallback and
     the packed fused-kernel unpack are exact)."""

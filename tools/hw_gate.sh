@@ -40,6 +40,12 @@ timeout 2400 python bench.py 2048 2>&1 | tail -2 | tee -a "$LOG"
 note "bench int8 front end A/B (2048ch)"
 FMTPU_BENCH_INT8=1 timeout 2400 python bench.py 2048 2>&1 | tail -2 | tee -a "$LOG"
 
+note "bench wide-band front end A/B (2048ch, NO=256)"
+FMTPU_BENCH_NO=256 timeout 2400 python bench.py 2048 2>&1 | tail -2 | tee -a "$LOG"
+
+note "bench int8 + wide-band composed (2048ch)"
+FMTPU_BENCH_INT8=1 FMTPU_BENCH_NO=256 timeout 2400 python bench.py 2048 2>&1 | tail -2 | tee -a "$LOG"
+
 note "golden parity with the int8 front end"
 FMTPU_GOLDEN_INT8=1 timeout 2400 python tools/golden_tpu.py 2>&1 | tail -8 | tee -a "$LOG"
 
