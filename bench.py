@@ -182,7 +182,12 @@ def _supervise() -> None:
     if line is None and kind == "hang":  # crashes are deterministic: no retry
         line, kind = attempt(chip_env, t1 / 2)
     if line is None:
+        # CPU fallback must ALSO drop PALLAS_AXON_POOL_IPS: a down tunnel can
+        # hang register() inside the axon sitecustomize hook at interpreter
+        # BOOT (before any user code), which would hang the fallback child
+        # too.  Without the var the hook skips registration entirely.
         cpu_env = {**base_env, "FMTPU_BENCH_CPU": "1", "JAX_PLATFORMS": "cpu"}
+        cpu_env.pop("PALLAS_AXON_POOL_IPS", None)
         line, cpu_kind = attempt(cpu_env, t1)
         if line is None:
             line = json.dumps({
