@@ -1,0 +1,203 @@
+"""Real multi-process validation of the pod-scale demod path (BASELINE config 5).
+
+The single-process tests (tests/test_sharding.py) exercise the 2D ch x t mesh
+on 8 virtual devices inside ONE process; this tool runs the SAME program as a
+true multi-controller SPMD job — N independent Python processes ("hosts"),
+each owning K local CPU devices, joined with ``jax.distributed.initialize``.
+Cross-process collectives run over Gloo, standing in for DCN; the halo
+``ppermute`` of ``demod_time_parallel`` crosses the process boundary exactly
+as it would cross hosts on a pod slice.
+
+Mesh layout matches ``parallel.sharding.make_mesh``'s pod guidance: the
+``ch`` (channel/DP) axis spans processes (the DCN-like boundary — zero
+steady-state collectives), the ``t`` (time/SP) axis stays within a process's
+local devices (the ICI-like boundary carrying the raw-IQ halo exchange).
+With --t-over-hosts the axes swap, forcing the halo ppermute itself across
+the process boundary — proving state handoff survives DCN too.
+
+Each worker validates its OWN addressable output shards against the exact
+sequential single-stream demodulation (``demod_stream``), using the settled
+region SNR gate from tests/test_sharding.py.  All workers must print PASS
+and exit 0; the launcher aggregates.
+
+Usage (launcher spawns the workers):
+    python tools/multihost.py [--nproc 2] [--local-devices 2] [--t-over-hosts]
+
+Reference analogue: none — the reference is a single-process application
+(SURVEY.md §2.10); this is a new first-class component of the TPU framework.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+
+BLOCK = 16384
+N_BLOCKS = 16  # total stream length in blocks
+WARMUP = 2
+
+
+def worker(args: argparse.Namespace) -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(os.environ["FMTPU_MH_PROC"])
+    jax.distributed.initialize(
+        os.environ["FMTPU_MH_COORD"],
+        num_processes=args.nproc,
+        process_id=pid,
+        cluster_detection_method="deactivate",
+    )
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fm_radio_tpu.config import DemodConfig
+    from fm_radio_tpu.io.synth import FMModulator, ModulatorConfig
+    from fm_radio_tpu.models.app import demod_stream
+    from fm_radio_tpu.models.demod import make_coeffs
+    from fm_radio_tpu.parallel import demod_time_parallel, make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = args.nproc * args.local_devices
+    assert jax.device_count() == n_dev, (jax.device_count(), n_dev)
+    if args.t_over_hosts:
+        # time axis across processes: the halo ppermute crosses DCN
+        n_ch_mesh, n_t = args.local_devices, args.nproc
+        mesh = make_mesh(n_ch_mesh, n_t, devices=np.asarray(
+            jax.devices()).reshape(n_t, n_ch_mesh).T.reshape(-1).tolist())
+    else:
+        # channel axis across processes (the pod-default layout)
+        n_ch_mesh, n_t = args.nproc, args.local_devices
+        mesh = make_mesh(n_ch_mesh, n_t)
+
+    # deterministic input, identical on every process (multi-controller SPMD
+    # requires all processes to agree on global values)
+    c = n_ch_mesh  # one channel row per ch-mesh slot keeps shapes tiny
+    t_total = BLOCK * N_BLOCKS
+    mod = FMModulator(ModulatorConfig())
+    iq = mod.generate(t_total, left_hz=1000.0, right_hz=3000.0)
+    x_np = np.stack([np.asarray(iq)] * c)  # identical channels
+
+    sharding = NamedSharding(mesh, P("ch", "t"))
+    x = jax.make_array_from_callback(
+        (c, t_total), sharding, lambda idx: x_np[idx]
+    )
+
+    cfg = DemodConfig()
+    coeffs = make_coeffs(cfg)
+    outs = demod_time_parallel(
+        cfg, coeffs, x, mesh, block_size=BLOCK, warmup_blocks=WARMUP,
+    )
+    audio = outs["audio"]  # [C, T/32, 2] sharded P('ch', 't', None)
+
+    # exact sequential reference (cheap at this scale; every process computes
+    # the same full reference and checks only its local shards against it)
+    _, outs_seq = demod_stream(cfg, x_np, block_size=BLOCK)
+    audio_seq = np.asarray(outs_seq["audio"])  # [C, T/32, 2]
+
+    blk_audio = BLOCK // 32
+    shard_blocks = N_BLOCKS // n_t
+    checked, skipped, min_snr = 0, 0, float("inf")
+    for sh in audio.addressable_shards:
+        a_par = np.asarray(sh.data)
+        c0 = sh.index[0].start or 0
+        t0 = sh.index[1].start or 0
+        t_shard = t0 // (blk_audio * shard_blocks)  # which time shard
+        assert np.isfinite(a_par).all()
+        # settled-region gate (tests/test_sharding.py): skip time-shard 0
+        # (cold start on both sides — not comparable) and the first payload
+        # block after the warm-up halo
+        if t_shard == 0:
+            skipped += 1
+            continue
+        lo = blk_audio  # skip first payload block of this shard
+        a_ref = audio_seq[c0 : c0 + a_par.shape[0], t0 : t0 + a_par.shape[1]]
+        err = np.sqrt(np.mean((a_par[:, lo:] - a_ref[:, lo:]) ** 2))
+        ref = np.sqrt(np.mean(a_ref[:, lo:] ** 2)) + 1e-12
+        snr = 20 * np.log10(ref / (err + 1e-12))
+        min_snr = min(min_snr, snr)
+        checked += 1
+        assert snr > 25.0, f"proc {pid} shard at {sh.index}: SNR {snr:.1f} dB"
+    # every local shard is either gated or the legitimate cold-start shard
+    # (a process whose devices all sit in time-shard 0 checks nothing)
+    assert checked + skipped == len(audio.addressable_shards) > 0
+
+    print(
+        json.dumps(
+            {
+                "proc": pid,
+                "pass": True,
+                "devices": n_dev,
+                "processes": args.nproc,
+                "mesh": dict(mesh.shape),
+                "t_over_hosts": bool(args.t_over_hosts),
+                "shards_checked": checked,
+                "min_settled_snr_db": round(float(min_snr), 1) if checked else None,
+            }
+        ),
+        flush=True,
+    )
+
+
+def launch(args: argparse.Namespace) -> int:
+    with socket.socket() as s:  # pick a free coordinator port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = {
+        **os.environ,
+        # hermetic CPU backend; ALSO bypasses the axon boot hook, which
+        # hangs every interpreter when the TPU tunnel is down
+        "PALLAS_AXON_POOL_IPS": "",
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": f"--xla_force_host_platform_device_count={args.local_devices}",
+        "FMTPU_MH_COORD": f"127.0.0.1:{port}",
+        # the worker re-executes THIS file, whose dir is tools/ — put the
+        # repo root on the path so fm_radio_tpu imports
+        "PYTHONPATH": os.pathsep.join(
+            [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+            + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else [])
+        ),
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
+            env={**env, "FMTPU_MH_PROC": str(i)},
+        )
+        for i in range(args.nproc)
+    ]
+    rc = 0
+    for p in procs:
+        try:
+            rc |= p.wait(timeout=args.timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            print("TIMEOUT: killed workers", file=sys.stderr)
+            return 124
+    print("MULTIHOST " + ("PASS" if rc == 0 else "FAIL"))
+    return rc
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--nproc", type=int, default=2)
+    ap.add_argument("--local-devices", type=int, default=2)
+    ap.add_argument("--t-over-hosts", action="store_true",
+                    help="put the time axis across processes so the halo "
+                    "ppermute crosses the host boundary")
+    ap.add_argument("--timeout", type=float, default=540.0)
+    args = ap.parse_args()
+    if os.environ.get("FMTPU_MH_PROC") is not None:
+        worker(args)
+        return 0
+    return launch(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
