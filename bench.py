@@ -70,6 +70,18 @@ def main() -> None:
         block = min(1 << 20, (1 << 28) // channels)
         n_blocks = 8
 
+    if cfg.frontend_int8 or cfg.frontend_band_no != 128:
+        # an A/B lens that silently fell back to the unfused XLA front end
+        # (shape incompatible with the kernel tiling) would label a bogus
+        # measurement as the kernel variant — refuse instead
+        from fm_radio_tpu.kernels.frontend_pallas import pick_tiles
+
+        assert pick_tiles(channels, block, cfg.frontend_band_no) is not None, (
+            f"front-end A/B lens: ({channels}, {block}) does not tile at "
+            f"band_no={cfg.frontend_band_no}; the fused kernel would be "
+            "silently skipped"
+        )
+
     rng = np.random.default_rng(0)
     # FM-like signal: constant envelope, random phase walk (cheap to make)
     phase = np.cumsum(

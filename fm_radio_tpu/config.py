@@ -199,6 +199,11 @@ class DemodConfig:
     def __post_init__(self):
         if self.order_fir_hilbert % 2 != 1:
             raise ValueError("order_fir_hilbert must be odd")
+        if self.frontend_band_no not in (128, 256):
+            # other multiples of 128 would tile, but only these two are
+            # VMEM-budgeted and tested; reject early rather than fail deep
+            # in Mosaic (or silently fall back to the unfused path)
+            raise ValueError("frontend_band_no must be 128 or 256")
 
     # ---- derived normalized cutoffs (k = Fc / (Fs/2), clamped to (0.01, 0.99)
     #      like UpdateFilters at broadcast_fm_demod.cpp:330-389) -------------

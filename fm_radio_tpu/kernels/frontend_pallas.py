@@ -38,7 +38,7 @@ from fm_radio_tpu.kernels.pll_pallas import _atan2
 _M = 4          # decimation factor (fm_in stage is always x4)
 _NO = 128       # default outputs per banded sub-matmul (see ``no`` params)
 _TB = 128       # carried-tail buffer width (lane-aligned); requires nn-_M <= _TB
-_W = _NO * _M + _TB  # aligned window width per sub-matmul (at the default no)
+# aligned window width per sub-matmul is no*_M + _TB (derived per call)
 
 
 def _band_matrix(taps, no: int = _NO) -> jnp.ndarray:
@@ -135,9 +135,10 @@ def _ds4_disc_core(
         # shift is corrected by +s_row (the band column sums) AFTER the dot.
         # The dot outputs are scaled by the quantizer's q — irrelevant,
         # because the only consumer is atan2(fi, fr), which is
-        # scale-invariant.  int32 accumulation is exact (<= 128*127*640
-        # < 2^31); the only approximation is the two-plane tap quantization
-        # (~-89 dB, quantize_band_int8).
+        # scale-invariant.  int32 accumulation is exact: <= 128*127*rows
+        # where rows = no*_M + _TB (640 at no=128, 1152 at no=256), both
+        # well under 2^31; the only approximation is the two-plane tap
+        # quantization (~-89 dB, quantize_band_int8).
         assert int_input, "int8 dots require integer-valued input"
         b1_ref, b2_ref, srow_ref = band_refs
         xr8 = (bufr_ref[...] - 1.0).astype(jnp.int8)

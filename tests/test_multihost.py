@@ -19,9 +19,13 @@ TOOL = os.path.join(REPO, "tools", "multihost.py")
 def _run(*extra: str) -> subprocess.CompletedProcess:
     env = {k: v for k, v in os.environ.items()
            if k not in ("PALLAS_AXON_POOL_IPS", "XLA_FLAGS")}
+    # pytest's timeout must exceed the launcher's global watchdog so a hang
+    # takes the launcher's clean kill-and-124 path (which reaps the worker
+    # process groups), not a raw TimeoutExpired that orphans the workers
     return subprocess.run(
-        [sys.executable, TOOL, "--nproc", "2", "--local-devices", "2", *extra],
-        capture_output=True, text=True, timeout=540, env=env, cwd=REPO,
+        [sys.executable, TOOL, "--nproc", "2", "--local-devices", "2",
+         "--timeout", "450", *extra],
+        capture_output=True, text=True, timeout=520, env=env, cwd=REPO,
     )
 
 

@@ -65,6 +65,12 @@ def worker(args: argparse.Namespace) -> None:
 
     n_dev = args.nproc * args.local_devices
     assert jax.device_count() == n_dev, (jax.device_count(), n_dev)
+    # the settled-SNR gate only compares time shards > 0; without time
+    # sharding every shard is the (skipped) cold-start shard and the run
+    # would verify nothing
+    assert (args.nproc if args.t_over_hosts else args.local_devices) >= 2, (
+        "validation requires >= 2 devices along the time axis"
+    )
     if args.t_over_hosts:
         # time axis across processes: the halo ppermute crosses DCN
         n_ch_mesh, n_t = args.local_devices, args.nproc
@@ -144,10 +150,24 @@ def worker(args: argparse.Namespace) -> None:
     )
 
 
+def _free_port() -> int:
+    # pid-salted search narrows the bind-then-release TOCTOU window when
+    # several launchers (parallel CI) pick ports at the same time — each
+    # starts its scan at a different offset instead of racing for the same
+    # ephemeral port
+    base = 21000 + os.getpid() % 20000
+    for off in range(200):
+        with socket.socket() as s:
+            try:
+                s.bind(("127.0.0.1", base + off))
+            except OSError:
+                continue
+            return s.getsockname()[1]
+    raise RuntimeError("no free coordinator port found")
+
+
 def launch(args: argparse.Namespace) -> int:
-    with socket.socket() as s:  # pick a free coordinator port
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
+    port = _free_port()
 
     env = {
         **os.environ,
@@ -164,22 +184,46 @@ def launch(args: argparse.Namespace) -> int:
             + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else [])
         ),
     }
+    import time
+
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), *sys.argv[1:]],
             env={**env, "FMTPU_MH_PROC": str(i)},
+            stdout=subprocess.PIPE, text=True,
+            # own process group: a kill cleans up the worker and anything
+            # it spawned even if the launcher itself is later SIGKILLed
+            start_new_session=True,
         )
         for i in range(args.nproc)
     ]
-    rc = 0
+    deadline = time.monotonic() + args.timeout  # GLOBAL, not per-worker
+    rc, outs = 0, []
     for p in procs:
         try:
-            rc |= p.wait(timeout=args.timeout)
+            out, _ = p.communicate(timeout=max(0.1, deadline - time.monotonic()))
+            outs.append(out or "")
+            rc |= p.returncode
         except subprocess.TimeoutExpired:
             for q in procs:
-                q.kill()
+                try:
+                    os.killpg(q.pid, 9)
+                except (ProcessLookupError, PermissionError):
+                    q.kill()
             print("TIMEOUT: killed workers", file=sys.stderr)
             return 124
+    sys.stdout.write("".join(outs))
+    # guard against a vacuous pass: at least one worker must have actually
+    # compared shards against the sequential reference
+    total_checked = sum(
+        json.loads(line).get("shards_checked", 0)
+        for out in outs
+        for line in out.splitlines()
+        if line.startswith("{")
+    )
+    if rc == 0 and total_checked == 0:
+        print("FAIL: no worker checked any shard", file=sys.stderr)
+        rc = 1
     print("MULTIHOST " + ("PASS" if rc == 0 else "FAIL"))
     return rc
 
