@@ -292,6 +292,19 @@ def test_update_controls_midstream():
         d.update_controls(order_fir_hilbert=129)  # orders are not mutable
 
 
+def test_config_rejects_invalid_band_no():
+    """Unsupported front-end band widths must fail at construction, not
+    deep in Mosaic or via a silent unfused fallback (bench A/B lens)."""
+    import pytest
+
+    from fm_radio_tpu.config import DemodConfig
+
+    for bad in (192, 265, 0):
+        with pytest.raises(ValueError):
+            DemodConfig(frontend_band_no=bad)
+    DemodConfig(frontend_band_no=256)  # supported opt-in
+
+
 def test_process_all_respects_runtime_controls():
     """`process_all` (the one-dispatch scan path) must honor controls applied
     via demod.update_controls — it once re-designed coefficients from a stale
