@@ -158,6 +158,33 @@ class App:
             return np.zeros((self.channels, 0, 2), np.float32)
         return np.concatenate(self.audio_blocks, axis=1)
 
+    def drain(self) -> dict:
+        """Detach and return everything accumulated since the last drain,
+        leaving the demod carry state, RDS sync state, and the databases
+        intact.  The bounded-memory consumption API for long-running
+        serving (tools/soak.py): without draining, ``audio_blocks`` /
+        ``rds_bytes`` / group logs grow without bound (the reference
+        streams into fixed ring buffers instead, ring_buffer.h:77-135).
+
+        Returns {"audio": [C, T, 2], "rds_bytes": [C arrays],
+        "log_lines": [C lists of new group log lines]}.
+        """
+        audio = self.audio
+        self.audio_blocks.clear()
+        rds_bytes, log_lines = [], []
+        for ch in self.rds_chains:
+            rds_bytes.append(
+                np.concatenate(ch.rds_bytes)
+                if ch.rds_bytes
+                else np.zeros(0, np.uint8)
+            )
+            ch.rds_bytes.clear()
+            log_lines.append(list(ch.chain.log_lines))
+            ch.chain.log_lines.clear()
+            ch.chain.groups.clear()
+        return {"audio": audio, "rds_bytes": rds_bytes,
+                "log_lines": log_lines}
+
     def rds_database(self, channel: int = 0):
         return self.rds_chains[channel].db
 
