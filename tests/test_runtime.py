@@ -182,3 +182,43 @@ def test_native_rds_decoder_many_groups_one_call():
     # first group may be lost to differential/sync alignment
     assert len(full) >= n_groups - 2
     assert all(g["data"] == [0x1234, 0x0000, 0x1111, 0x2222] for g in full)
+
+
+def test_native_rds_decoder_matches_python_under_bit_errors():
+    """Symbol-error fuzz: random sign flips exercise the 1-bit CRC
+    correction, block-validity flags and the 3-bad-group resync logic
+    (rds_group_sync.cpp:119-252) in BOTH backends — the decoded group
+    sequence (words AND validity) must agree exactly.  The clean-stream
+    A/B above never enters those paths."""
+    rng = np.random.default_rng(5)
+    groups_in = [
+        (0x1234, (t << 12) | (v & 0x3FF), int(rng.integers(0, 1 << 16)),
+         int(rng.integers(0, 1 << 16)))
+        for t, v in zip(rng.integers(0, 16, 40), rng.integers(0, 1 << 10, 40))
+    ]
+    bits = np.concatenate([encode_rds_group(g) for g in groups_in])
+    symbols = rds_bits_to_symbols(bits).astype(np.float32)
+    # ~0.5% symbol flips: enough for correctable single-bit errors, dropped
+    # blocks AND occasional full resyncs in a 40-group stream
+    flip = rng.choice(len(symbols), size=len(symbols) // 200, replace=False)
+    symbols[flip] *= -1.0
+
+    native = runtime.NativeRDSBitDecoder()
+    got = []
+    for chunk in np.split(symbols, [997, 2003, 4099]):
+        got.extend(native.process_symbols(chunk))
+    native_seq = [(g["data"], g["valid"]) for g in got]
+
+    from fm_radio_tpu.rds.chain import RDSFullChain
+
+    py = RDSFullChain()
+    py.process_symbols(symbols)
+    py_seq = [
+        ([b.data for b in g], [bool(b.is_valid) for b in g])
+        for g in py.chain.groups
+    ]
+    # byte-granularity difference at the tail only (app.cpp:16): the common
+    # prefix must agree exactly, and the fuzz must have produced real work
+    assert len(py_seq) >= 30, f"fuzz too destructive: {len(py_seq)} groups"
+    assert native_seq[: len(py_seq)] == py_seq
+    assert any(not all(v) for _, v in py_seq), "no errored blocks exercised"
