@@ -19,7 +19,12 @@ def test_soak_three_windows():
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "soak.py"),
          "--passes", "3", "--stations", "2", "--channels", "4",
-         "--seconds", "0.5", "--block-size", "16384"],
+         "--seconds", "0.5", "--block-size", "16384",
+         # at 3 passes the throughput gate compares just two settled
+         # windows; a CI box's scheduling jitter on ~0.4 s windows is easily
+         # 2x, so gate only against gross degradation here (real soaks use
+         # the 0.6 default over many longer windows)
+         "--throughput-floor", "0.25"],
         capture_output=True, text=True, timeout=420, env=env, cwd=REPO,
     )
     assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
