@@ -149,9 +149,20 @@ def main() -> None:
         except (OSError, ValueError, KeyError):
             pass
         metric += "]"
-    elif jax.devices()[0].platform != "cpu":
+    elif (
+        jax.devices()[0].platform != "cpu"
+        # only the DEFAULT-config lens may define "last real-chip
+        # measurement" — an A/B variant (int8 / wide band / chunked PLL)
+        # must not be cited later as the production number
+        and pll_chunks == 1
+        and not cfg.frontend_int8
+        and cfg.frontend_band_no == 128
+    ):
         try:
-            with open(hw_record, "w") as f:
+            # atomic: the supervisor SIGKILLs hung children; a kill landing
+            # mid-write must not truncate the last good record
+            tmp = hw_record + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(
                     {
                         "value": round(msps, 3),
@@ -163,6 +174,7 @@ def main() -> None:
                     f,
                 )
                 f.write("\n")
+            os.replace(tmp, hw_record)
         except OSError:
             pass
     # flush: the supervisor may have to SIGKILL this process if the tunnel

@@ -456,25 +456,16 @@ def _run_channelized(w: np.ndarray, m: int, taps_per_phase: int,
     memory for arbitrarily long captures: the filterbank's (K-1)-frame tail
     carries exactly across chunks, the demod state carries in App — outputs
     are identical to one-shot."""
-    import jax.numpy as jnp
-
     from fm_radio_tpu.parallel.channelizer import (
-        channelize_packed,
         channelizer_init_state,
         make_channelizer_taps,
+        stream_selected,
     )
-    from fm_radio_tpu.utils.transfer import fetch
 
     taps = make_channelizer_taps(m, taps_per_phase)
     st = channelizer_init_state(m, taps_per_phase)
-    sel = jnp.asarray(np.asarray(select, np.int32))
-    n = (len(w) // m) * m
-    chunk = max(m * app.block_size, 1 << 22)
-    chunk -= chunk % m
-    for i0 in range(0, n, chunk):
-        st, y = channelize_packed(taps, st, w[i0 : min(i0 + chunk, n)], m)
-        # fetch() splits complex into f32 planes for the tunneled boundary
-        app.process(fetch(jnp.take(y, sel, axis=0)) / m)
+    stream_selected(taps, st, w, m, select, app.process,
+                    chunk_min=m * app.block_size)
 
 
 def cmd_stations(args) -> None:

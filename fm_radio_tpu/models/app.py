@@ -172,12 +172,8 @@ class App:
         audio = self.audio
         self.audio_blocks.clear()
         rds_bytes, log_lines = [], []
-        for ch in self.rds_chains:
-            rds_bytes.append(
-                np.concatenate(ch.rds_bytes)
-                if ch.rds_bytes
-                else np.zeros(0, np.uint8)
-            )
+        for c, ch in enumerate(self.rds_chains):
+            rds_bytes.append(self.rds_bytes(c))
             ch.rds_bytes.clear()
             log_lines.append(list(ch.chain.log_lines))
             ch.chain.log_lines.clear()

@@ -147,3 +147,27 @@ def channelize_packed(taps, state: jnp.ndarray, w_packed, num_channels: int):
 def channelize_batch(taps, state, x, num_channels):
     """Batched wideband inputs: x [W, T] -> y [W, M, T/M]."""
     return jax.vmap(lambda s, xx: channelize(taps, s, xx, num_channels))(state, x)
+
+
+def stream_selected(taps, state, w, num_channels: int, select, consume,
+                    chunk_min: int = 1 << 22):
+    """Chunked packed-word wideband streaming: filterbank in constant device
+    memory per chunk, SELECTED station rows fetched (f32-safe) and handed to
+    ``consume`` as centered complex64 [len(select), T'].  The filterbank's
+    (K-1)-frame tail carries exactly across chunks; returns the carried
+    state so callers can keep streaming (tools/soak.py windows).  The ONE
+    production wideband ingest loop — shared by ``fmtpu stations`` and the
+    soak gate."""
+    from fm_radio_tpu.utils.transfer import fetch, take_rows
+
+    m = num_channels
+    sel = np.asarray(select, np.float32)
+    n = (len(w) // m) * m
+    chunk = max(chunk_min, m)
+    chunk -= chunk % m
+    for i0 in range(0, n, chunk):
+        state, y = channelize_packed(taps, state, w[i0 : min(i0 + chunk, n)], m)
+        # fetch() splits complex into f32 planes for the tunneled boundary;
+        # /m undoes the filterbank's FFT scaling
+        consume(fetch(take_rows(y, sel)) / m)
+    return state

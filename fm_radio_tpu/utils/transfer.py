@@ -69,6 +69,18 @@ def fetch_tree(tree):
     return jax.tree.map(fetch, tree)
 
 
+@jax.jit
+def _take_rows(y: jnp.ndarray, sel_f32: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(y, sel_f32.astype(jnp.int32), axis=0)
+
+
+def take_rows(y: jnp.ndarray, select) -> jnp.ndarray:
+    """Row-select a device array with host indices, f32-safe: the indices
+    cross the tunneled boundary as f32 and cast to int32 ON DEVICE (an
+    eager int32 index array would raise UNIMPLEMENTED, see module doc)."""
+    return _take_rows(y, jnp.asarray(np.asarray(select, np.float32)))
+
+
 def init_on_device(init_fn, *args, **static_kwargs):
     """Run a zeros/constants-building init function inside jit so non-f32
     constants never cross the host boundary."""

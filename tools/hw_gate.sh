@@ -47,7 +47,8 @@ note "bench int8 + wide-band composed (2048ch)"
 FMTPU_BENCH_INT8=1 FMTPU_BENCH_NO=256 timeout 2400 python bench.py 2048 2>&1 | tail -2 | tee -a "$LOG"
 
 note "serving soak on the chip (6 windows x 2 s, 4 stations)"
-timeout 2400 python tools/soak.py --passes 6 2>&1 | tail -3 | tee -a "$LOG"
+timeout 2400 python tools/soak.py --passes 6 --json "$LOG.soak.jsonl" \
+    2>&1 | tail -8 | tee -a "$LOG"
 
 note "golden parity with the int8 front end"
 FMTPU_GOLDEN_INT8=1 timeout 2400 python tools/golden_tpu.py 2>&1 | tail -8 | tee -a "$LOG"

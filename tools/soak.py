@@ -75,28 +75,29 @@ def build_capture(seconds: float, n_stations: int, m: int) -> np.ndarray:
 
 
 def run(args: argparse.Namespace) -> int:
-    import jax.numpy as jnp
-
     from fm_radio_tpu.models.app import App
     from fm_radio_tpu.parallel.channelizer import (
-        channelize_packed,
         channelizer_init_state,
         make_channelizer_taps,
+        stream_selected,
     )
-    from fm_radio_tpu.utils.transfer import fetch
 
     m, n_st = args.channels, args.stations
     assert 1 <= n_st < m, "stations must fit the channel grid (1..m-1)"
+    if args.rds_backend == "native":
+        # refuse a silent Python-chain substitution (make_rds_chain's
+        # fallback): a soak meant to gate the native serving path must not
+        # greenlight the wrong backend
+        from fm_radio_tpu import runtime as rt
+
+        assert rt.available(), "--rds-backend native: runtime not buildable"
     w = build_capture(args.seconds, n_st, m)
-    select = jnp.asarray(np.arange(1, n_st + 1, dtype=np.int32))
+    select = list(range(1, n_st + 1))
 
     app = App(block_size=args.block_size, channels=n_st, decode_rds=True,
               rds_backend=args.rds_backend)
     taps = make_channelizer_taps(m, args.taps_per_phase)
     ch_state = channelizer_init_state(m, args.taps_per_phase)
-
-    chunk = max(m * args.block_size, 1 << 22)
-    chunk -= chunk % m
     n = (len(w) // m) * m
 
     deadline = time.monotonic() + args.minutes * 60 if args.minutes else None
@@ -107,11 +108,10 @@ def run(args: argparse.Namespace) -> int:
         p = 0
         while True:
             t0 = time.monotonic()
-            for i0 in range(0, n, chunk):
-                ch_state, y = channelize_packed(
-                    taps, ch_state, w[i0 : min(i0 + chunk, n)], m
-                )
-                app.process(fetch(jnp.take(y, select, axis=0)) / m)
+            ch_state = stream_selected(
+                taps, ch_state, w, m, select, app.process,
+                chunk_min=m * args.block_size,
+            )
             dt = time.monotonic() - t0
 
             out = app.drain()
@@ -145,7 +145,10 @@ def run(args: argparse.Namespace) -> int:
 
             p += 1
             if deadline is not None:
-                if time.monotonic() >= deadline and p >= 2:
+                # never stop before the throughput/RSS gates have enough
+                # windows to evaluate (>=3) — a wall-clock soak must not
+                # pass with its headline gates silently skipped
+                if time.monotonic() >= deadline and p >= 3:
                     break
             elif p >= args.passes:
                 break
@@ -172,6 +175,7 @@ def run(args: argparse.Namespace) -> int:
         "pass": not failures,
         "windows": len(windows),
         "failures": failures,
+        "rds_backend": type(app.rds_chains[0]).__name__,
         "stations": {
             f"st{k+1}": app.rds_database(k).summary() for k in range(n_st)
         },
