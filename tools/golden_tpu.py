@@ -54,7 +54,13 @@ def main() -> int:
     # same golden bound before any thought of making it the default
     from fm_radio_tpu.config import DemodConfig
 
-    cfg = DemodConfig(frontend_int8=os.environ.get("FMTPU_GOLDEN_INT8") == "1")
+    # FMTPU_GOLDEN_NO=256: gate the wide-band lens on REAL Mosaic (the
+    # output-identity test runs in interpret mode; Mosaic compiles the
+    # wider band differently and must be accuracy-checked on chip too)
+    cfg = DemodConfig(
+        frontend_int8=os.environ.get("FMTPU_GOLDEN_INT8") == "1",
+        frontend_band_no=int(os.environ.get("FMTPU_GOLDEN_NO", "128")),
+    )
     app = App(block_size=block, cfg=cfg, channels=1, decode_rds=True,
               integer_input=True)
     app.process(w)

@@ -53,4 +53,7 @@ timeout 2400 python tools/soak.py --passes 6 --json "$LOG.soak.jsonl" \
 note "golden parity with the int8 front end"
 FMTPU_GOLDEN_INT8=1 timeout 2400 python tools/golden_tpu.py 2>&1 | tail -8 | tee -a "$LOG"
 
+note "golden parity with the wide band (NO=256) on real Mosaic"
+FMTPU_GOLDEN_NO=256 timeout 2400 python tools/golden_tpu.py 2>&1 | tail -8 | tee -a "$LOG"
+
 note "done"
