@@ -31,6 +31,7 @@ class App:
         decode_rds: bool = True,
         integer_input: bool = False,
         rds_backend: str = "python",
+        strict_ref: bool = False,
     ):
         """``integer_input=True`` declares the baseband integer-valued (u8 IQ
         recentered by -127, the radio's native format) — enables the fused
@@ -47,7 +48,8 @@ class App:
         from fm_radio_tpu.rds.chain import make_rds_chain
 
         self.rds_chains = (
-            [make_rds_chain(rds_backend) for _ in range(channels)]
+            [make_rds_chain(rds_backend, strict_ref=strict_ref)
+             for _ in range(channels)]
             if decode_rds
             else []
         )

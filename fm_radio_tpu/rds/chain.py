@@ -14,10 +14,10 @@ from fm_radio_tpu.rds.manchester import DifferentialManchesterDecoder
 
 
 class RDSDecodingChain:
-    def __init__(self, on_group=None):
+    def __init__(self, on_group=None, strict_ref: bool = False):
         self.db = RDSDatabase()
         self.db_handler = RDSDatabaseHandler(self.db)
-        self.decoder = RDSDecoder(self.db_handler)
+        self.decoder = RDSDecoder(self.db_handler, strict_ref=strict_ref)
         self.log_lines: list[str] = []
         self.groups: list = []
         self._user_on_group = on_group
@@ -38,8 +38,8 @@ class RDSFullChain:
     """Symbols -> database: Manchester + decoding chain, as wired by ``App``
     (``app.cpp:23-34``)."""
 
-    def __init__(self):
-        self.chain = RDSDecodingChain()
+    def __init__(self, strict_ref: bool = False):
+        self.chain = RDSDecodingChain(strict_ref=strict_ref)
         self.rds_bytes: list[np.ndarray] = []
         self.manchester = DifferentialManchesterDecoder(
             buf_size=16, on_bytes=self._on_bytes
@@ -69,13 +69,14 @@ class NativeRDSFullChain:
     with fm_demod_scraper is required.
     """
 
-    def __init__(self):
+    def __init__(self, strict_ref: bool = False):
         from fm_radio_tpu import runtime as rt
         from fm_radio_tpu.rds.group_sync import RDSBlock
 
         self._RDSBlock = RDSBlock
         self._native = rt.NativeRDSBitDecoder()
-        self.chain = RDSDecodingChain()  # reuse decoder/db/log plumbing
+        # reuse decoder/db/log plumbing
+        self.chain = RDSDecodingChain(strict_ref=strict_ref)
         self.rds_bytes: list[np.ndarray] = []
 
     def process_symbols(self, soft_symbols: np.ndarray) -> None:
@@ -93,12 +94,12 @@ class NativeRDSFullChain:
         return self.chain.db
 
 
-def make_rds_chain(backend: str = "python"):
+def make_rds_chain(backend: str = "python", strict_ref: bool = False):
     """Chain factory: "python" (byte-artifact parity) or "native" (C++ bit
     loops; falls back to Python if the runtime library is unavailable)."""
     if backend == "native":
         from fm_radio_tpu import runtime as rt
 
         if rt.available():
-            return NativeRDSFullChain()
-    return RDSFullChain()
+            return NativeRDSFullChain(strict_ref=strict_ref)
+    return RDSFullChain(strict_ref=strict_ref)

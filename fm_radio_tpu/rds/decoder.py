@@ -41,8 +41,14 @@ class _NullHandler:
 
 
 class RDSDecoder:
-    def __init__(self, handler=None):
+    def __init__(self, handler=None, strict_ref: bool = False):
+        """``strict_ref=True`` reproduces the reference's behavior exactly:
+        EVERY version-B group prints ``Unsupported_Code``
+        (``rds_decoder.cpp:146-155``) — required for stdout-parity against
+        ``rds_decode`` on streams containing B groups.  Default (False)
+        additionally decodes 0B/2B/15B (a strict superset)."""
         self.handler = handler if handler is not None else _NullHandler()
+        self.strict_ref = strict_ref
         self._msg: list[str] = []
 
     def _ap(self, s: str) -> None:
@@ -75,8 +81,8 @@ class RDSDecoder:
 
         if block_b.is_valid:
             self._ap(
-                f"Type {group_code:+2d}{'B' if version else 'A'}, "
-                f"TP={traffic_id}, PTY={program_type:+2d}, "
+                f"Type {group_code:2d}{'B' if version else 'A'}, "
+                f"TP={traffic_id}, PTY={program_type:2d}, "
             )
             self.handler.on_programme_type(program_type)
             self._on_group_type(group, group_code, bool(version))
@@ -109,7 +115,11 @@ class RDSDecoder:
         # (``rds_decoder.cpp:128-157`` falls through to "unsupported code");
         # 0B (programme service name) and 2B (32-char RadioText) are common
         # in real broadcasts, so this framework decodes them — a strict
-        # superset: version-A-only streams behave identically.
+        # superset: version-A-only streams behave identically.  strict_ref
+        # restores exact reference behavior for stdout parity.
+        if self.strict_ref:
+            self._ap("Unsupported_Code")
+            return False
         dispatch_b = {
             0: self._on_group_0b,
             2: self._on_group_2b,
@@ -255,7 +265,7 @@ class RDSDecoder:
         if has_d:
             self.handler.on_radio_text(c0, 2 * seg + 0)
             self.handler.on_radio_text(c1, 2 * seg + 1)
-        self._ap(f"A/B={ab_flag}, segment_address={seg:+2d}, text='{c0}{c1}'")
+        self._ap(f"A/B={ab_flag}, segment_address={seg:2d}, text='{c0}{c1}'")
         return has_d
 
     def _on_group_15b(self, group) -> bool:
@@ -342,7 +352,7 @@ class RDSDecoder:
             self.handler.on_radio_text(chars[2], index + 2)
             self.handler.on_radio_text(chars[3], index + 3)
         self._ap(
-            f"A/B={ab_flag}, segment_address={seg:+2d}, text='{''.join(chars)}'"
+            f"A/B={ab_flag}, segment_address={seg:2d}, text='{''.join(chars)}'"
         )
         return has_c or has_d
 

@@ -115,6 +115,67 @@ def test_group_decode_matches_reference_log(run_pair):
     assert our_groups <= ref_groups or ref_groups <= our_groups
 
 
+def test_strict_ref_b_groups_log_parity(golden_binary, tmp_path):
+    """Config-3 extension with VERSION-B groups in the stream: the reference
+    prints ``Unsupported_Code`` for every B group (rds_decoder.cpp:146-155).
+    In ``strict_ref`` mode our log lines must equal the reference's exactly;
+    in default mode the same groups must be DECODED (0B/2B/15B superset)."""
+    groups = [
+        (0x1234, (0 << 12) | (1 << 10) | 0b01, 0xE101, 0x4142),  # 0A
+        (0x1234, (0 << 12) | (1 << 11) | 0b10, 0x1234, 0x4644),  # 0B seg2 'FD'
+        (0x1234, (2 << 12) | (1 << 11) | 0x3, 0x1234, 0x4849),   # 2B 'HI'
+        (0x1234, (15 << 12) | (1 << 11) | 0b01, 0x1234,
+         (15 << 12) | (1 << 11) | 0b01),                          # 15B
+        (0x1234, (2 << 12), 0x4845, 0x4C4C),                      # 2A
+    ]
+    mod = FMModulator(ModulatorConfig())
+    iq = mod.generate(BLOCK * 10, left_hz=1000.0, right_hz=3000.0,
+                      rds_groups=groups)
+    u8 = c64_to_u8(iq)
+    pcm = str(tmp_path / "in.pcm")
+    u8.tofile(pcm)
+
+    audio_f = str(tmp_path / "audio.f32")
+    rds_f = str(tmp_path / "rds.bin")
+    r = subprocess.run(
+        [golden_binary, pcm, audio_f, rds_f, str(BLOCK)],
+        capture_output=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr.decode()[:500]
+    prefix = "[rds_decoder] "
+    ref_lines = [
+        ln[len(prefix):]
+        for ln in r.stderr.decode().splitlines()
+        if ln.startswith(prefix) and "[group] [" in ln
+    ]
+    assert any("B," in ln[:60].split("Type")[-1] and "Unsupported_Code" in ln
+               for ln in ref_lines), "reference saw no B groups — bad fixture"
+
+    app_strict = App(block_size=BLOCK, channels=1, decode_rds=True,
+                     strict_ref=True)
+    app_strict.process(u8_to_c64(u8))
+    ours_strict = app_strict.rds_log_lines(0)
+    assert ours_strict, "strict app decoded no groups"
+    # identical RDS bytes (asserted by test_rds_bytes_bit_exact's machinery)
+    # feed a deterministic group sync: line-for-line equality modulo the one
+    # trailing 16-byte emission-granularity buffer
+    ref_set = set(ref_lines)
+    missing = [ln for ln in ours_strict if ln not in ref_set]
+    assert not missing, f"strict-mode lines absent from reference log: {missing[:3]}"
+    assert len(ref_lines) - len(ours_strict) <= 2
+
+    # default (superset) mode: the same B groups DECODE instead
+    app_super = App(block_size=BLOCK, channels=1, decode_rds=True)
+    app_super.process(u8_to_c64(u8))
+    ours_super = app_super.rds_log_lines(0)
+    b_lines = [ln for ln in ours_super
+               if "Type  0B" in ln or "Type  2B" in ln or "Type 15B" in ln]
+    assert b_lines and all("Unsupported_Code" not in ln for ln in b_lines)
+    db = app_super.rds_database(0)
+    assert db.radio_text_str.startswith("HI") or "HI" in db.radio_text_str
+
+
 def test_audio_matches_reference_with_deemphasis(golden_binary, tmp_path):
     """Config-2 extension: the de-emphasis IIR path (off by default in both
     implementations) compared against the reference with Tus=50."""

@@ -206,7 +206,7 @@ def test_decoder_log_line_format():
     line = chain.log_lines[0]
     assert line.startswith("[group] [1234 ")
     assert "PI=1234" in line
-    assert "Type +0A" in line
+    assert "Type  0A" in line  # %+2u ignores + for unsigned: 2-wide space pad
 
 
 def test_decoder_0b_service_name():
@@ -248,6 +248,31 @@ def test_decoder_15b_fast_tuning():
     assert chain.db.pi_code == 0x15B1
     assert chain.db.traffic_announcement
     assert chain.db.is_stereo
+
+
+def test_strict_ref_mode_declines_all_b_groups():
+    """strict_ref=True restores exact reference semantics: every version-B
+    group logs Unsupported_Code (rds_decoder.cpp:146-155) and mutates nothing
+    beyond PI/PTY."""
+    name = b"BSIDE FM"
+    groups = []
+    for seg in range(4):
+        d = (name[2 * seg] << 8) | name[2 * seg + 1]
+        groups.append(_mk_group(pi=0xB0B0, gtype=0, version=1,
+                                extra_b=seg, c=0xB0B0, d=d))
+    groups.append(_mk_group(pi=0xB0B0, gtype=2, version=1, extra_b=0,
+                            c=0xB0B0, d=0x4849))
+    data = _groups_to_bytes(groups * 2)
+
+    strict = RDSDecodingChain(strict_ref=True)
+    strict.process(data)
+    b_lines = [ln for ln in strict.log_lines if "B," in ln.split("Type")[1][:5]]
+    assert b_lines and all(ln.endswith("Unsupported_Code") for ln in b_lines)
+    assert strict.db.service_name_str.strip() == ""  # 0B payload NOT applied
+
+    superset = RDSDecodingChain()
+    superset.process(data)
+    assert superset.db.service_name_str == "BSIDE FM"
 
 
 def test_decoder_0a_alternative_frequencies():
