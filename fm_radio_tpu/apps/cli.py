@@ -79,7 +79,8 @@ def cmd_demod(args) -> None:
     # half the host->device bytes of complex64; unpacked exactly in-kernel
     iq = pack_iq_u8(_read_input_u8(args.input))
     app = App(block_size=block, cfg=cfg, channels=1,
-              decode_rds=not args.no_rds, integer_input=True)
+              decode_rds=not args.no_rds, integer_input=True,
+              strict_ref=args.strict_ref)
     if args.resume_state:
         from fm_radio_tpu.models.demod import demod_init_state
         from fm_radio_tpu.utils.checkpoint import load_state
@@ -174,14 +175,10 @@ def cmd_scrape(args) -> None:
     compute, and an incremental WAV sink with in-place header updates —
     constant memory for arbitrarily long captures (the default path loads
     the whole file, convenient for short recordings)."""
-    from fm_radio_tpu.io.wav import write_wav_int16
+    from fm_radio_tpu.io.scraper import FMScraper
     from fm_radio_tpu.models.app import App
 
     block = power_ceil(args.block_size)
-    os.makedirs(args.output, exist_ok=True)
-    stamp = time.strftime("%Y%m%d_%H%M%S")
-    wav_path = os.path.join(args.output, f"{stamp}_audio.wav")
-    rds_path = os.path.join(args.output, f"{stamp}_rds.bin")
 
     if args.stream:
         from fm_radio_tpu import runtime as rt
@@ -193,8 +190,10 @@ def cmd_scrape(args) -> None:
                      "(build runtime/libfmtpu_runtime.so)")
         app = App(block_size=block, channels=1, decode_rds=True,
                   integer_input=True)
+        scraper = FMScraper(args.output, use_native=True)
         reader = rt.NativePcmReader(args.input, block)
-        writer = rt.NativeWavWriter(wav_path, int(app.demod.fs_audio))
+        fs_audio = int(app.demod.fs_audio)
+        rds_done = 0
         try:
             while True:
                 blk = reader.next_packed()
@@ -202,13 +201,16 @@ def cmd_scrape(args) -> None:
                     break
                 app.process(blk[None, :])
                 for a in app.audio_blocks:
-                    writer.write(a[0])
+                    scraper.on_audio_data(a[0], fs_audio)
                 app.audio_blocks.clear()
+                new_bytes = app.rds_bytes(0)[rds_done:]
+                if len(new_bytes):
+                    scraper.on_rds_bytes(new_bytes)
+                    rds_done += len(new_bytes)
         finally:
             reader.close()
-            writer.close()
-        app.rds_bytes(0).tofile(rds_path)
-        print(f"wrote {wav_path} and {rds_path} (streamed)")
+            scraper.close()
+        print(f"wrote {scraper.wav_paths[-1]} and {scraper.rds_path} (streamed)")
         return
 
     iq = pack_iq_u8(_read_input_u8(args.input))
@@ -216,9 +218,11 @@ def cmd_scrape(args) -> None:
               integer_input=True)
     app.process(iq)
 
-    write_wav_int16(wav_path, app.audio[0], app.demod.fs_audio)
-    app.rds_bytes(0).tofile(rds_path)
-    print(f"wrote {wav_path} and {rds_path}")
+    scraper = FMScraper(args.output)
+    scraper.on_audio_data(app.audio[0], int(app.demod.fs_audio))
+    scraper.on_rds_bytes(app.rds_bytes(0))
+    scraper.close()
+    print(f"wrote {scraper.wav_paths[-1]} and {scraper.rds_path}")
 
 
 def cmd_tune(args) -> None:
@@ -233,7 +237,6 @@ def cmd_tune(args) -> None:
     import jax.numpy as jnp
 
     from fm_radio_tpu.config import DemodConfig
-    from fm_radio_tpu.io.wav import write_wav_int16
     from fm_radio_tpu.models.app import App
     from fm_radio_tpu.ops.design import create_fir_lpf
     from fm_radio_tpu.ops.fir import polyphase_decimate_p
@@ -308,14 +311,15 @@ def cmd_tune(args) -> None:
             (np.asarray(yr) + 1j * np.asarray(yi)).astype(np.complex64)[0]
         )
 
-    stamp = time.strftime("%Y%m%d_%H%M%S")
-    wav_path = os.path.join(args.output, f"{stamp}_audio.wav")
-    write_wav_int16(wav_path, app.audio[0], app.demod.fs_audio)
-    rds_path = os.path.join(args.output, f"{stamp}_rds.bin")
-    app.rds_bytes(0).tofile(rds_path)
+    from fm_radio_tpu.io.scraper import FMScraper
+
+    scraper = FMScraper(args.output)
+    scraper.on_audio_data(app.audio[0], int(app.demod.fs_audio))
+    scraper.on_rds_bytes(app.rds_bytes(0))
+    scraper.close()
     db = app.rds_database(0)
     print(json.dumps(db.summary()))
-    print(f"wrote {wav_path} and {rds_path}")
+    print(f"wrote {scraper.wav_paths[-1]} and {scraper.rds_path}")
 
 
 def cmd_rds_decode(args) -> None:
@@ -326,7 +330,7 @@ def cmd_rds_decode(args) -> None:
         data = np.frombuffer(sys.stdin.buffer.read(), dtype=np.uint8)
     else:
         data = np.fromfile(args.input, dtype=np.uint8)
-    chain = RDSDecodingChain()
+    chain = RDSDecodingChain(strict_ref=args.strict_ref)
     chain.process(data)
     for line in chain.log_lines:
         print(f"[rds_decoder] {line}", file=sys.stderr)
@@ -741,6 +745,10 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--checkpoint-every", type=int, default=0,
                    help="with --save-state: atomically checkpoint every N "
                         "blocks during processing")
+    d.add_argument("--strict-ref", action="store_true",
+                   help="exact reference RDS behavior: version-B groups print "
+                        "Unsupported_Code (rds_decoder.cpp:146-155) instead "
+                        "of being decoded (0B/2B/15B superset)")
     d.set_defaults(fn=cmd_demod)
 
     s = sub.add_parser("scrape", help="IQ pcm -> WAV + RDS bytes artifacts")
@@ -769,6 +777,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     r = sub.add_parser("rds-decode", help="RDS bytes -> groups + database")
     r.add_argument("-i", "--input", default=None)
+    r.add_argument("--strict-ref", action="store_true",
+                   help="exact reference RDS behavior: version-B groups print "
+                        "Unsupported_Code (rds_decoder.cpp:146-155) instead "
+                        "of being decoded (0B/2B/15B superset)")
     r.set_defaults(fn=cmd_rds_decode)
 
     b = sub.add_parser("bench", help="throughput benchmark")
