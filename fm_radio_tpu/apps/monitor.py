@@ -197,6 +197,114 @@ def render_frame(s: FrameStats, width: int = 64, ascii_only: bool = False,
 
 
 # ----------------------------------------------------------------------------
+# interactive runtime controls
+
+
+class ControlSurface:
+    """Key bindings driving ``BroadcastFMDemod.update_controls`` — live-
+    control parity with the reference GUI's demod panel
+    (``render_fm_demod.cpp:305-374``: audio-mode combo, L-R gain slider
+    0..5, L+R / L-R cutoff sliders 0..15k, de-emphasis checkbox + 1..100 µs
+    slider).  Each handled key mutates the LIVE pipeline mid-stream via the
+    dirty-flag coefficient redesign; returns a status string (or None for
+    unbound keys)."""
+
+    MODES = ("stereo", "lpr", "lmr")
+    HELP = ("keys: m=mode g/G=L-R gain l/L=L+R cutoff r/R=L-R cutoff "
+            "e=deemph [/]=deemph-us q=quit")
+
+    def __init__(self, demod):
+        self.demod = demod
+
+    def _set(self, **changes) -> None:
+        self.demod.update_controls(**changes)
+
+    def handle_key(self, ch: str) -> str | None:
+        cfg = self.demod.cfg
+        if ch == "m":
+            mode = self.MODES[(self.MODES.index(cfg.audio_out) + 1)
+                              % len(self.MODES)]
+            self._set(audio_out=mode)
+            return f"audio mode -> {mode}"
+        if ch in "gG":
+            g = min(max(cfg.audio_stereo_mix_factor
+                        + (0.25 if ch == "G" else -0.25), 0.0), 5.0)
+            self._set(audio_stereo_mix_factor=g)
+            return f"L-R gain -> {g:.2f}"
+        if ch in "lL":
+            hz = min(max(cfg.audio_lpr_cutoff_hz
+                         + (1000 if ch == "L" else -1000), 1000), 15000)
+            self._set(audio_lpr_cutoff_hz=hz)
+            return f"L+R cutoff -> {hz} Hz"
+        if ch in "rR":
+            hz = min(max(cfg.audio_lmr_cutoff_hz
+                         + (1000 if ch == "R" else -1000), 1000), 15000)
+            self._set(audio_lmr_cutoff_hz=hz)
+            return f"L-R cutoff -> {hz} Hz"
+        if ch == "e":
+            on = not cfg.use_deemphasis_filter
+            self._set(use_deemphasis_filter=on)
+            return f"de-emphasis -> {'on' if on else 'off'}"
+        if ch in "[]":
+            us = min(max(cfg.deemphasis_cutoff_us + (5 if ch == "]" else -5),
+                         cfg.analog.tus_min_deemphasis),
+                     cfg.analog.tus_max_deemphasis)
+            self._set(deemphasis_cutoff_us=us)
+            return f"de-emphasis -> {us} us"
+        return None
+
+    def status_line(self) -> str:
+        cfg = self.demod.cfg
+        de = (f"on {cfg.deemphasis_cutoff_us}us"
+              if cfg.use_deemphasis_filter else "off")
+        return (f"controls: mode={cfg.audio_out} "
+                f"L-R gain={cfg.audio_stereo_mix_factor:.2f} "
+                f"L+R cutoff={cfg.audio_lpr_cutoff_hz} "
+                f"L-R cutoff={cfg.audio_lmr_cutoff_hz} deemph={de}")
+
+
+class _KeyReader:
+    """Non-blocking single-key reader from the controlling terminal.
+
+    Reads from /dev/tty (NOT stdin — the sample stream may own stdin), in
+    cbreak mode, restoring terminal state on close.  Silently inert when no
+    tty exists (tests, pipes, CI)."""
+
+    def __init__(self):
+        self._fd = None
+        self._saved = None
+        try:
+            import termios
+            import tty
+
+            self._tty = open("/dev/tty", "rb", buffering=0)
+            self._fd = self._tty.fileno()
+            self._saved = termios.tcgetattr(self._fd)
+            tty.setcbreak(self._fd)
+        except (OSError, ImportError, ValueError):
+            self._fd = None
+
+    def poll(self) -> str | None:
+        if self._fd is None:
+            return None
+        import select
+
+        r, _, _ = select.select([self._fd], [], [], 0)
+        if not r:
+            return None
+        ch = self._tty.read(1)
+        return ch.decode(errors="ignore") if ch else None
+
+    def close(self) -> None:
+        if self._fd is not None and self._saved is not None:
+            import termios
+
+            termios.tcsetattr(self._fd, termios.TCSADRAIN, self._saved)
+            self._tty.close()
+            self._fd = None
+
+
+# ----------------------------------------------------------------------------
 # live driver
 
 
@@ -342,12 +450,20 @@ class Monitor:
 
 
 def run_monitor(args) -> None:
-    """CLI driver: stream a pcm file (or stdin) and repaint the dashboard."""
+    """CLI driver: stream a pcm file (or stdin) and repaint the dashboard.
+
+    Interactive when a controlling tty exists: single keys mutate the LIVE
+    pipeline (audio mode, L±R cutoffs, L−R gain, de-emphasis) through
+    :class:`ControlSurface` — the runtime-control parity of the reference
+    GUI's demod panel (``render_fm_demod.cpp:305-374``)."""
     from fm_radio_tpu.models.app import App
 
     app = App(block_size=args.block, channels=1, integer_input=True,
               rds_backend=getattr(args, "rds_backend", "python"))
     mon = Monitor(app, mode=args.mode, block_size=args.block)
+    controls = ControlSurface(app.demod)
+    keys = _KeyReader()
+    last_action = ""
 
     from_file = args.input not in (None, "-")
     fh = open(args.input, "rb") if from_file else sys.stdin.buffer
@@ -355,6 +471,13 @@ def run_monitor(args) -> None:
     frames = 0
     try:
         while args.frames is None or frames < args.frames:
+            ch = keys.poll()
+            if ch == "q":
+                break
+            if ch is not None:
+                msg = controls.handle_key(ch)
+                if msg is not None:
+                    last_action = msg
             raw = fh.read(2 * args.block * args.refresh)
             n = (len(raw) // 2) * 2
             if n == 0:
@@ -370,12 +493,17 @@ def run_monitor(args) -> None:
                          with_taps=(b == nb - 1))
             frame = render_frame(mon.snapshot(), width=args.width,
                                  ascii_only=args.no_ansi)
+            footer = controls.status_line()
+            if last_action:
+                footer += f"   [{last_action}]"
+            footer += "\n" + ControlSurface.HELP
             if use_ansi:
-                sys.stdout.write("\x1b[H\x1b[2J" + frame + "\n")
+                sys.stdout.write("\x1b[H\x1b[2J" + frame + "\n" + footer + "\n")
             else:
-                sys.stdout.write(frame + "\n\n")
+                sys.stdout.write(frame + "\n" + footer + "\n\n")
             sys.stdout.flush()
             frames += 1
     finally:
+        keys.close()
         if from_file:
             fh.close()

@@ -58,6 +58,83 @@ def test_render_frame_contains_all_panels():
         assert needle in frame, needle
 
 
+def test_control_surface_keys_mutate_live_pipeline():
+    """Live-control parity with the reference GUI demod panel
+    (``render_fm_demod.cpp:305-374``): an injected keypress re-designs the
+    running pipeline's coefficients mid-stream and the OUTPUT spectrum
+    changes — here the 'l' key walks the L+R audio cutoff from 15 kHz down
+    to 1 kHz and a 3 kHz mono test tone must vanish from the audio."""
+    from fm_radio_tpu.apps.monitor import ControlSurface
+    from fm_radio_tpu.io.synth import FMModulator, ModulatorConfig
+    from fm_radio_tpu.models.app import App
+
+    block = 16384
+    mod = FMModulator(ModulatorConfig())
+    iq = mod.generate(block * 4, left_hz=3000.0, right_hz=3000.0)
+
+    def tone_db(app):
+        app.audio_blocks.clear()
+        app.process(iq)
+        audio = np.concatenate([a[0] for a in app.audio_blocks], axis=0)
+        mono = audio[audio.shape[0] // 2:, 0]  # settled half
+        spec = np.abs(np.fft.rfft(mono * np.hanning(mono.size)))
+        freqs = np.fft.rfftfreq(mono.size, 1.0 / app.demod.fs_audio)
+        band = (freqs > 2800) & (freqs < 3200)
+        return 20 * np.log10(spec[band].max() + 1e-12)
+
+    app = App(block_size=block, channels=1, decode_rds=False)
+    ctl = ControlSurface(app.demod)
+    before = tone_db(app)
+
+    for _ in range(20):  # 15k -> clamped floor 1k
+        ctl.handle_key("l")
+    assert app.demod.cfg.audio_lpr_cutoff_hz == 1000  # bound clamps
+    after = tone_db(app)
+    assert before - after > 20, (before, after)
+
+    # restore and confirm the tone comes back (dirty-flag redesign is
+    # symmetric; carried filter state survives the coefficient swap)
+    for _ in range(20):
+        ctl.handle_key("L")
+    assert app.demod.cfg.audio_lpr_cutoff_hz == 15000
+    assert tone_db(app) > after + 20
+
+
+def test_control_surface_bindings_and_status():
+    """Every bound key mutates exactly its control, respects reference
+    bounds, and reports a human-readable action + status line."""
+    from fm_radio_tpu.apps.monitor import ControlSurface
+    from fm_radio_tpu.models.app import App
+
+    app = App(block_size=4096, channels=1, decode_rds=False)
+    ctl = ControlSurface(app.demod)
+    cfg = app.demod.cfg
+
+    assert ctl.handle_key("m") == "audio mode -> lpr"
+    assert app.demod.cfg.audio_out == "lpr"
+    ctl.handle_key("m"), ctl.handle_key("m")
+    assert app.demod.cfg.audio_out == "stereo"  # full cycle
+
+    assert "L-R gain" in ctl.handle_key("G")
+    assert app.demod.cfg.audio_stereo_mix_factor == cfg.audio_stereo_mix_factor + 0.25
+    for _ in range(30):
+        ctl.handle_key("G")
+    assert app.demod.cfg.audio_stereo_mix_factor == 5.0  # slider max
+
+    assert ctl.handle_key("e") == "de-emphasis -> on"
+    assert app.demod.cfg.use_deemphasis_filter
+    ctl.handle_key("]")
+    assert app.demod.cfg.deemphasis_cutoff_us == cfg.deemphasis_cutoff_us + 5
+    for _ in range(40):
+        ctl.handle_key("[")
+    assert app.demod.cfg.deemphasis_cutoff_us == cfg.analog.tus_min_deemphasis
+
+    assert ctl.handle_key("z") is None  # unbound key: inert
+    line = ctl.status_line()
+    for needle in ("mode=stereo", "L+R cutoff", "deemph="):
+        assert needle in line
+
+
 def test_monitor_cli_smoke(tmp_path):
     """End-to-end: monitor a synthetic station, expect pilot lock + PI."""
     import os
