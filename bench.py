@@ -198,10 +198,13 @@ def _supervise() -> None:
 
     The tunneled TPU backend can hang indefinitely mid-transfer (or at
     interpreter teardown) when the tunnel drops; a hung bench would leave
-    the round with no record at all.  Parent tries the real chip (twice,
-    but only if the failure was a hang — crashes are deterministic), then
-    falls back to a labeled CPU measurement so ONE JSON line is always
-    produced.
+    the round with no record at all.  Parent retries the real chip —
+    always after a hang, and after a crash when the crash is a TRANSIENT
+    backend-init failure (``UNAVAILABLE`` / "backend setup": the tunnel
+    flapping, classically recoverable within minutes — this exact failure
+    cost round 1 its hardware record).  Deterministic crashes (anything
+    else) are not retried.  Finally falls back to a labeled CPU
+    measurement so ONE JSON line is always produced.
     """
     argv = [sys.executable, os.path.abspath(__file__), *sys.argv[1:]]
     base_env = {**os.environ, "FMTPU_BENCH_CHILD": "1"}
@@ -226,14 +229,29 @@ def _supervise() -> None:
         for line in reversed((out or "").strip().splitlines()):
             if line.startswith("{"):
                 return line, ""
+        if kind == "crash" and err and any(
+            m in err for m in ("UNAVAILABLE", "backend setup",
+                               "Unable to initialize backend")
+        ):
+            kind = "transient"
         if err:
             sys.stderr.write(err[-2000:])
         return None, kind
 
-    t1 = float(os.environ.get("FMTPU_BENCH_TIMEOUT", "1800"))
-    line, kind = attempt(chip_env, t1)
-    if line is None and kind == "hang":  # crashes are deterministic: no retry
-        line, kind = attempt(chip_env, t1 / 2)
+    t_budget = float(os.environ.get("FMTPU_BENCH_TIMEOUT", "1800"))
+    deadline = time.monotonic() + t_budget
+    backoff = float(os.environ.get("FMTPU_BENCH_BACKOFF", "90"))
+    line = kind = None
+    for i in range(3):
+        remaining = deadline - time.monotonic()
+        if remaining < 120:  # too little budget left for a meaningful attempt
+            break
+        line, kind = attempt(chip_env, remaining)
+        if line is not None or kind == "crash":
+            break  # success, or a deterministic crash: no point retrying
+        if kind == "transient" and i < 2:
+            # tunnel flap: give it time to come back before re-init
+            time.sleep(min(backoff, max(0.0, deadline - time.monotonic() - 120)))
     if line is None:
         # CPU fallback must ALSO drop PALLAS_AXON_POOL_IPS: a down tunnel can
         # hang register() inside the axon sitecustomize hook at interpreter
@@ -241,7 +259,9 @@ def _supervise() -> None:
         # too.  Without the var the hook skips registration entirely.
         cpu_env = {**base_env, "FMTPU_BENCH_CPU": "1", "JAX_PLATFORMS": "cpu"}
         cpu_env.pop("PALLAS_AXON_POOL_IPS", None)
-        line, cpu_kind = attempt(cpu_env, t1)
+        # the CPU fallback runs even if the chip attempts consumed the whole
+        # budget — a round must never end without a record
+        line, cpu_kind = attempt(cpu_env, max(300.0, deadline - time.monotonic()))
         if line is None:
             line = json.dumps({
                 "metric": "full-chain IQ demod throughput (bench could not "

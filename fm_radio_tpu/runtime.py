@@ -27,16 +27,21 @@ class NativeRuntimeUnavailable(RuntimeError):
 
 @lru_cache(maxsize=1)
 def load() -> ctypes.CDLL:
-    """Build (if needed) and load the native runtime library."""
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _RUNTIME_DIR],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except (subprocess.SubprocessError, FileNotFoundError) as e:
+    """Build (if needed) and load the native runtime library.
+
+    ``make`` runs unconditionally (a no-op when the .so is newer than the
+    source) so a stale library can never mask source drift; the .so itself
+    is a build artifact and is not tracked in git.
+    """
+    try:
+        subprocess.run(
+            ["make", "-C", _RUNTIME_DIR],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except (subprocess.SubprocessError, FileNotFoundError) as e:
+        if not os.path.exists(_LIB_PATH):
             raise NativeRuntimeUnavailable(f"cannot build native runtime: {e}") from e
     lib = ctypes.CDLL(_LIB_PATH)
 
