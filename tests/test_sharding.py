@@ -97,6 +97,66 @@ def test_time_parallel_2d_mesh(iq):
     np.testing.assert_allclose(audio[0], audio[1], atol=1e-4)
 
 
+def test_time_parallel_rds_groups_match_sequential():
+    """RDS-level acceptance of the time-sharded path: groups decoded from
+    the ``demod_time_parallel`` symbol stream must be word-identical to the
+    sequential stream's — the multi-device story held to the same bar as
+    the reference's bit-exact group decode (rds_group_sync.cpp:29-252).
+
+    Warm-up must cover BPSK TED/PLL re-acquisition (~0.2 s), so each time
+    shard gets a 16-block (0.25 s) raw-IQ halo; a corrupted group at the
+    payload seam is tolerated (the chain's 3-group resync handles it, as it
+    would a real burst error) but every decoded group must be genuine, and
+    the parallel stream must recover the PI code and most of the traffic."""
+    from fm_radio_tpu.rds.chain import RDSFullChain
+
+    cfg = DemodConfig()
+    coeffs = make_coeffs(cfg)
+    mod = FMModulator(ModulatorConfig())
+    groups_tx = [
+        (0xC0DE, (0 << 12) | (1 << 10) | seg, 0xE101, word)
+        for seg, word in enumerate((0x4142, 0x4344, 0x4546, 0x4748))
+    ]
+    n = BLOCK * 64  # 1.024 s: ~11 groups at 1187.5 bps
+    iq = mod.generate(n, left_hz=1000.0, right_hz=3000.0,
+                      rds_groups=groups_tx)[None, :]
+
+    mesh = make_mesh(1, 2)
+    outs_par = demod_time_parallel(
+        cfg, coeffs, jnp.asarray(iq), mesh, block_size=BLOCK, warmup_blocks=16
+    )
+    _, outs_seq = demod_stream(cfg, iq, block_size=BLOCK)
+
+    def decode(outs):
+        chain = RDSFullChain()
+        pred = np.asarray(outs["rds_pred"])[0]
+        valid = np.asarray(outs["rds_valid"])[0]
+        chain.process_symbols(pred[valid])
+        return chain
+
+    seq = decode(outs_seq)
+    par = decode(outs_par)
+
+    def words(chain):
+        return [
+            tuple(b.data for b in g)
+            for g in chain.chain.groups
+            if all(b.is_valid for b in g)
+        ]
+
+    seq_words, par_words = words(seq), words(par)
+    assert len(seq_words) >= 8, f"sequential oracle too weak: {len(seq_words)}"
+    # every fully-valid parallel group is genuine transmitted content
+    tx_words = {(pi, b, c, d) for (pi, b, c, d) in groups_tx}
+    assert set(par_words) <= tx_words, set(par_words) - tx_words
+    assert set(par_words) == set(seq_words)
+    # one shard seam may cost up to 4 groups: the group-sync state machine
+    # needs >=3 errored groups to declare desync (rds_group_sync.cpp:119-123)
+    # plus one sync-search window — the same price a real burst error pays
+    assert len(par_words) >= len(seq_words) - 4, (len(par_words), len(seq_words))
+    assert par.db.pi_code == seq.db.pi_code == 0xC0DE
+
+
 # ------------------------------------------------------------- channelizer
 
 
