@@ -19,3 +19,13 @@ if os.environ.get("FMTPU_TPU_TESTS") != "1":
     import jax  # noqa: E402
 
     jax.config.update("jax_platforms", "cpu")
+
+# NaN-debug lane (SURVEY.md §5.2 — the TPU-side replacement for sanitizers):
+# FMTPU_DEBUG_NANS=1 re-runs the ENTIRE suite with jax_debug_nans on, so any
+# computation returning NaN raises at the producing op instead of corrupting
+# downstream audio/RDS.  tests/test_nan_lane.py additionally runs the e2e
+# chain under the flag in the default lane on every `pytest tests/` run.
+if os.environ.get("FMTPU_DEBUG_NANS") == "1":
+    import jax  # noqa: E402
+
+    jax.config.update("jax_debug_nans", True)
