@@ -27,6 +27,9 @@ print('TUNNEL-OK', jax.devices())
     exit 1
 fi
 
+note "HBM streaming-bandwidth sweep (383-vs-819 GB/s diagnosis)"
+timeout 2400 python tools/hbm_sweep.py --json 2>&1 | tee -a "$LOG"
+
 note "hardware accuracy gates"
 FMTPU_TPU_TESTS=1 timeout 2400 python -m pytest tests/test_tpu_accuracy.py -q \
     2>&1 | tail -5 | tee -a "$LOG"
