@@ -151,6 +151,23 @@ def cmd_demod(args) -> None:
             fs_out = int(args.rate)
         write_wav_int16(args.output_wav, audio, fs_out)
         print(f"wrote {args.output_wav} ({audio.shape[0]} frames @{fs_out}Hz)")
+    if args.play:
+        # real-time audio out (PortAudio stack parity, io/player.py):
+        # feed the sink per-demod-block buffers exactly as the reference's
+        # OnAudioBlock -> pcm_player->ConsumeBuffer wiring does
+        # (fm_demod_no_tuner.cpp:171-174)
+        from fm_radio_tpu.io.player import PCMPlayer
+
+        fs_in = int(app.demod.fs_audio)
+        out_rate = int(args.rate) if args.rate else 48_000
+        chunk = block // 32  # audio frames per demod block
+        audio = app.audio[0]
+        with PCMPlayer(command=args.play, output_rate=out_rate,
+                       fmt=args.play_format) as player:
+            for i in range(0, audio.shape[0], chunk):
+                player.consume(audio[i : i + chunk], fs_in)
+        print(f"played {player.frames_written} frames @{out_rate}Hz "
+              f"to {args.play!r}", file=sys.stderr)
     if args.taps:
         os.makedirs(args.taps, exist_ok=True)
         # re-run last block with taps for inspection
@@ -719,6 +736,14 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--rate", type=int, default=0,
                    help="resample the output WAV to this rate (the reference "
                         "plays at 48000 via Resampled_PCM_Player)")
+    d.add_argument("--play", default=None, metavar="CMD",
+                   help="real-time audio out: pipe PCM frames to this shell "
+                        "command's stdin ('-' = raw PCM to stdout), e.g. "
+                        "\"aplay -f FLOAT_LE -r 48000 -c 2\"; rate from "
+                        "--rate (default 48000, portaudio_output.cpp:8)")
+    d.add_argument("--play-format", choices=["f32", "s16"], default="f32",
+                   help="PCM sample format for --play (f32 = PortAudio "
+                        "stream-format parity)")
     d.add_argument("--audio-mode", choices=["stereo", "lpr", "lmr"],
                    default="stereo",
                    help="audio mixer mode (GUI combo, broadcast_fm_demod.h:80)")
@@ -856,6 +881,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="plain text frames, no cursor control")
     m.add_argument("--rds-backend", default="python",
                    choices=["python", "native"])
+    m.add_argument("--play", default=None, metavar="CMD",
+                   help="LIVE audio out while monitoring: pipe PCM to this "
+                        "shell command ('-' = stdout is the dashboard, so a "
+                        "command is required here)")
+    m.add_argument("--play-format", choices=["f32", "s16"], default="f32")
     m.set_defaults(fn=cmd_monitor)
 
     sf = sub.add_parser(

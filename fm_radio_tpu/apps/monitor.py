@@ -317,12 +317,16 @@ class Monitor:
     reference GUI's pull semantics (``calculate_fft_mag.h:25-28``: spectra
     compute when the display asks, not per DSP block)."""
 
-    def __init__(self, app, mode: str = "average", block_size: int = 65536):
+    def __init__(self, app, mode: str = "average", block_size: int = 65536,
+                 on_audio=None):
         from fm_radio_tpu.ops.spectrum import SpectrumView
 
         self.app = app
         self.block_size = block_size
         self.mode = mode
+        # live playback hook: called with ([N,2] float32, fs_audio) per block
+        # (the OnAudioBlock -> pcm_player wiring, fm_demod_no_tuner.cpp:171-174)
+        self.on_audio = on_audio
         self.views = {name: SpectrumView(mode=mode) for name in SPECTRUM_TAPS}
         self.blocks = 0
         self.samples = 0
@@ -343,6 +347,10 @@ class Monitor:
         t0 = time.perf_counter()
         outs = self.app.demod.process(blk, include_taps=with_taps)
         t1 = time.perf_counter()
+
+        if self.on_audio is not None:
+            self.on_audio(np.asarray(outs["audio"][0]),
+                          int(self.app.demod.fs_audio))
 
         # feed RDS chains exactly like App._run_block
         if self.app.decode_rds:
@@ -460,7 +468,17 @@ def run_monitor(args) -> None:
 
     app = App(block_size=args.block, channels=1, integer_input=True,
               rds_backend=getattr(args, "rds_backend", "python"))
-    mon = Monitor(app, mode=args.mode, block_size=args.block)
+    player = None
+    if getattr(args, "play", None):
+        if args.play == "-":
+            sys.exit("monitor --play needs a command (stdout shows the "
+                     "dashboard); e.g. --play 'aplay -f FLOAT_LE -r 48000 -c 2'")
+        from fm_radio_tpu.io.player import PCMPlayer
+
+        player = PCMPlayer(command=args.play,
+                           fmt=getattr(args, "play_format", "f32"))
+    mon = Monitor(app, mode=args.mode, block_size=args.block,
+                  on_audio=player.consume if player else None)
     controls = ControlSurface(app.demod)
     keys = _KeyReader()
     last_action = ""
@@ -505,5 +523,7 @@ def run_monitor(args) -> None:
             frames += 1
     finally:
         keys.close()
+        if player is not None:
+            player.close()
         if from_file:
             fh.close()
