@@ -133,21 +133,45 @@ def worker(args: argparse.Namespace) -> None:
     # (a process whose devices all sit in time-shard 0 checks nothing)
     assert checked + skipped == len(audio.addressable_shards) > 0
 
-    print(
-        json.dumps(
-            {
-                "proc": pid,
-                "pass": True,
-                "devices": n_dev,
-                "processes": args.nproc,
-                "mesh": dict(mesh.shape),
-                "t_over_hosts": bool(args.t_over_hosts),
-                "shards_checked": checked,
-                "min_settled_snr_db": round(float(min_snr), 1) if checked else None,
-            }
-        ),
-        flush=True,
-    )
+    verdict = {
+        "proc": pid,
+        "pass": True,
+        "devices": n_dev,
+        "processes": args.nproc,
+        "mesh": dict(mesh.shape),
+        "t_over_hosts": bool(args.t_over_hosts),
+        "shards_checked": checked,
+        "min_settled_snr_db": round(float(min_snr), 1) if checked else None,
+    }
+
+    if args.bench_reps > 0:
+        # throughput of the jitted sharded program on a FIXED global
+        # workload (same channels x samples regardless of mesh shape), so
+        # nproc=1/2/4 rows are comparable; every process participates (the
+        # t-over-hosts layout runs its halo ppermute across processes)
+        import time
+
+        c_b = n_ch_mesh * max(1, -(-4 // n_ch_mesh))  # >=4, multiple of mesh
+        x_b = jax.make_array_from_callback(
+            (c_b, t_total), sharding,
+            lambda idx: np.broadcast_to(iq, (c_b, t_total))[idx],
+        )
+        f = jax.jit(lambda xx: demod_time_parallel(
+            cfg, coeffs, xx, mesh, block_size=BLOCK,
+            warmup_blocks=WARMUP)["audio"])
+        jax.block_until_ready(f(x_b))  # compile
+        t0 = time.perf_counter()
+        for _ in range(args.bench_reps):
+            jax.block_until_ready(f(x_b))
+        dt = time.perf_counter() - t0
+        verdict["bench"] = {
+            "channels": c_b,
+            "samples_per_rep": c_b * t_total,
+            "reps": args.bench_reps,
+            "samples_per_s": round(c_b * t_total * args.bench_reps / dt),
+        }
+
+    print(json.dumps(verdict), flush=True)
 
 
 def _free_port() -> int:
@@ -224,6 +248,19 @@ def launch(args: argparse.Namespace) -> int:
     if rc == 0 and total_checked == 0:
         print("FAIL: no worker checked any shard", file=sys.stderr)
         rc = 1
+    benches = [
+        json.loads(line)["bench"]
+        for out in outs
+        for line in out.splitlines()
+        if line.startswith("{") and "bench" in json.loads(line)
+    ]
+    if benches:
+        # the global step completes when the SLOWEST process does
+        agg = min(b["samples_per_s"] for b in benches)
+        print(json.dumps({"aggregate_samples_per_s": agg,
+                          "nproc": args.nproc,
+                          "local_devices": args.local_devices,
+                          "t_over_hosts": bool(args.t_over_hosts)}))
     print("MULTIHOST " + ("PASS" if rc == 0 else "FAIL"))
     return rc
 
@@ -235,6 +272,9 @@ def main() -> int:
     ap.add_argument("--t-over-hosts", action="store_true",
                     help="put the time axis across processes so the halo "
                     "ppermute crosses the host boundary")
+    ap.add_argument("--bench-reps", type=int, default=0,
+                    help="also time the jitted sharded program (N reps on a "
+                    "fixed global workload) and report samples/s")
     ap.add_argument("--timeout", type=float, default=540.0)
     args = ap.parse_args()
     if os.environ.get("FMTPU_MH_PROC") is not None:
