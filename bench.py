@@ -246,7 +246,11 @@ def _supervise() -> None:
         remaining = deadline - time.monotonic()
         if remaining < 120:  # too little budget left for a meaningful attempt
             break
-        line, kind = attempt(chip_env, remaining)
+        # cap the non-final attempts at half the TOTAL budget: an attempt
+        # that HANGS must leave room for a retry (an uncapped first attempt
+        # would eat the whole deadline and make the hang-retry dead code)
+        slice_t = remaining if i == 2 else min(remaining, t_budget / 2)
+        line, kind = attempt(chip_env, slice_t)
         if line is not None or kind == "crash":
             break  # success, or a deterministic crash: no point retrying
         if kind == "transient" and i < 2:

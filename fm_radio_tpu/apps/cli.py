@@ -75,6 +75,9 @@ def cmd_demod(args) -> None:
         cfg = dataclasses.replace(cfg, **changes)
 
     block = power_ceil(args.block_size)
+    # --play - streams raw PCM on stdout: every informational line must go
+    # to stderr or it corrupts the byte stream mid-playback
+    info_out = sys.stderr if args.play == "-" else sys.stdout
     # packed ingest (one f32 word per sample, utils/transfer.pack_iq_u8):
     # half the host->device bytes of complex64; unpacked exactly in-kernel
     iq = pack_iq_u8(_read_input_u8(args.input))
@@ -150,22 +153,30 @@ def cmd_demod(args) -> None:
             audio = _np.asarray(linear_resample(audio, n_out))
             fs_out = int(args.rate)
         write_wav_int16(args.output_wav, audio, fs_out)
-        print(f"wrote {args.output_wav} ({audio.shape[0]} frames @{fs_out}Hz)")
+        print(f"wrote {args.output_wav} ({audio.shape[0]} frames @{fs_out}Hz)",
+              file=info_out)
     if args.play:
         # real-time audio out (PortAudio stack parity, io/player.py):
         # feed the sink per-demod-block buffers exactly as the reference's
         # OnAudioBlock -> pcm_player->ConsumeBuffer wiring does
         # (fm_demod_no_tuner.cpp:171-174)
-        from fm_radio_tpu.io.player import PCMPlayer
+        from fm_radio_tpu.io.player import PCMPlayer, PlayerSinkError
 
         fs_in = int(app.demod.fs_audio)
         out_rate = int(args.rate) if args.rate else 48_000
         chunk = block // 32  # audio frames per demod block
         audio = app.audio[0]
-        with PCMPlayer(command=args.play, output_rate=out_rate,
-                       fmt=args.play_format) as player:
+        player = PCMPlayer(command=args.play, output_rate=out_rate,
+                           fmt=args.play_format)
+        try:
             for i in range(0, audio.shape[0], chunk):
                 player.consume(audio[i : i + chunk], fs_in)
+        except PlayerSinkError as e:
+            sys.exit(f"--play: {e}")
+        rc = player.close()
+        if rc != 0:
+            sys.exit(f"--play: sink {args.play!r} exited with status {rc} "
+                     f"after {player.frames_written} frames")
         print(f"played {player.frames_written} frames @{out_rate}Hz "
               f"to {args.play!r}", file=sys.stderr)
     if args.taps:
@@ -176,12 +187,13 @@ def cmd_demod(args) -> None:
         )
         for name, arr in outs["taps"].items():
             np.save(os.path.join(args.taps, f"{name}.npy"), np.asarray(arr))
-        print(f"dumped {len(outs['taps'])} tap buffers to {args.taps}")
+        print(f"dumped {len(outs['taps'])} tap buffers to {args.taps}",
+              file=info_out)
     if not args.no_rds:
         db = app.rds_database(0)
         for line in app.rds_log_lines(0):
             print(f"[rds_decoder] {line}", file=sys.stderr)
-        print(json.dumps(db.summary()))
+        print(json.dumps(db.summary()), file=info_out)
 
 
 def cmd_scrape(args) -> None:
@@ -210,7 +222,7 @@ def cmd_scrape(args) -> None:
         scraper = FMScraper(args.output, use_native=True)
         reader = rt.NativePcmReader(args.input, block)
         fs_audio = int(app.demod.fs_audio)
-        rds_done = 0
+        rds_bufs = app.rds_chains[0].rds_bytes  # chain's artifact accumulator
         try:
             while True:
                 blk = reader.next_packed()
@@ -220,14 +232,16 @@ def cmd_scrape(args) -> None:
                 for a in app.audio_blocks:
                     scraper.on_audio_data(a[0], fs_audio)
                 app.audio_blocks.clear()
-                new_bytes = app.rds_bytes(0)[rds_done:]
-                if len(new_bytes):
-                    scraper.on_rds_bytes(new_bytes)
-                    rds_done += len(new_bytes)
+                # drain (don't re-concatenate history): the only O(new)
+                # per block, truly constant-memory consumption pattern
+                if rds_bufs:
+                    scraper.on_rds_bytes(np.concatenate(rds_bufs))
+                    rds_bufs.clear()
         finally:
             reader.close()
             scraper.close()
-        print(f"wrote {scraper.wav_paths[-1]} and {scraper.rds_path} (streamed)")
+        print(f"wrote {scraper.wav_paths[-1] if scraper.wav_paths else 'no audio'}"
+              f" and {scraper.rds_path or 'no RDS bytes'} (streamed)")
         return
 
     iq = pack_iq_u8(_read_input_u8(args.input))

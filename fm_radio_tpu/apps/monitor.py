@@ -220,6 +220,11 @@ class ControlSurface:
         self.demod.update_controls(**changes)
 
     def handle_key(self, ch: str) -> str | None:
+        # exactly one printable character: '' (undecodable byte) would match
+        # `ch in "gG"` (any '' is "in" every string) and escape-sequence
+        # fragments must not hit bindings
+        if not ch or len(ch) != 1 or not ch.isprintable():
+            return None
         cfg = self.demod.cfg
         if ch == "m":
             mode = self.MODES[(self.MODES.index(cfg.audio_out) + 1)
@@ -273,26 +278,44 @@ class _KeyReader:
     def __init__(self):
         self._fd = None
         self._saved = None
+        self._tty = None
         try:
             import termios
             import tty
-
+        except ImportError:
+            return
+        try:
             self._tty = open("/dev/tty", "rb", buffering=0)
             self._fd = self._tty.fileno()
             self._saved = termios.tcgetattr(self._fd)
             tty.setcbreak(self._fd)
-        except (OSError, ImportError, ValueError):
+        except (OSError, ValueError, termios.error):
+            # termios.error derives from Exception directly (NOT OSError):
+            # /dev/tty can open but not be a usable terminal
+            if self._tty is not None:
+                self._tty.close()
+                self._tty = None
             self._fd = None
+            self._saved = None
 
     def poll(self) -> str | None:
         if self._fd is None:
             return None
         import select
 
-        r, _, _ = select.select([self._fd], [], [], 0)
-        if not r:
+        def readable() -> bool:
+            return bool(select.select([self._fd], [], [], 0)[0])
+
+        if not readable():
             return None
         ch = self._tty.read(1)
+        if ch == b"\x1b":
+            # escape sequence (arrow/function keys): drain the pending bytes
+            # so the '[' CSI byte never reaches a key binding
+            while readable():
+                if not self._tty.read(1):
+                    break
+            return None
         return ch.decode(errors="ignore") if ch else None
 
     def close(self) -> None:
@@ -473,7 +496,7 @@ def run_monitor(args) -> None:
         if args.play == "-":
             sys.exit("monitor --play needs a command (stdout shows the "
                      "dashboard); e.g. --play 'aplay -f FLOAT_LE -r 48000 -c 2'")
-        from fm_radio_tpu.io.player import PCMPlayer
+        from fm_radio_tpu.io.player import PCMPlayer, PlayerSinkError
 
         player = PCMPlayer(command=args.play,
                            fmt=getattr(args, "play_format", "f32"))
@@ -506,9 +529,12 @@ def run_monitor(args) -> None:
             nb = x.size // args.block
             if nb == 0:
                 break
-            for b in range(nb):
-                mon.step(x[b * args.block:(b + 1) * args.block],
-                         with_taps=(b == nb - 1))
+            try:
+                for b in range(nb):
+                    mon.step(x[b * args.block:(b + 1) * args.block],
+                             with_taps=(b == nb - 1))
+            except PlayerSinkError as e:
+                sys.exit(f"--play: {e}")
             frame = render_frame(mon.snapshot(), width=args.width,
                                  ascii_only=args.no_ansi)
             footer = controls.status_line()

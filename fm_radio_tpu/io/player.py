@@ -36,6 +36,12 @@ from fm_radio_tpu.ops.resample import linear_resample
 DEFAULT_OUTPUT_RATE = 48_000  # portaudio_output.cpp:8 (Fs = 48000)
 
 
+class PlayerSinkError(RuntimeError):
+    """The audio sink process died (command missing, device error, closed
+    pipe) — raised by :meth:`PCMPlayer.consume` instead of a raw
+    BrokenPipeError so CLI surfaces can fail with a one-line message."""
+
+
 class PCMPlayer:
     """Stream stereo float frames to an audio sink process or file object.
 
@@ -95,8 +101,17 @@ class PCMPlayer:
             if self.fmt == "s16"
             else mixed.astype("<f4").tobytes()
         )
-        self._sink.write(blob)
-        self._sink.flush()
+        try:
+            self._sink.write(blob)
+            self._sink.flush()
+        except (BrokenPipeError, OSError, ValueError) as e:
+            # sink command never started (sh exit 127), audio device error,
+            # or consumer closed its end mid-stream
+            rc = self._proc.poll() if self._proc is not None else None
+            raise PlayerSinkError(
+                f"audio sink died after {self.frames_written} frames"
+                + (f" (exit status {rc})" if rc is not None else "")
+            ) from e
         self.frames_written += mixed.shape[0]
         return mixed.shape[0]
 

@@ -63,11 +63,16 @@ class IncrementalWavWriter:
         self._f.seek(0, os.SEEK_END)
         self._f.write(blob)
         self._data_bytes += len(blob)
-        # update_wav_header parity: RIFF size + data size after every write
+        # update_wav_header parity: RIFF size + data size after every write.
+        # RIFF sizes are u32 per spec; clamp instead of crashing once a
+        # capture passes 4 GiB (signed '<i' would raise struct.error at
+        # 2 GiB — ~4.6 h of 32 kHz stereo — and kill the live scrape)
+        riff = min(36 + self._data_bytes, 0xFFFFFFFF)
+        data = min(self._data_bytes, 0xFFFFFFFF)
         self._f.seek(4)
-        self._f.write(struct.pack("<i", 36 + self._data_bytes))
+        self._f.write(struct.pack("<I", riff))
         self._f.seek(40)
-        self._f.write(struct.pack("<i", self._data_bytes))
+        self._f.write(struct.pack("<I", data))
         # a crash/kill between writes must still leave a playable file —
         # the in-place header update is pointless if it sits in a stdio
         # buffer, so flush per write (block-rate ~2 Hz: negligible)

@@ -31,18 +31,42 @@ def load() -> ctypes.CDLL:
 
     ``make`` runs unconditionally (a no-op when the .so is newer than the
     source) so a stale library can never mask source drift; the .so itself
-    is a build artifact and is not tracked in git.
+    is a build artifact and is not tracked in git.  The build is serialized
+    across processes with an flock'd lockfile — concurrent loaders (the
+    multihost launcher spawns several workers at once) must not race make
+    and dlopen a half-written .so.
     """
+    lock_path = os.path.join(_RUNTIME_DIR, ".build.lock")
     try:
-        subprocess.run(
-            ["make", "-C", _RUNTIME_DIR],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-    except (subprocess.SubprocessError, FileNotFoundError) as e:
+        with open(lock_path, "w") as lock_f:
+            import fcntl
+
+            fcntl.flock(lock_f, fcntl.LOCK_EX)
+            try:
+                subprocess.run(
+                    ["make", "-C", _RUNTIME_DIR],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except (subprocess.SubprocessError, FileNotFoundError) as e:
+                if not os.path.exists(_LIB_PATH):
+                    raise NativeRuntimeUnavailable(
+                        f"cannot build native runtime: {e}") from e
+                import warnings
+
+                warnings.warn(
+                    f"native runtime rebuild failed ({e}); loading the "
+                    f"EXISTING {_LIB_PATH}, which may be stale vs source",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+    except OSError as e:
+        # lockfile not creatable (read-only checkout): fall back to loading
+        # whatever exists rather than failing the whole native path
         if not os.path.exists(_LIB_PATH):
-            raise NativeRuntimeUnavailable(f"cannot build native runtime: {e}") from e
+            raise NativeRuntimeUnavailable(
+                f"cannot build native runtime: {e}") from e
     lib = ctypes.CDLL(_LIB_PATH)
 
     lib.rt_u8_to_f32_center.argtypes = [

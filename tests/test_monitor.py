@@ -130,6 +130,16 @@ def test_control_surface_bindings_and_status():
     assert app.demod.cfg.deemphasis_cutoff_us == cfg.analog.tus_min_deemphasis
 
     assert ctl.handle_key("z") is None  # unbound key: inert
+    # escape-sequence fragments and undecodable bytes must be inert too:
+    # '' would match `ch in "gG"` (empty string is "in" everything) and
+    # '[' arrives as the CSI byte of every arrow/function key
+    g = app.demod.cfg.audio_stereo_mix_factor
+    us = app.demod.cfg.deemphasis_cutoff_us
+    assert ctl.handle_key("") is None
+    assert ctl.handle_key("\x1b") is None
+    assert ctl.handle_key("[A") is None  # multi-char fragment
+    assert app.demod.cfg.audio_stereo_mix_factor == g
+    assert app.demod.cfg.deemphasis_cutoff_us == us
     line = ctl.status_line()
     for needle in ("mode=stereo", "L+R cutoff", "deemph="):
         assert needle in line

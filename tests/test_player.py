@@ -111,3 +111,24 @@ def test_demod_play_cli_end_to_end(tmp_path):
     freqs = np.fft.rfftfreq(settled.size, 1 / 48000.0)
     peak = freqs[np.argmax(spec)]
     assert abs(peak - 1000.0) < 20.0, peak
+
+
+def test_player_sink_death_raises_clean_error():
+    """A sink that never starts (sh exit 127) or dies mid-stream must raise
+    PlayerSinkError from consume(), not a raw BrokenPipeError traceback."""
+    import pytest
+
+    from fm_radio_tpu.io.player import PlayerSinkError
+
+    p = PCMPlayer(command="no_such_audio_binary_xyz", output_rate=32000)
+    b = np.zeros((4096, 2), np.float32)
+    with pytest.raises(PlayerSinkError):
+        for _ in range(200):  # pipe buffer absorbs the first writes
+            p.consume(b, 32000)
+    p.close()
+
+
+def test_player_close_reports_sink_exit_code():
+    p = PCMPlayer(command="cat > /dev/null; exit 3", output_rate=32000)
+    p.consume(np.zeros((16, 2), np.float32), 32000)
+    assert p.close() == 3

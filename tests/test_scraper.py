@@ -85,3 +85,17 @@ def test_scraper_rds_file_is_lazy_and_timestamped(tmp_path):
     np.testing.assert_array_equal(
         np.fromfile(sc.rds_path, dtype=np.uint8), np.arange(32, dtype=np.uint8)
     )
+
+
+def test_incremental_wav_header_clamps_past_4gib(tmp_path):
+    """Past-4GiB captures clamp the u32 RIFF sizes instead of crashing the
+    live scrape with struct.error (signed '<i' died at 2 GiB)."""
+    path = str(tmp_path / "big.wav")
+    w = IncrementalWavWriter(path, 32000)
+    w._data_bytes = 0xFFFFFFF0  # simulate ~4 GiB already written
+    w.write(np.zeros((64, 2), np.float32))  # must not raise
+    w.close()
+    blob = open(path, "rb").read(44)
+    riff = struct.unpack("<I", blob[4:8])[0]
+    data = struct.unpack("<I", blob[40:44])[0]
+    assert riff == data == 0xFFFFFFFF
