@@ -3,9 +3,15 @@
 // audio frames + RDS bytes, used by tests/test_golden.py to validate the TPU
 // framework against the reference implementation on synthetic recordings.
 //
-// Usage: golden_demod <in.pcm> <audio.f32> <rds.bin> <block_size> [deemph_us]
+// Usage: golden_demod <in.pcm> <audio.f32> <rds.bin> <block_size>
+//                     [deemph_us] [mode] [stereo_gain] [lpr_hz] [lmr_hz]
 //   deemph_us > 0 enables the reference's de-emphasis IIR with that cutoff
-//   (mirrors the GUI checkbox + slider, render_fm_demod.cpp:358-366).
+//   (mirrors the GUI checkbox + slider, render_fm_demod.cpp:358-366);
+//   mode in {stereo,lpr,lmr} selects the audio mixer output, stereo_gain
+//   sets the L-R mix factor, lpr_hz/lmr_hz (> 0) set the audio cutoffs —
+//   together the full control set of the GUI demod panel
+//   (render_fm_demod.cpp:305-374), so the framework's runtime controls can
+//   be golden-tested at the signal level against the reference.
 #include <cstdio>
 #include <cstdlib>
 #include <complex>
@@ -30,14 +36,24 @@ int main(int argc, char** argv) {
     }
 
     App app(block_size);
+    auto& controls = app.GetFMDemod().GetControls();
     if (argc > 5) {
         const int deemph_us = atoi(argv[5]);
         if (deemph_us > 0) {
-            auto& controls = app.GetFMDemod().GetControls();
             controls.is_use_deemphasis_filter = true;
             controls.filt_deemphasis_cutoff.SetValue(deemph_us);
         }
     }
+    if (argc > 6) {
+        const char* mode = argv[6];
+        using C = Broadcast_FM_Demod_Controls;
+        if (mode[0] == 'l' && mode[1] == 'p') controls.audio_out = C::AudioOut::LPR;
+        else if (mode[0] == 'l' && mode[1] == 'm') controls.audio_out = C::AudioOut::LMR;
+        else controls.audio_out = C::AudioOut::STEREO;
+    }
+    if (argc > 7) controls.audio_stereo_mix_factor = (float)atof(argv[7]);
+    if (argc > 8 && atoi(argv[8]) > 0) controls.filt_audio_lpr_cutoff.SetValue(atoi(argv[8]));
+    if (argc > 9 && atoi(argv[9]) > 0) controls.filt_audio_lmr_cutoff.SetValue(atoi(argv[9]));
     app.OnAudioBlock().Attach(
         [&](tcb::span<const Frame<float>> x, const int Fs) {
             (void)Fs;

@@ -176,6 +176,69 @@ def test_strict_ref_b_groups_log_parity(golden_binary, tmp_path):
     assert db.radio_text_str.startswith("HI") or "HI" in db.radio_text_str
 
 
+@pytest.mark.parametrize(
+    "mode,gain,lpr_hz,lmr_hz,deemph_us",
+    [
+        ("lmr", 1.0, 0, 0, 0),             # L-R only output path
+        ("lpr", 1.0, 8000, 0, 75),         # L+R only + cutoff + de-emphasis
+        ("stereo", 2.5, 12000, 9000, 0),   # gain + both cutoffs
+    ],
+    ids=["lmr-mode", "lpr-cutoff-deemph", "stereo-gain-cutoffs"],
+)
+def test_controls_match_reference_binary(golden_binary, tmp_path,
+                                         mode, gain, lpr_hz, lmr_hz,
+                                         deemph_us):
+    """Runtime-control golden parity: the full GUI demod-panel control set
+    (audio mode, L-R gain, L+/-R cutoffs, de-emphasis —
+    render_fm_demod.cpp:305-374) applied identically to the reference binary
+    and to this framework must produce the same audio.  This pins the
+    control surface this framework exposes as CLI flags and live monitor
+    keys to the reference at the signal level."""
+    import dataclasses
+
+    from fm_radio_tpu.config import DemodConfig
+
+    mod = FMModulator(ModulatorConfig())
+    iq = mod.generate(BLOCK * 8, left_hz=1000.0, right_hz=3000.0)
+    u8 = c64_to_u8(iq)
+    pcm = str(tmp_path / "in.pcm")
+    u8.tofile(pcm)
+
+    audio_f = str(tmp_path / "audio.f32")
+    rds_f = str(tmp_path / "rds.bin")
+    r = subprocess.run(
+        [golden_binary, pcm, audio_f, rds_f, str(BLOCK),
+         str(deemph_us), mode, str(gain),
+         str(lpr_hz or 0), str(lmr_hz or 0)],
+        capture_output=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr.decode()[:500]
+    golden_audio = np.fromfile(audio_f, dtype=np.float32).reshape(-1, 2)
+
+    changes = {"audio_out": mode, "audio_stereo_mix_factor": gain}
+    if deemph_us:
+        changes.update(use_deemphasis_filter=True,
+                       deemphasis_cutoff_us=deemph_us)
+    if lpr_hz:
+        changes["audio_lpr_cutoff_hz"] = lpr_hz
+    if lmr_hz:
+        changes["audio_lmr_cutoff_hz"] = lmr_hz
+    cfg = dataclasses.replace(DemodConfig(), **changes)
+    app = App(block_size=BLOCK, cfg=cfg, channels=1, decode_rds=False)
+    app.process(u8_to_c64(u8))
+    ours = app.audio[0]
+    assert ours.shape == golden_audio.shape
+
+    settle = 32000 // 5
+    d = ours[settle:] - golden_audio[settle:]
+    snr = 10 * np.log10(
+        (golden_audio[settle:] ** 2).sum() / ((d**2).sum() + 1e-20))
+    print(f"controls [{mode} g={gain} lpr={lpr_hz} lmr={lmr_hz} "
+          f"de={deemph_us}] SNR vs reference: {snr:.1f} dB")
+    assert snr > 60.0, f"SNR vs reference only {snr:.1f} dB"
+
+
 def test_audio_matches_reference_with_deemphasis(golden_binary, tmp_path):
     """Config-2 extension: the de-emphasis IIR path (off by default in both
     implementations) compared against the reference with Tus=50."""
