@@ -110,13 +110,21 @@ class FrameStats:
     stage_ms: dict = dataclasses.field(default_factory=dict)
 
 
-# display band labels: tap name -> (title, band note)
+# display band labels: tap name -> (title, band note) — the reference GUI's
+# seven magnitude spectra (render_fm_demod.cpp:98-273: Baseband, FM Input,
+# FM Output, Pilot Tone, Audio L+R, Audio L-R, RDS).  "baseband" is the raw
+# input block (not a demod tap); the rest come from the tap-point API.
 SPECTRUM_TAPS = {
-    "fm_in": ("baseband (1.024 MHz)", "fm_in ↓"),
-    "fm_out": ("FM demod (128 kHz)", "mono+pilot+L-R+RDS"),
+    "baseband": ("baseband (1.024 MHz)", "raw IQ"),
+    "fm_in": ("FM input (256 kHz)", "post ↓4"),
+    "fm_out": ("FM output (128 kHz)", "mono+pilot+L-R+RDS"),
+    "pilot": ("pilot tone (128 kHz)", "19 kHz"),
     "audio_lpr": ("audio L+R (32 kHz)", ""),
+    "audio_lmr": ("audio L-R (32 kHz)", ""),
     "rds": ("RDS band (16 kHz)", "57 kHz →0"),
 }
+
+SPECTRUM_MODES = ("normal", "average", "max_hold")
 
 
 def render_frame(s: FrameStats, width: int = 64, ascii_only: bool = False,
@@ -211,7 +219,7 @@ class ControlSurface:
 
     MODES = ("stereo", "lpr", "lmr")
     HELP = ("keys: m=mode g/G=L-R gain l/L=L+R cutoff r/R=L-R cutoff "
-            "e=deemph [/]=deemph-us q=quit")
+            "e=deemph [/]=deemph-us v=spectrum-mode q=quit")
 
     def __init__(self, demod):
         self.demod = demod
@@ -406,7 +414,21 @@ class Monitor:
         inst = blk.size / dt
         self._rate = inst if self._rate == 0 else 0.7 * self._rate + 0.3 * inst
         if with_taps:
-            self._last = (outs, outs["taps"], (t1 - t0) * 1e3, (t2 - t1) * 1e3)
+            taps = dict(outs["taps"])
+            taps["baseband"] = blk  # the GUI's Baseband Spectrum input
+            self._last = (outs, taps, (t1 - t0) * 1e3, (t2 - t1) * 1e3)
+
+    def cycle_spectrum_mode(self) -> str:
+        """Live display-mode cycle (the GUI's per-plot mode combos,
+        render_fm_demod.cpp:375-443, applied to all panels): NORMAL ->
+        AVERAGE -> MAX_HOLD.  Fresh views so the new mode starts clean."""
+        from fm_radio_tpu.ops.spectrum import SpectrumView
+
+        self.mode = SPECTRUM_MODES[
+            (SPECTRUM_MODES.index(self.mode) + 1) % len(SPECTRUM_MODES)]
+        self.views = {name: SpectrumView(mode=self.mode)
+                      for name in SPECTRUM_TAPS}
+        return self.mode
 
     def snapshot(self) -> FrameStats:
         """Build a frame from the most recent tapped block."""
@@ -515,7 +537,9 @@ def run_monitor(args) -> None:
             ch = keys.poll()
             if ch == "q":
                 break
-            if ch is not None:
+            if ch == "v":
+                last_action = f"spectra -> {mon.cycle_spectrum_mode()}"
+            elif ch is not None:
                 msg = controls.handle_key(ch)
                 if msg is not None:
                     last_action = msg

@@ -145,6 +145,34 @@ def test_control_surface_bindings_and_status():
         assert needle in line
 
 
+def test_monitor_renders_all_seven_reference_spectra():
+    """The reference GUI shows seven magnitude spectra
+    (render_fm_demod.cpp:98-273); the dashboard must render all of them."""
+    from fm_radio_tpu.apps.monitor import SPECTRUM_TAPS
+
+    assert list(SPECTRUM_TAPS) == ["baseband", "fm_in", "fm_out", "pilot",
+                                   "audio_lpr", "audio_lmr", "rds"]
+    s = FrameStats(spectra={k: np.linspace(-80, 0, 64) for k in SPECTRUM_TAPS})
+    frame = render_frame(s, width=48, ascii_only=True)
+    for title in ("baseband (1.024 MHz)", "FM input (256 kHz)",
+                  "FM output (128 kHz)", "pilot tone (128 kHz)",
+                  "audio L+R (32 kHz)", "audio L-R (32 kHz)",
+                  "RDS band (16 kHz)"):
+        assert title in frame, title
+
+
+def test_monitor_spectrum_mode_cycles_and_resets_views():
+    from fm_radio_tpu.apps.monitor import Monitor
+    from fm_radio_tpu.models.app import App
+
+    app = App(block_size=4096, channels=1, decode_rds=False)
+    mon = Monitor(app, mode="average", block_size=4096)
+    assert mon.cycle_spectrum_mode() == "max_hold"
+    assert mon.cycle_spectrum_mode() == "normal"
+    assert mon.cycle_spectrum_mode() == "average"
+    assert all(v.mode == "average" for v in mon.views.values())
+
+
 def test_monitor_cli_smoke(tmp_path):
     """End-to-end: monitor a synthetic station, expect pilot lock + PI."""
     import os
