@@ -108,6 +108,8 @@ class FrameStats:
     last_group_line: str = ""
     # profiler (render_profiler.cpp:9-67)
     stage_ms: dict = dataclasses.field(default_factory=dict)
+    # time-domain scope page (render_fm_demod.cpp:499-640): name -> waveform
+    scope: dict = dataclasses.field(default_factory=dict)
 
 
 # display band labels: tap name -> (title, band note) — the reference GUI's
@@ -126,6 +128,21 @@ SPECTRUM_TAPS = {
 
 SPECTRUM_MODES = ("normal", "average", "max_hold")
 
+# time-domain scope page: the reference GUI's waveform plots
+# (render_fm_demod.cpp:499-640: IQ Signal, Audio Output, Audio L+R,
+# Audio L-R, Pilot, PLL, PLL Phase Error; RDS Pred Symbols is the
+# constellation panel, always shown)
+SCOPE_PANELS = (
+    ("iq", "IQ signal (Re, 128 kHz)"),
+    ("audio_l", "audio out L (32 kHz)"),
+    ("audio_r", "audio out R (32 kHz)"),
+    ("audio_lpr", "audio L+R (32 kHz)"),
+    ("audio_lmr", "audio L-R (32 kHz)"),
+    ("pilot", "pilot (Re, 128 kHz)"),
+    ("pll", "PLL NCO (Re, 128 kHz)"),
+    ("pll_err", "PLL phase error (raw, 128 kHz)"),
+)
+
 
 def render_frame(s: FrameStats, width: int = 64, ascii_only: bool = False,
                  channels: int = 1) -> str:
@@ -141,15 +158,26 @@ def render_frame(s: FrameStats, width: int = 64, ascii_only: bool = False,
     )
     out.append(bar)
 
-    # spectra panels
-    for name, (title, note) in SPECTRUM_TAPS.items():
-        db = s.spectra.get(name)
-        if db is None:
-            continue
-        line = spark(db, width=width, ascii_only=ascii_only)
-        lo, hi = float(np.min(db)), float(np.max(db))
-        out.append(f"{title:<22} |{line}| {lo:5.0f}..{hi:4.0f} dB"
-                   + (f"  {note}" if note else ""))
+    # spectra panels (or the time-domain scope page when toggled)
+    if s.scope:
+        for key, title in SCOPE_PANELS:
+            w = s.scope.get(key)
+            if w is None:
+                continue
+            w = np.asarray(w, np.float64)
+            amp = max(float(np.max(np.abs(w))) if w.size else 0.0, 1e-9)
+            line = spark(w, width=width, vmin=-amp, vmax=amp,
+                         ascii_only=ascii_only)
+            out.append(f"{title:<28} |{line}| ±{amp:.3g}")
+    else:
+        for name, (title, note) in SPECTRUM_TAPS.items():
+            db = s.spectra.get(name)
+            if db is None:
+                continue
+            line = spark(db, width=width, ascii_only=ascii_only)
+            lo, hi = float(np.min(db)), float(np.max(db))
+            out.append(f"{title:<22} |{line}| {lo:5.0f}..{hi:4.0f} dB"
+                       + (f"  {note}" if note else ""))
     out.append(bar)
 
     # pilot + audio row
@@ -219,7 +247,7 @@ class ControlSurface:
 
     MODES = ("stereo", "lpr", "lmr")
     HELP = ("keys: m=mode g/G=L-R gain l/L=L+R cutoff r/R=L-R cutoff "
-            "e=deemph [/]=deemph-us v=spectrum-mode q=quit")
+            "e=deemph [/]=deemph-us v=spectrum-mode p=scope-page q=quit")
 
     def __init__(self, demod):
         self.demod = demod
@@ -355,6 +383,7 @@ class Monitor:
         self.app = app
         self.block_size = block_size
         self.mode = mode
+        self.page = "spectra"  # or "scope" (time-domain waveforms)
         # live playback hook: called with ([N,2] float32, fs_audio) per block
         # (the OnAudioBlock -> pcm_player wiring, fm_demod_no_tuner.cpp:171-174)
         self.on_audio = on_audio
@@ -418,6 +447,13 @@ class Monitor:
             taps["baseband"] = blk  # the GUI's Baseband Spectrum input
             self._last = (outs, taps, (t1 - t0) * 1e3, (t2 - t1) * 1e3)
 
+    def toggle_page(self) -> str:
+        """Switch between the spectra page and the time-domain scope page
+        (the GUI's "Other Signals"/"Audio Signals" windows,
+        render_fm_demod.cpp:499-640)."""
+        self.page = "scope" if self.page == "spectra" else "spectra"
+        return self.page
+
     def cycle_spectrum_mode(self) -> str:
         """Live display-mode cycle (the GUI's per-plot mode combos,
         render_fm_demod.cpp:375-443, applied to all panels): NORMAL ->
@@ -448,6 +484,20 @@ class Monitor:
                 continue
             view.update(np.asarray(arr[c0]))
             stats.spectra[name] = np.asarray(view.buffer)
+
+        if self.page == "scope":
+            audio_blk = np.asarray(outs["audio"][c0])
+            scope_src = {
+                "iq": np.asarray(taps["fm_out_iq"][c0]).real,
+                "audio_l": audio_blk[:, 0] if audio_blk.size else audio_blk,
+                "audio_r": audio_blk[:, 1] if audio_blk.size else audio_blk,
+                "audio_lpr": np.asarray(taps["audio_lpr"][c0]),
+                "audio_lmr": np.asarray(taps["audio_lmr"][c0]),
+                "pilot": np.asarray(taps["pilot"][c0]).real,
+                "pll": np.asarray(taps["pll"][c0]).real,
+                "pll_err": np.asarray(taps["pll_raw_phase_error"][c0]),
+            }
+            stats.scope = {k: v for k, v in scope_src.items() if v is not None}
 
         pe = taps.get("pll_lpf_phase_error")
         if pe is not None:
@@ -539,6 +589,8 @@ def run_monitor(args) -> None:
                 break
             if ch == "v":
                 last_action = f"spectra -> {mon.cycle_spectrum_mode()}"
+            elif ch == "p":
+                last_action = f"page -> {mon.toggle_page()}"
             elif ch is not None:
                 msg = controls.handle_key(ch)
                 if msg is not None:

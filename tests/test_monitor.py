@@ -173,6 +173,28 @@ def test_monitor_spectrum_mode_cycles_and_resets_views():
     assert all(v.mode == "average" for v in mon.views.values())
 
 
+def test_monitor_scope_page_renders_waveforms():
+    """The 'p' page shows the GUI's time-domain plots
+    (render_fm_demod.cpp:499-640) as waveform panels."""
+    from fm_radio_tpu.apps.monitor import Monitor, SCOPE_PANELS
+    from fm_radio_tpu.io.synth import FMModulator, ModulatorConfig
+    from fm_radio_tpu.models.app import App
+
+    app = App(block_size=16384, channels=1, decode_rds=True)
+    mon = Monitor(app, block_size=16384)
+    assert mon.toggle_page() == "scope"
+    mod = FMModulator(ModulatorConfig())
+    iq = mod.generate(16384, left_hz=1000.0, right_hz=400.0)
+    mon.step(iq)
+    stats = mon.snapshot()
+    assert set(stats.scope) == {k for k, _ in SCOPE_PANELS}
+    frame = render_frame(stats, width=48, ascii_only=True)
+    for _, title in SCOPE_PANELS:
+        assert title in frame, title
+    assert "baseband (1.024 MHz)" not in frame  # spectra hidden on scope page
+    assert mon.toggle_page() == "spectra"
+
+
 def test_monitor_cli_smoke(tmp_path):
     """End-to-end: monitor a synthetic station, expect pilot lock + PI."""
     import os
