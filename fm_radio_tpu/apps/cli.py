@@ -503,6 +503,82 @@ def _run_channelized(w: np.ndarray, m: int, taps_per_phase: int,
                     chunk_min=m * app.block_size)
 
 
+def _channel_powers_db(w: np.ndarray, m: int, taps_per_phase: int,
+                       window: int) -> np.ndarray:
+    """Per-channel RMS power (dB) over the first ``window`` wide samples of
+    a packed wideband capture, via the polyphase FFT filterbank."""
+    from fm_radio_tpu.parallel.channelizer import (
+        channelize_packed,
+        channelizer_init_state,
+        make_channelizer_taps,
+    )
+
+    n = min(len(w), window) // m * m
+    taps = make_channelizer_taps(m, taps_per_phase)
+    st = channelizer_init_state(m, taps_per_phase)
+    _, y = channelize_packed(taps, st, w[:n], m)
+    settle = taps_per_phase  # filterbank fill
+    p = np.abs(np.asarray(y)[:, settle:]) ** 2
+    return 10.0 * np.log10(p.mean(axis=1) + 1e-20)
+
+
+def _detect_active_channels(powers_db: np.ndarray,
+                            threshold_db: float) -> list[int]:
+    """Channels whose power clears the median (noise-floor estimate) by
+    ``threshold_db`` — FM carriers are constant-envelope and sit far above
+    an empty channel's noise."""
+    floor = float(np.median(powers_db))
+    return [int(k) for k in np.nonzero(powers_db > floor + threshold_db)[0]]
+
+
+def cmd_scan(args) -> None:
+    """Station scanner: find the ACTIVE FM carriers in a wideband capture
+    and identify them (pilot lock, RDS PI/name).
+
+    Automates the reference's manual workflow — watch the baseband spectrum
+    in the GUI, drag the tuner to each bump (render_fm_demod.cpp:98-126 +
+    device retune) — and feeds ``fmtpu stations --select``.  No reference
+    analogue as a command.
+    """
+    from fm_radio_tpu.models.app import App
+
+    m = args.num_channels
+    block = power_ceil(args.block_size)
+    fs_ch = 1_024_000
+    window = int(args.seconds * fs_ch) * m
+    w = pack_iq_u8(_read_input_u8(args.input, max_samples=window))
+
+    powers = _channel_powers_db(w, m, args.taps_per_phase, window)
+    active = _detect_active_channels(powers, args.threshold_db)
+    floor = float(np.median(powers))
+
+    report = []
+    if active:
+        app = App(block_size=block, channels=len(active), decode_rds=True)
+        _run_channelized(w, m, args.taps_per_phase, active, app)
+        for i, k in enumerate(active):
+            db = app.rds_database(i)
+            audio = app.audio[i]
+            # pilot presence: stereo L-R energy exists only under pilot lock
+            lmr = audio[:, 0] - audio[:, 1]
+            offset = (k if k <= m // 2 else k - m) * fs_ch
+            report.append({
+                "channel": k,
+                "offset_hz": offset,
+                "power_db": round(float(powers[k]), 1),
+                "above_floor_db": round(float(powers[k]) - floor, 1),
+                "stereo": bool(np.sqrt((lmr**2).mean()) > 1e-3),
+                "pi": f"{db.pi_code:04X}" if db.pi_code else None,
+                "ps": db.service_name_str.strip() or None,
+            })
+    print(json.dumps({
+        "channels": m,
+        "noise_floor_db": round(floor, 1),
+        "active": report,
+        "select": ",".join(str(k) for k in active),
+    }, indent=1))
+
+
 def cmd_stations(args) -> None:
     """Wideband IQ -> channelize -> ONE channel-batched demod of every
     station -> per-station WAV + RDS database.
@@ -521,11 +597,21 @@ def cmd_stations(args) -> None:
     # unpacked in-VMEM by the channelizer kernel
     w = pack_iq_u8(_read_input_u8(args.input))
 
-    select = (
-        sorted(int(s) for s in args.select.split(","))
-        if args.select
-        else list(range(m))
-    )
+    if args.auto:
+        # scanner-driven selection: demodulate only channels carrying a
+        # station (power above the noise-floor median by threshold-db)
+        window = min(len(w), int(1_024_000 * m))  # ~1 s per channel
+        powers = _channel_powers_db(w, m, args.taps_per_phase, window)
+        select = _detect_active_channels(powers, args.threshold_db)
+        if not select:
+            sys.exit("--auto found no active channels")
+        print(f"auto-selected channels: {select}", file=sys.stderr)
+    else:
+        select = (
+            sorted(int(s) for s in args.select.split(","))
+            if args.select
+            else list(range(m))
+        )
     app = App(block_size=block, channels=len(select), decode_rds=True,
               rds_backend="native" if args.rds_native else "python")
     _run_channelized(w, m, args.taps_per_phase, select, app)
@@ -850,7 +936,28 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument(
         "--select", default=None, help="comma-separated channel indices to keep"
     )
+    st.add_argument("--auto", action="store_true",
+                    help="scanner-driven selection: demodulate only channels "
+                         "with power above the noise floor (see `fmtpu scan`)")
+    st.add_argument("--threshold-db", type=float, default=15.0,
+                    help="--auto detection threshold above the median "
+                         "channel power")
     st.set_defaults(fn=cmd_stations)
+
+    sc = sub.add_parser(
+        "scan",
+        help="find + identify active FM stations in a wideband capture "
+             "(power detect -> demod -> pilot/RDS identify)",
+    )
+    sc.add_argument("-i", "--input", default=None)
+    sc.add_argument("-m", "--num-channels", type=int, default=16)
+    sc.add_argument("-b", "--block-size", type=int, default=65536)
+    sc.add_argument("--taps-per-phase", type=int, default=16)
+    sc.add_argument("--seconds", type=float, default=1.0,
+                    help="scan window per channel")
+    sc.add_argument("--threshold-db", type=float, default=15.0,
+                    help="active threshold above the median channel power")
+    sc.set_defaults(fn=cmd_scan)
 
     sy = sub.add_parser(
         "synth",

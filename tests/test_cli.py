@@ -105,6 +105,44 @@ def test_stations_pipeline(tmp_path):
     assert fs == 32000 and audio.shape[0] == n_ch // 32
 
 
+def test_scan_finds_and_identifies_stations(tmp_path):
+    """`fmtpu scan`: power-detect the active channels in a wideband capture,
+    demodulate only those, and identify them (stereo pilot + RDS PI/PS) —
+    the automated version of the reference's stare-at-the-baseband-spectrum
+    + retune workflow.  `stations --auto` uses the same detector."""
+    m, fs_ch = 4, 1_024_000
+    n_ch = BLOCK * 40
+    n_wide = n_ch * m
+    mod = FMModulator(ModulatorConfig())
+    groups = [(0xCAFE, (0 << 12) | (1 << 10), 0xE101, 0x5A5A)]
+    iq = mod.generate(n_ch, left_hz=800.0, right_hz=1600.0, rds_groups=groups)
+    t = np.arange(n_wide) / (fs_ch * m)
+    wide = (np.repeat(iq, m)[:n_wide] * np.exp(2j * np.pi * fs_ch * t)).astype(
+        np.complex64
+    )
+    wide /= np.abs(wide).max() / 100.0
+    path = tmp_path / "wide.pcm"
+    c64_to_u8(wide).tofile(path)
+
+    r = run_cli("scan", "-i", str(path), "-m", str(m), "-b", "32768",
+                "--seconds", "0.6")
+    assert r.returncode == 0, r.stderr.decode()
+    report = json.loads(r.stdout.decode())
+    assert report["select"] == "1"
+    (st,) = report["active"]
+    assert st["channel"] == 1 and st["offset_hz"] == fs_ch
+    assert st["above_floor_db"] > 15.0
+    assert st["stereo"] and st["pi"] == "CAFE"
+
+    out = tmp_path / "auto"
+    r = run_cli("stations", "-i", str(path), "-o", str(out), "-m", str(m),
+                "--auto")
+    assert r.returncode == 0, r.stderr.decode()
+    summary = json.loads(r.stdout.decode())
+    assert [s["channel"] for s in summary] == [1]
+    assert summary[0]["pi_code"] == "CAFE"
+
+
 def test_demod_checkpoint_resume(pcm_file, tmp_path):
     """Split a stream at a block boundary, checkpoint, resume in a new
     process: concatenated audio == single-pass audio (bit-identical)."""
