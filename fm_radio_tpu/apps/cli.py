@@ -6,7 +6,8 @@
     python -m fm_radio_tpu.apps.cli rds-decode -i bytes.bin
     python -m fm_radio_tpu.apps.cli bench      -i in.pcm [-b 65536] [-c 64]
     python -m fm_radio_tpu.apps.cli channelize -i wide.pcm -o outdir -m 16
-    python -m fm_radio_tpu.apps.cli stations   -i wide.pcm -o outdir -m 8 --select 1,5
+    python -m fm_radio_tpu.apps.cli stations   -i wide.pcm -o outdir -m 8 --select 1,5 | --auto
+    python -m fm_radio_tpu.apps.cli scan       -i wide.pcm -m 8 [--seconds 1.0]
     python -m fm_radio_tpu.apps.cli monitor    -i in.pcm [--refresh 4] [--no-ansi]
     python -m fm_radio_tpu.apps.cli synth      -o out.pcm [--ps NAME --rt TEXT --af 87.6] [--stations K -m M]
     python -m fm_radio_tpu.apps.cli selftest   [--seconds 2.0] [--cnr 30]
