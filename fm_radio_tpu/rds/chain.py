@@ -14,14 +14,16 @@ from fm_radio_tpu.rds.manchester import DifferentialManchesterDecoder
 
 
 class RDSDecodingChain:
-    def __init__(self, on_group=None, strict_ref: bool = False):
+    def __init__(self, on_group=None, strict_ref: bool = False,
+                 fast_resync: bool = False):
         self.db = RDSDatabase()
         self.db_handler = RDSDatabaseHandler(self.db)
         self.decoder = RDSDecoder(self.db_handler, strict_ref=strict_ref)
         self.log_lines: list[str] = []
         self.groups: list = []
         self._user_on_group = on_group
-        self.group_sync = RDSGroupSync(on_group=self._handle_group)
+        self.group_sync = RDSGroupSync(on_group=self._handle_group,
+                                       fast_resync=fast_resync)
 
     def _handle_group(self, group) -> None:
         self.groups.append(group)
@@ -38,8 +40,9 @@ class RDSFullChain:
     """Symbols -> database: Manchester + decoding chain, as wired by ``App``
     (``app.cpp:23-34``)."""
 
-    def __init__(self, strict_ref: bool = False):
-        self.chain = RDSDecodingChain(strict_ref=strict_ref)
+    def __init__(self, strict_ref: bool = False, fast_resync: bool = False):
+        self.chain = RDSDecodingChain(strict_ref=strict_ref,
+                                      fast_resync=fast_resync)
         self.rds_bytes: list[np.ndarray] = []
         self.manchester = DifferentialManchesterDecoder(
             buf_size=16, on_bytes=self._on_bytes

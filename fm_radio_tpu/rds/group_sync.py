@@ -38,8 +38,18 @@ RDSGroup = list  # list[RDSBlock], length 4
 
 
 class RDSGroupSync:
-    def __init__(self, on_group: Callable | None = None):
+    def __init__(self, on_group: Callable | None = None,
+                 fast_resync: bool = False):
+        """``fast_resync=True`` (opt-in, OFF for reference parity) declares
+        desync immediately when a completed group has ALL FOUR blocks
+        invalid — unambiguous framing loss (a burst error or a time-shard
+        seam), as opposed to the 1-2 invalid blocks of a noisy-but-framed
+        stream.  The reference always waits for 3 consecutive errored
+        groups (rds_group_sync.cpp:119-123), paying ~3 groups of traffic
+        per burst; fast mode pays ~1.  Identical behavior on any stream
+        whose groups keep at least one valid block."""
         self.on_group = on_group
+        self.fast_resync = fast_resync
         self._buf = 0
         self._buf_bits = 0
         self._group: RDSGroup = [RDSBlock() for _ in range(BLOCKS_PER_GROUP)]
@@ -111,7 +121,9 @@ class RDSGroupSync:
                 self._groups_desync = 0
                 continue
             self._groups_desync += 1
-            if self._groups_desync >= self._max_group_desyncs:
+            if self._groups_desync >= self._max_group_desyncs or (
+                self.fast_resync and total_errors == BLOCKS_PER_GROUP
+            ):
                 self._state = "FINDING_SYNC"
                 self._groups_desync = 0
                 break

@@ -330,3 +330,53 @@ def test_station_schedule_long_af_list_commits():
     np.testing.assert_allclose(
         [f / 1e6 for f in chain.db.alt_freqs], af, atol=1e-6
     )
+
+
+def test_fast_resync_recovers_burst_in_one_group():
+    """Opt-in fast resync: a framing-destroying burst (all four blocks
+    invalid) triggers immediate re-acquisition instead of the reference's
+    3-consecutive-errored-groups rule — and behaves identically to the
+    default on streams whose errored groups keep a valid block."""
+    import numpy as np
+
+    from fm_radio_tpu.rds.group_sync import RDSGroupSync
+    from fm_radio_tpu.rds.crc import OFFSET_WORDS, crc10_bitserial
+
+    def group_bits(pi):
+        words = [(pi, "A"), ((4 << 12) | 0x1F, "B"), (0x4142, "C"),
+                 (0x4344, "D")]
+        bits = []
+        for w, off in words:
+            cw = ((w << 10) | crc10_bitserial(w << 10)) ^ OFFSET_WORDS[off]
+            bits.extend((cw >> (25 - i)) & 1 for i in range(26))
+        return bits
+
+    clean = []
+    for _ in range(4):
+        clean.extend(group_bits(0xAAAA))
+    rng = np.random.default_rng(5)
+    burst = list(rng.integers(0, 2, 104 + 13))  # one garbage group + misalign
+    stream = np.array(clean + burst + clean, np.uint8)
+
+    def count(fast):
+        got = []
+        gs = RDSGroupSync(on_group=lambda g: got.append(g), fast_resync=fast)
+        gs.process_bits(stream)
+        return [g for g in got if all(b.is_valid for b in g)]
+
+    slow, fast = count(False), count(True)
+    assert len(fast) >= len(slow)
+    # fast mode loses at most ~2 groups of the 8 transmitted to the burst
+    assert len(fast) >= 6, len(fast)
+
+    # equivalence when every errored group keeps >=1 valid block: flip one
+    # bit inside block C of each group -> same decode under both modes
+    mild = np.array(clean, np.uint8)
+    for g in range(4):
+        mild[g * 104 + 60] ^= 1
+    def words_of(fast):
+        got = []
+        gs = RDSGroupSync(on_group=lambda g: got.append(g), fast_resync=fast)
+        gs.process_bits(mild)
+        return [[(b.data, b.is_valid) for b in g] for g in got]
+    assert words_of(False) == words_of(True)

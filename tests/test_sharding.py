@@ -156,6 +156,13 @@ def test_time_parallel_rds_groups_match_sequential():
     assert len(par_words) >= len(seq_words) - 4, (len(par_words), len(seq_words))
     assert par.db.pi_code == seq.db.pi_code == 0xC0DE
 
+    # fast_resync was measured here and does NOT help at shard seams:
+    # bit-framing usually SURVIVES the seam (the warm-up re-locks the symbol
+    # clock), so an immediate resync forfeits a correctly-framed group that
+    # the reference's 3-group patience keeps (measured 5 vs 6 groups).  It
+    # remains an opt-in for true framing-loss bursts (tests/test_rds.py),
+    # not a seam optimization — recorded so future rounds don't re-try.
+
 
 # ------------------------------------------------------------- channelizer
 
