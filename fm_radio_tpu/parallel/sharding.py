@@ -136,11 +136,24 @@ def demod_time_parallel(
         state = demod_init_state(cfg, c_local)
         xb = x_ext.reshape(c_local, n_blocks, block_size).transpose(1, 0, 2)
 
-        def step(st, blk):
+        def step(st, blk_i):
+            blk, i = blk_i
             st, outs = demod_block(cfg, coeffs, st, blk)
+            # shard 0 is genuinely the stream start: its "halo" is zeros,
+            # and demodulating zero-blocks POLLUTES the loop state (AGC
+            # winds up on silence, PLL/TED drift) — measurably worse than a
+            # cold start (it could kill shard 0's RDS entirely).  Entering
+            # the payload, discard that state and start from the true init:
+            # shard 0's payload then equals the sequential stream EXACTLY.
+            reset = jnp.logical_and(my_idx == 0,
+                                    i == max(warmup_blocks - 1, 0))
+            if warmup_blocks > 0:
+                st = jax.tree_util.tree_map(
+                    lambda new, init: jnp.where(reset, init, new),
+                    st, demod_init_state(cfg, c_local))
             return st, outs
 
-        _, outs = jax.lax.scan(step, state, xb)
+        _, outs = jax.lax.scan(step, state, (xb, jnp.arange(n_blocks)))
         # drop warm-up blocks, fold block axis into time
         audio = outs["audio"][warmup_blocks:].transpose(1, 0, 2, 3).reshape(c_local, -1, 2)
         rds_pred = outs["rds_pred"][warmup_blocks:].transpose(1, 0, 2).reshape(c_local, -1)
