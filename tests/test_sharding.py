@@ -69,9 +69,14 @@ def test_time_parallel_matches_sequential(iq):
 
     fs_audio = cfg.rates.fs_audio
     blk_audio = BLOCK // 32
-    # Each shard covers 4 blocks of payload.  Skip shard 0 (cold start on
-    # both sides) and the first payload block right after warm-up; compare
-    # the settled region.
+    # Shard 0 carries the genuine stream start: its payload state is reset
+    # to the true init at the warm-up boundary, so its audio must equal the
+    # sequential stream EXACTLY (same program, same state, same blocks).
+    np.testing.assert_array_equal(audio_par[: 4 * blk_audio],
+                                  audio_seq[: 4 * blk_audio])
+    # Each later shard covers 4 blocks of payload from a halo warm-up; skip
+    # the first payload block right after warm-up and compare the settled
+    # region.
     for shard in range(1, 4):
         lo = (shard * 4 + 1) * blk_audio
         hi = (shard + 1) * 4 * blk_audio

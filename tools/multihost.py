@@ -108,30 +108,38 @@ def worker(args: argparse.Namespace) -> None:
 
     blk_audio = BLOCK // 32
     shard_blocks = N_BLOCKS // n_t
-    checked, skipped, min_snr = 0, 0, float("inf")
+    checked, exact, min_snr = 0, 0, float("inf")
     for sh in audio.addressable_shards:
         a_par = np.asarray(sh.data)
         c0 = sh.index[0].start or 0
         t0 = sh.index[1].start or 0
         t_shard = t0 // (blk_audio * shard_blocks)  # which time shard
         assert np.isfinite(a_par).all()
-        # settled-region gate (tests/test_sharding.py): skip time-shard 0
-        # (cold start on both sides — not comparable) and the first payload
-        # block after the warm-up halo
-        if t_shard == 0:
-            skipped += 1
-            continue
-        lo = blk_audio  # skip first payload block of this shard
         a_ref = audio_seq[c0 : c0 + a_par.shape[0], t0 : t0 + a_par.shape[1]]
+        if t_shard == 0:
+            # the stream-start shard resets to the true init state at its
+            # payload boundary: it computes the sequential stream exactly,
+            # modulo one-ULP scheduling noise between the multi-process
+            # partitioned compile and the single-process reference compile
+            # (measured max 1.5e-7; in-process it is bit-exact —
+            # tests/test_sharding.py asserts array_equal there)
+            np.testing.assert_allclose(
+                a_par, a_ref, atol=1e-5, rtol=0,
+                err_msg=f"proc {pid} shard-0 at {sh.index}")
+            exact += 1
+            continue
+        # settled-region gate (tests/test_sharding.py): skip the first
+        # payload block after the warm-up halo
+        lo = blk_audio
         err = np.sqrt(np.mean((a_par[:, lo:] - a_ref[:, lo:]) ** 2))
         ref = np.sqrt(np.mean(a_ref[:, lo:] ** 2)) + 1e-12
         snr = 20 * np.log10(ref / (err + 1e-12))
         min_snr = min(min_snr, snr)
         checked += 1
         assert snr > 25.0, f"proc {pid} shard at {sh.index}: SNR {snr:.1f} dB"
-    # every local shard is either gated or the legitimate cold-start shard
-    # (a process whose devices all sit in time-shard 0 checks nothing)
-    assert checked + skipped == len(audio.addressable_shards) > 0
+    # every local shard is gated: later shards by settled SNR, the
+    # stream-start shard by exact equality
+    assert checked + exact == len(audio.addressable_shards) > 0
 
     verdict = {
         "proc": pid,
@@ -141,6 +149,7 @@ def worker(args: argparse.Namespace) -> None:
         "mesh": dict(mesh.shape),
         "t_over_hosts": bool(args.t_over_hosts),
         "shards_checked": checked,
+        "shards_exact": exact,
         "min_settled_snr_db": round(float(min_snr), 1) if checked else None,
     }
 
@@ -241,6 +250,7 @@ def launch(args: argparse.Namespace) -> int:
     # compared shards against the sequential reference
     total_checked = sum(
         json.loads(line).get("shards_checked", 0)
+        + json.loads(line).get("shards_exact", 0)
         for out in outs
         for line in out.splitlines()
         if line.startswith("{")
