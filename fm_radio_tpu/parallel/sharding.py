@@ -106,7 +106,13 @@ def demod_time_parallel(
     ``warmup_blocks * block_size`` halo of raw IQ from its left neighbor over
     ICI (ppermute), demodulates warm-up + payload from a cold state, and
     discards the warm-up outputs.  Shard 0's halo is zeros — it is genuinely
-    the stream start.
+    the stream start, and its carried state resets to the true init at the
+    payload boundary so its payload equals the sequential stream exactly.
+
+    Choosing ``warmup_blocks``: the audio path (pilot PLL, ~100 Hz loop
+    bandwidth) settles within ~2 blocks at 65536; the RDS path needs the
+    BPSK TED/PLL to re-acquire — budget >=0.25 s of halo (16 blocks at
+    16384, 4 at 65536) when downstream consumers decode RDS.
 
     Returns outs dict with audio [C, T/32, 2], rds_pred/valid [C, T/64]
     (sharded along the time axis).
