@@ -8,6 +8,7 @@ from fm_radio_tpu.parallel.sharding import (  # noqa: F401
     demod_channels_sharded,
     demod_time_parallel,
     make_mesh,
+    rds_warmup_blocks,
 )
 from fm_radio_tpu.parallel.channelizer import (  # noqa: F401
     channelize,

@@ -37,6 +37,16 @@ from fm_radio_tpu.config import DemodConfig
 from fm_radio_tpu.models.demod import DemodCoeffs, demod_block, demod_init_state, make_coeffs
 
 
+def rds_warmup_blocks(block_size: int, cfg: DemodConfig | None = None,
+                      seconds: float = 0.25) -> int:
+    """Halo length (in blocks) for RDS-grade time sharding: enough signal
+    for the BPSK TED/PLL to re-acquire from cold (~0.2 s at the reference
+    loop gains, bpsk_synchroniser.h:18-32) plus margin.  Audio-only
+    consumers can use 1-2 blocks (the pilot PLL settles in ~20 ms)."""
+    fs = cfg.rates.fs_baseband if cfg is not None else 1_024_000
+    return max(1, -(-int(seconds * fs) // block_size))
+
+
 def make_mesh(n_ch: int, n_t: int = 1, devices=None) -> Mesh:
     """2D device mesh [ch, t].  For a pod slice, put ``ch`` on the outer
     (DCN/host) dimension and ``t`` inner so halo ppermutes ride ICI."""
