@@ -50,6 +50,17 @@ def _read_input_u8(path: str | None, max_samples: int | None = None) -> np.ndarr
     return raw[: 2 * n].reshape(n, 2)
 
 
+def _packed_input(path: str | None, max_samples: int | None = None):
+    """Packed wideband input: a lazily-packing memmap view for file inputs
+    (constant host memory — hour-long multi-channel captures stream in
+    O(chunk)); stdin falls back to a full read."""
+    if path not in (None, "-"):
+        from fm_radio_tpu.io.pcm import LazyPackedPcm
+
+        return LazyPackedPcm(path, max_samples)
+    return pack_iq_u8(_read_input_u8(path, max_samples))
+
+
 def cmd_demod(args) -> None:
     import dataclasses
 
@@ -443,7 +454,7 @@ def cmd_channelize(args) -> None:
     from fm_radio_tpu.utils.transfer import fetch
 
     m = args.num_channels
-    w = pack_iq_u8(_read_input_u8(args.input))
+    w = _packed_input(args.input)
     n = (len(w) // m) * m
 
     taps = make_channelizer_taps(m, args.taps_per_phase)
@@ -547,7 +558,7 @@ def cmd_scan(args) -> None:
     block = power_ceil(args.block_size)
     fs_ch = 1_024_000
     window = int(args.seconds * fs_ch) * m
-    w = pack_iq_u8(_read_input_u8(args.input, max_samples=window))
+    w = _packed_input(args.input, max_samples=window)
 
     powers = _channel_powers_db(w, m, args.taps_per_phase, window)
     active = _detect_active_channels(powers, args.threshold_db)
@@ -595,8 +606,8 @@ def cmd_stations(args) -> None:
     m = args.num_channels
     block = power_ceil(args.block_size)
     # packed ingest: one f32 word per sample (half the host->device bytes),
-    # unpacked in-VMEM by the channelizer kernel
-    w = pack_iq_u8(_read_input_u8(args.input))
+    # unpacked in-VMEM by the channelizer kernel; lazy memmap view for files
+    w = _packed_input(args.input)
 
     if args.auto:
         # scanner-driven selection: demodulate only channels carrying a

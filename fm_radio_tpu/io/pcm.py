@@ -48,3 +48,33 @@ def iter_pcm_blocks(path: str, block_size: int, max_blocks: int | None = None):
             raw[b * 2 * block_size : (b + 1) * 2 * block_size], dtype=np.uint8
         ).reshape(block_size, 2)
         yield u8_to_c64(chunk)
+
+
+class LazyPackedPcm:
+    """Constant-memory packed-word view of a u8 IQ capture on disk.
+
+    Quacks like the array ``pack_iq_u8(whole_file)`` for the two operations
+    the wideband streaming loop needs — ``len()`` and contiguous slicing —
+    but packs each requested chunk on demand from a byte ``memmap``, so an
+    arbitrarily long capture (hours of multi-channel wideband) streams
+    through ``stream_selected`` / ``fmtpu stations`` in O(chunk) host
+    memory instead of 4 bytes x every sample up front.
+    """
+
+    def __init__(self, path: str, max_samples: int | None = None):
+        from fm_radio_tpu.utils.transfer import pack_iq_u8
+
+        self._pack = pack_iq_u8
+        self._mm = np.memmap(path, dtype=np.uint8, mode="r")
+        self._n = self._mm.size // 2
+        if max_samples is not None:
+            self._n = min(self._n, max_samples)
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, sl: slice) -> np.ndarray:
+        start, stop, step = sl.indices(self._n)
+        assert step == 1, "LazyPackedPcm supports contiguous slices only"
+        chunk = np.asarray(self._mm[2 * start : 2 * stop]).reshape(-1, 2)
+        return self._pack(chunk)

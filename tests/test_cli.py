@@ -105,6 +105,24 @@ def test_stations_pipeline(tmp_path):
     assert fs == 32000 and audio.shape[0] == n_ch // 32
 
 
+def test_lazy_packed_pcm_matches_eager(tmp_path):
+    """LazyPackedPcm (the constant-memory wideband ingest view) slices to
+    exactly pack_iq_u8 of the whole file."""
+    from fm_radio_tpu.io.pcm import LazyPackedPcm
+    from fm_radio_tpu.utils.transfer import pack_iq_u8
+
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, 4096 * 2).astype(np.uint8)
+    p = tmp_path / "x.pcm"
+    u8.tofile(p)
+    lz = LazyPackedPcm(str(p))
+    full = pack_iq_u8(u8.reshape(-1, 2))
+    assert len(lz) == len(full)
+    np.testing.assert_array_equal(lz[0:777], full[0:777])
+    np.testing.assert_array_equal(lz[777:4096], full[777:4096])
+    assert len(LazyPackedPcm(str(p), max_samples=100)) == 100
+
+
 def test_scan_finds_and_identifies_stations(tmp_path):
     """`fmtpu scan`: power-detect the active channels in a wideband capture,
     demodulate only those, and identify them (stereo pilot + RDS PI/PS) —
