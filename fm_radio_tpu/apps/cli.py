@@ -57,7 +57,12 @@ def _packed_input(path: str | None, max_samples: int | None = None):
     if path not in (None, "-"):
         from fm_radio_tpu.io.pcm import LazyPackedPcm
 
-        return LazyPackedPcm(path, max_samples)
+        try:
+            return LazyPackedPcm(path, max_samples)
+        except (OSError, ValueError):
+            # empty files and special files (/dev/null, pipes) can't be
+            # memmapped: fall back to an eager read
+            pass
     return pack_iq_u8(_read_input_u8(path, max_samples))
 
 
@@ -91,8 +96,11 @@ def cmd_demod(args) -> None:
     # to stderr or it corrupts the byte stream mid-playback
     info_out = sys.stderr if args.play == "-" else sys.stdout
     # packed ingest (one f32 word per sample, utils/transfer.pack_iq_u8):
-    # half the host->device bytes of complex64; unpacked exactly in-kernel
-    iq = pack_iq_u8(_read_input_u8(args.input))
+    # half the host->device bytes of complex64; unpacked exactly in-kernel.
+    # File inputs are a lazy memmap view fed in chunks: O(chunk) host memory
+    # for arbitrarily long captures
+    iq = _packed_input(args.input)
+    n_in = len(iq)
     app = App(block_size=block, cfg=cfg, channels=1,
               decode_rds=not args.no_rds, integer_input=True,
               strict_ref=args.strict_ref)
@@ -109,12 +117,14 @@ def cmd_demod(args) -> None:
             file=sys.stderr,
         )
     start_block = 0
+    off = 0
     if args.resume_state and args.resume_seek:
         # crash-restart on the SAME input: skip the blocks the checkpoint
         # already covers (SURVEY §5.3/5.4 — restart-from-block)
         start_block = int(extras.get("block_index", 0))
         print(f"seeking past {start_block} checkpointed blocks", file=sys.stderr)
-        iq = iq[start_block * block :]
+        off = min(start_block * block, n_in)
+    avail_blocks = (n_in - off) // block
 
     if args.checkpoint_every and args.save_state:
         # periodic checkpointing: atomic save every N blocks so an
@@ -123,9 +133,9 @@ def cmd_demod(args) -> None:
 
         n = args.checkpoint_every
         done = 0
-        while done < len(iq) // block:
-            upto = min(done + n, len(iq) // block)
-            app.process(iq[done * block : upto * block])
+        while done < avail_blocks:
+            upto = min(done + n, avail_blocks)
+            app.process(iq[off + done * block : off + upto * block])
             tmp = f"{args.save_state}.tmp.npz"
             save_state(
                 tmp, app.demod.state,
@@ -133,21 +143,25 @@ def cmd_demod(args) -> None:
             )
             os.replace(tmp, args.save_state)
             done = upto
-        app.process(iq[done * block :])  # leftover partial block -> pending
+        app.process(iq[off + done * block : n_in])  # leftover -> pending
         print(
             f"checkpointed every {n} blocks to {args.save_state} "
             f"(final block_index={start_block + done})",
             file=sys.stderr,
         )
     else:
-        app.process(iq)
+        chunk = 64 * block
+        for i0 in range(off, n_in, chunk):
+            app.process(iq[i0 : min(i0 + chunk, n_in)])
+        if n_in == off:
+            app.process(iq[off:n_in])  # empty input: clean empty outputs
         if args.save_state:
             from fm_radio_tpu.utils.checkpoint import save_state
 
             save_state(
                 args.save_state,
                 app.demod.state,
-                extra={"block_index": start_block + len(iq) // block},
+                extra={"block_index": start_block + avail_blocks},
             )
             print(f"saved stream state to {args.save_state}", file=sys.stderr)
 
@@ -194,9 +208,8 @@ def cmd_demod(args) -> None:
     if args.taps:
         os.makedirs(args.taps, exist_ok=True)
         # re-run last block with taps for inspection
-        outs = app.demod.process(
-            iq[None, -block:] if iq.ndim == 1 else iq[:, -block:], include_taps=True
-        )
+        last = iq[max(n_in - block, 0) : n_in]
+        outs = app.demod.process(np.asarray(last)[None, :], include_taps=True)
         for name, arr in outs["taps"].items():
             np.save(os.path.join(args.taps, f"{name}.npy"), np.asarray(arr))
         print(f"dumped {len(outs['taps'])} tap buffers to {args.taps}",
@@ -256,16 +269,26 @@ def cmd_scrape(args) -> None:
               f" and {scraper.rds_path or 'no RDS bytes'} (streamed)")
         return
 
-    iq = pack_iq_u8(_read_input_u8(args.input))
+    iq = _packed_input(args.input)
     app = App(block_size=block, channels=1, decode_rds=True,
               integer_input=True)
-    app.process(iq)
-
     scraper = FMScraper(args.output)
-    scraper.on_audio_data(app.audio[0], int(app.demod.fs_audio))
-    scraper.on_rds_bytes(app.rds_bytes(0))
-    scraper.close()
-    print(f"wrote {scraper.wav_paths[-1]} and {scraper.rds_path}")
+    fs_audio = int(app.demod.fs_audio)
+    rds_bufs = app.rds_chains[0].rds_bytes
+    chunk = 64 * block  # O(chunk) host memory for arbitrarily long captures
+    try:
+        for i0 in range(0, len(iq), chunk):
+            app.process(iq[i0 : min(i0 + chunk, len(iq))])
+            for a in app.audio_blocks:
+                scraper.on_audio_data(a[0], fs_audio)
+            app.audio_blocks.clear()
+            if rds_bufs:
+                scraper.on_rds_bytes(np.concatenate(rds_bufs))
+                rds_bufs.clear()
+    finally:
+        scraper.close()
+    print(f"wrote {scraper.wav_paths[-1] if scraper.wav_paths else 'no audio'}"
+          f" and {scraper.rds_path or 'no RDS bytes'}")
 
 
 def cmd_tune(args) -> None:
