@@ -320,9 +320,20 @@ def cmd_tune(args) -> None:
     block = power_ceil(args.block_size)
     os.makedirs(args.output, exist_ok=True)
 
-    iq_u8 = _read_input_u8(args.input)
-    f = iq_u8.astype(np.float32) - 127.0
-    xr_all, xi_all = f[:, 0], f[:, 1]
+    # memmap the capture and convert per chunk: O(chunk) host memory (a
+    # wideband tune input is the framework's largest — hours at -r 8 Msps)
+    if args.input not in (None, "-"):
+        try:
+            raw = np.memmap(args.input, dtype=np.uint8, mode="r")
+            iq_u8 = raw[: (raw.size // 2) * 2].reshape(-1, 2)
+        except (OSError, ValueError):
+            iq_u8 = _read_input_u8(args.input)
+    else:
+        iq_u8 = _read_input_u8(args.input)
+
+    def planes(sl: slice):
+        c = np.asarray(iq_u8[sl], dtype=np.float32) - 127.0
+        return c[:, 0], c[:, 1]
 
     app = App(block_size=block, channels=1, decode_rds=True)
 
@@ -357,11 +368,12 @@ def cmd_tune(args) -> None:
         tail = ()
 
     chunk = m * block
-    n_chunks = xr_all.shape[0] // chunk
+    n_in = iq_u8.shape[0]
+    n_chunks = n_in // chunk
     # trailing samples past the last full chunk still downconvert (one extra
     # trace at the leftover shape); only a sub-m remainder is dropped
-    leftover = ((xr_all.shape[0] - n_chunks * chunk) // m) * m
-    dropped = xr_all.shape[0] - n_chunks * chunk - leftover
+    leftover = ((n_in - n_chunks * chunk) // m) * m
+    dropped = n_in - n_chunks * chunk - leftover
     if dropped:
         print(f"dropping {dropped} trailing samples (< one decimation frame)",
               file=sys.stderr)
@@ -369,9 +381,9 @@ def cmd_tune(args) -> None:
     if leftover:
         spans.append(slice(n_chunks * chunk, n_chunks * chunk + leftover))
     for sl in spans:
+        xr, xi = planes(sl)
         phase, tail, yr, yi = step(
-            phase, tail,
-            jnp.asarray(xr_all[None, sl]), jnp.asarray(xi_all[None, sl]),
+            phase, tail, jnp.asarray(xr[None, :]), jnp.asarray(xi[None, :]),
         )
         app.process(
             (np.asarray(yr) + 1j * np.asarray(yi)).astype(np.complex64)[0]
