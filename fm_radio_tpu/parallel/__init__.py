@@ -6,6 +6,7 @@ a single-process single-channel pipeline (SURVEY.md §2.10)."""
 
 from fm_radio_tpu.parallel.sharding import (  # noqa: F401
     demod_channels_sharded,
+    demod_superblock_stream,
     demod_time_parallel,
     make_mesh,
     rds_warmup_blocks,

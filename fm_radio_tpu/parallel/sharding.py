@@ -108,6 +108,7 @@ def demod_time_parallel(
     block_size: int = 65536,
     warmup_blocks: int = 2,
     mesh_axis: str = "t",
+    left_halo: jnp.ndarray | None = None,
 ):
     """Demodulate one long stream with the time axis sharded over ``mesh_axis``
     (channels sharded over the other axis if present).
@@ -124,6 +125,11 @@ def demod_time_parallel(
     BPSK TED/PLL to re-acquire — budget >=0.25 s of halo (16 blocks at
     16384, 4 at 65536) when downstream consumers decode RDS.
 
+    ``left_halo`` ([C, warmup_blocks*block_size] raw IQ, the samples
+    immediately PRECEDING x in the stream) makes shard 0 a mid-stream shard:
+    it warms up on real signal like every other shard instead of starting
+    cold — the super-block streaming mode (``demod_superblock_stream``).
+
     Returns outs dict with audio [C, T/32, 2], rds_pred/valid [C, T/64]
     (sharded along the time axis).
     """
@@ -134,9 +140,14 @@ def demod_time_parallel(
     halo = warmup_blocks * block_size
 
     in_spec = (P(*other_axes, mesh_axis) if other_axes else P(None, mesh_axis))
+    halo_spec = (P(*other_axes, None) if other_axes else P(None, None))
+    stream_start = left_halo is None
+    if stream_start:
+        # dummy (zeros) so shard_fn's signature is static either way
+        left_halo = jnp.zeros((c, halo), x.dtype)
 
-    def shard_fn(x_local: jnp.ndarray):
-        # x_local: [C_local, T/n_t]
+    def shard_fn(x_local: jnp.ndarray, halo0: jnp.ndarray):
+        # x_local: [C_local, T/n_t]; halo0: [C_local, halo] (time-replicated)
         c_local = x_local.shape[0]
         # halo: my last `halo` samples -> right neighbor (positive slice
         # start: `-halo:` with warmup_blocks==0 would send the whole shard)
@@ -145,7 +156,10 @@ def demod_time_parallel(
             my_tail, mesh_axis, [(i, (i + 1) % n_t) for i in range(n_t)]
         )
         my_idx = jax.lax.axis_index(mesh_axis)
-        left_tail = jnp.where(my_idx == 0, jnp.zeros_like(left_tail), left_tail)
+        # shard 0's halo: zeros at the genuine stream start, or the caller-
+        # provided preceding samples in super-block streaming mode
+        shard0_halo = jnp.zeros_like(left_tail) if stream_start else halo0
+        left_tail = jnp.where(my_idx == 0, shard0_halo, left_tail)
         x_ext = jnp.concatenate([left_tail, x_local], axis=-1)
 
         n_blocks = x_ext.shape[-1] // block_size
@@ -155,15 +169,17 @@ def demod_time_parallel(
         def step(st, blk_i):
             blk, i = blk_i
             st, outs = demod_block(cfg, coeffs, st, blk)
-            # shard 0 is genuinely the stream start: its "halo" is zeros,
+            # shard 0 at the genuine stream start: its "halo" is zeros,
             # and demodulating zero-blocks POLLUTES the loop state (AGC
             # winds up on silence, PLL/TED drift) — measurably worse than a
             # cold start (it could kill shard 0's RDS entirely).  Entering
             # the payload, discard that state and start from the true init:
             # shard 0's payload then equals the sequential stream EXACTLY.
+            # (In streaming mode shard 0 warms up on REAL preceding samples
+            # like every other shard — no reset.)
             reset = jnp.logical_and(my_idx == 0,
                                     i == max(warmup_blocks - 1, 0))
-            if warmup_blocks > 0:
+            if warmup_blocks > 0 and stream_start:
                 st = jax.tree_util.tree_map(
                     lambda new, init: jnp.where(reset, init, new),
                     st, demod_init_state(cfg, c_local))
@@ -179,15 +195,58 @@ def demod_time_parallel(
     audio, rds_pred, rds_valid = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=in_spec,
+        in_specs=(in_spec, halo_spec),
         out_specs=(
             (P(*other_axes, mesh_axis, None) if other_axes else P(None, mesh_axis, None)),
             in_spec,
             in_spec,
         ),
         check_vma=False,
-    )(x)
+    )(x, left_halo)
     return {"audio": audio, "rds_pred": rds_pred, "rds_valid": rds_valid}
+
+
+def demod_superblock_stream(
+    cfg: DemodConfig,
+    coeffs: DemodCoeffs,
+    x,
+    mesh: Mesh,
+    block_size: int = 65536,
+    warmup_blocks: int = 2,
+    superblock_blocks: int | None = None,
+    mesh_axis: str = "t",
+):
+    """Time-parallel demodulation of an arbitrarily long recorded capture in
+    SUPER-BLOCK chunks: each chunk of ``n_t * superblock_blocks`` blocks is
+    demodulated with the time axis sharded over the mesh, and the next chunk
+    receives the previous chunk's final ``warmup_blocks`` of raw IQ as shard
+    0's halo (``left_halo``) — every super-block boundary is an ordinary
+    warm-up seam on REAL samples, not a cold start.  Host memory is
+    O(super-block); device memory is O(shard).
+
+    x: [C, T] array-like supporting contiguous slicing (numpy, or a
+    channelwise lazy view).  T must divide into super-blocks.  Yields
+    host-side outs dicts per super-block (audio [C, S/32, 2],
+    rds_pred/valid [C, S/64]).
+    """
+    n_t = mesh.shape[mesh_axis]
+    if superblock_blocks is None:
+        superblock_blocks = 8 * warmup_blocks  # ~11% warm-up overhead
+    span = n_t * superblock_blocks * block_size
+    c, t = x.shape
+    assert t % span == 0, (t, span)
+    halo = warmup_blocks * block_size
+
+    left = None
+    for i0 in range(0, t, span):
+        xs = jnp.asarray(np.asarray(x[:, i0 : i0 + span]))
+        outs = demod_time_parallel(
+            cfg, coeffs, xs, mesh, block_size=block_size,
+            warmup_blocks=warmup_blocks, mesh_axis=mesh_axis,
+            left_halo=left,
+        )
+        left = xs[:, span - halo:]
+        yield {k: np.asarray(v) for k, v in outs.items()}
 
 
 def demod_full_mesh(

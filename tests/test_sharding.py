@@ -175,6 +175,70 @@ def test_time_parallel_rds_groups_match_sequential():
     # recorded so future rounds don't re-try.
 
 
+def test_superblock_stream_matches_sequential():
+    """Super-block streaming: a 96-block capture in three time-sharded
+    super-blocks, each seeded with the previous chunk's real-IQ tail as
+    shard 0's halo.  The concatenated stream must carry the sequential
+    stream's RDS traffic (boundaries are ordinary warm-up seams, not cold
+    starts) and settled audio must match.
+    """
+    from fm_radio_tpu.parallel import demod_superblock_stream
+    from fm_radio_tpu.rds.chain import RDSFullChain
+
+    cfg = DemodConfig()
+    coeffs = make_coeffs(cfg)
+    mod = FMModulator(ModulatorConfig())
+    groups_tx = [
+        (0xFEED, (0 << 12) | (1 << 10) | seg, 0xE101, word)
+        for seg, word in enumerate((0x4142, 0x4344, 0x4546, 0x4748))
+    ]
+    n_blocks = 96
+    x = mod.generate(BLOCK * n_blocks, left_hz=1000.0, right_hz=3000.0,
+                     rds_groups=groups_tx)[None, :]
+    mesh = make_mesh(1, 2)
+    warm = 16
+
+    chunks = list(demod_superblock_stream(
+        cfg, coeffs, x, mesh, block_size=BLOCK, warmup_blocks=warm,
+        superblock_blocks=16,
+    ))
+    assert len(chunks) == 3
+    audio = np.concatenate([c["audio"] for c in chunks], axis=1)
+    pred = np.concatenate([c["rds_pred"] for c in chunks], axis=1)
+    valid = np.concatenate([c["rds_valid"] for c in chunks], axis=1)
+
+    _, outs_seq = demod_stream(cfg, x, block_size=BLOCK)
+    audio_seq = np.asarray(outs_seq["audio"])
+
+    assert audio.shape == audio_seq.shape
+    # first super-block starts the stream: shard 0 of it is exact
+    blk_audio = BLOCK // 32
+    np.testing.assert_array_equal(audio[0, : 16 * blk_audio],
+                                  audio_seq[0, : 16 * blk_audio])
+    # settled audio across all later super-blocks
+    err = audio[0, 17 * blk_audio:] - audio_seq[0, 17 * blk_audio:]
+    ref = np.sqrt(np.mean(audio_seq[0, 17 * blk_audio:] ** 2)) + 1e-12
+    snr = 20 * np.log10(ref / (np.sqrt(np.mean(err**2)) + 1e-12))
+    assert snr > 25.0, snr
+
+    def ngroups(p, v):
+        ch = RDSFullChain()
+        ch.process_symbols(p[v])
+        return [tuple(b.data for b in g) for g in ch.chain.groups
+                if all(b.is_valid for b in g)]
+
+    seq_words = ngroups(np.asarray(outs_seq["rds_pred"])[0],
+                        np.asarray(outs_seq["rds_valid"])[0])
+    got_words = ngroups(pred[0], valid[0])
+    assert len(seq_words) >= 12, len(seq_words)
+    tx = set(groups_tx)
+    assert set(got_words) <= tx
+    # 5 seams (2 internal + 2 super-block boundaries + ...), each worth at
+    # most ~2 groups of traffic against the sequential stream
+    assert len(got_words) >= len(seq_words) - 8, (
+        len(got_words), len(seq_words))
+
+
 # ------------------------------------------------------------- channelizer
 
 
