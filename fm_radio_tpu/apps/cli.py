@@ -1049,6 +1049,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="plain text frames, no cursor control")
     m.add_argument("--rds-backend", default="python",
                    choices=["python", "native"])
+    m.add_argument("--wideband", type=int, default=0, metavar="M",
+                   help="treat the input as an M-channel wideband capture "
+                        "(M x 1.024 MHz): filterbank-extract one station; "
+                        "n/N keys retune live (DeviceSelector parity)")
+    m.add_argument("--channel", type=int, default=0,
+                   help="initial station channel with --wideband")
     m.add_argument("--play", default=None, metavar="CMD",
                    help="LIVE audio out while monitoring: pipe PCM to this "
                         "shell command ('-' = stdout is the dashboard, so a "

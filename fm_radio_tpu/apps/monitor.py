@@ -247,7 +247,8 @@ class ControlSurface:
 
     MODES = ("stereo", "lpr", "lmr")
     HELP = ("keys: m=mode g/G=L-R gain l/L=L+R cutoff r/R=L-R cutoff "
-            "e=deemph [/]=deemph-us v=spectrum-mode p=scope-page q=quit")
+            "e=deemph [/]=deemph-us v=spectrum-mode p=scope-page "
+            "n/N=retune q=quit")
 
     def __init__(self, demod):
         self.demod = demod
@@ -552,34 +553,109 @@ class Monitor:
         return stats
 
 
+class _FileSource:
+    """Single-station pcm: yields [k*block] complex baseband per read."""
+
+    def __init__(self, fh, block: int):
+        self._fh = fh
+        self.block = block
+        self.channels = 1
+        self.channel = 0
+
+    def read(self, nblocks: int) -> np.ndarray:
+        from fm_radio_tpu.io.pcm import u8_to_c64
+
+        raw = self._fh.read(2 * self.block * nblocks)
+        n = (len(raw) // 2) * 2
+        if n == 0:
+            return np.zeros(0, np.complex64)
+        x = u8_to_c64(np.frombuffer(raw[:n], np.uint8).reshape(-1, 2))
+        return x[: (x.size // self.block) * self.block]
+
+    def set_channel(self, k: int) -> None:
+        pass
+
+
+class _WidebandSource:
+    """Wideband pcm -> polyphase FFT filterbank -> ONE selected station at
+    1.024 MHz.  The filterbank state spans ALL channels, so switching the
+    monitored station ('n'/'N') delivers valid signal immediately — the
+    monitor equivalent of the reference's device-retune workflow
+    (``fm_demod_tuner.cpp:174-176`` + DeviceSelector)."""
+
+    def __init__(self, fh, block: int, m: int, taps_per_phase: int = 16,
+                 channel: int = 0):
+        from fm_radio_tpu.parallel.channelizer import (
+            channelizer_init_state,
+            make_channelizer_taps,
+        )
+
+        self._fh = fh
+        self.block = block
+        self.channels = m
+        self.channel = channel % m
+        self._taps = make_channelizer_taps(m, taps_per_phase)
+        self._st = channelizer_init_state(m, taps_per_phase)
+
+    def read(self, nblocks: int) -> np.ndarray:
+        from fm_radio_tpu.parallel.channelizer import channelize_packed
+        from fm_radio_tpu.utils.transfer import pack_iq_u8
+
+        m = self.channels
+        want = 2 * m * self.block * nblocks
+        raw = self._fh.read(want)
+        n = (len(raw) // (2 * m)) * (2 * m)
+        if n == 0:
+            return np.zeros(0, np.complex64)
+        w = pack_iq_u8(np.frombuffer(raw[:n], np.uint8).reshape(-1, 2))
+        self._st, y = channelize_packed(self._taps, self._st, w, m)
+        x = np.asarray(y)[self.channel] / m  # undo FFT scaling
+        return x[: (x.size // self.block) * self.block].astype(np.complex64)
+
+    def set_channel(self, k: int) -> None:
+        self.channel = k % self.channels
+
+
 def run_monitor(args) -> None:
     """CLI driver: stream a pcm file (or stdin) and repaint the dashboard.
 
     Interactive when a controlling tty exists: single keys mutate the LIVE
     pipeline (audio mode, L±R cutoffs, L−R gain, de-emphasis) through
     :class:`ControlSurface` — the runtime-control parity of the reference
-    GUI's demod panel (``render_fm_demod.cpp:305-374``)."""
+    GUI's demod panel (``render_fm_demod.cpp:305-374``).  With
+    ``--wideband M`` the input is an M-channel wideband capture: the
+    filterbank extracts one station and 'n'/'N' retune to the next/previous
+    station live (DeviceSelector + retune parity)."""
+    from fm_radio_tpu.io.player import PCMPlayer, PlayerSinkError
     from fm_radio_tpu.models.app import App
 
-    app = App(block_size=args.block, channels=1, integer_input=True,
-              rds_backend=getattr(args, "rds_backend", "python"))
     player = None
     if getattr(args, "play", None):
         if args.play == "-":
             sys.exit("monitor --play needs a command (stdout shows the "
                      "dashboard); e.g. --play 'aplay -f FLOAT_LE -r 48000 -c 2'")
-        from fm_radio_tpu.io.player import PCMPlayer, PlayerSinkError
-
         player = PCMPlayer(command=args.play,
                            fmt=getattr(args, "play_format", "f32"))
-    mon = Monitor(app, mode=args.mode, block_size=args.block,
-                  on_audio=player.consume if player else None)
-    controls = ControlSurface(app.demod)
+
+    def fresh_chain():
+        app = App(block_size=args.block, channels=1, integer_input=True,
+                  rds_backend=getattr(args, "rds_backend", "python"))
+        mon = Monitor(app, mode=args.mode, block_size=args.block,
+                      on_audio=player.consume if player else None)
+        return app, mon, ControlSurface(app.demod)
+
+    app, mon, controls = fresh_chain()
     keys = _KeyReader()
     last_action = ""
 
     from_file = args.input not in (None, "-")
     fh = open(args.input, "rb") if from_file else sys.stdin.buffer
+    wideband_m = int(getattr(args, "wideband", 0) or 0)
+    if wideband_m > 1:
+        source = _WidebandSource(fh, args.block, wideband_m,
+                                 channel=int(getattr(args, "channel", 0)))
+    else:
+        source = _FileSource(fh, args.block)
     use_ansi = (not args.no_ansi) and sys.stdout.isatty()
     frames = 0
     try:
@@ -591,17 +667,19 @@ def run_monitor(args) -> None:
                 last_action = f"spectra -> {mon.cycle_spectrum_mode()}"
             elif ch == "p":
                 last_action = f"page -> {mon.toggle_page()}"
+            elif ch in ("n", "N") and source.channels > 1:
+                # retune: pick the neighboring station; the demod chain
+                # restarts cold exactly like the reference after a retune
+                page = mon.page
+                source.set_channel(source.channel + (1 if ch == "n" else -1))
+                app, mon, controls = fresh_chain()
+                mon.page = page
+                last_action = f"station -> channel {source.channel}"
             elif ch is not None:
                 msg = controls.handle_key(ch)
                 if msg is not None:
                     last_action = msg
-            raw = fh.read(2 * args.block * args.refresh)
-            n = (len(raw) // 2) * 2
-            if n == 0:
-                break
-            from fm_radio_tpu.io.pcm import u8_to_c64
-
-            x = u8_to_c64(np.frombuffer(raw[:n], np.uint8).reshape(-1, 2))
+            x = source.read(args.refresh)
             nb = x.size // args.block
             if nb == 0:
                 break
@@ -614,6 +692,9 @@ def run_monitor(args) -> None:
             frame = render_frame(mon.snapshot(), width=args.width,
                                  ascii_only=args.no_ansi)
             footer = controls.status_line()
+            if source.channels > 1:
+                footer += (f"   station: channel {source.channel}"
+                           f"/{source.channels} (n/N retune)")
             if last_action:
                 footer += f"   [{last_action}]"
             footer += "\n" + ControlSurface.HELP

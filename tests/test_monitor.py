@@ -195,6 +195,46 @@ def test_monitor_scope_page_renders_waveforms():
     assert mon.toggle_page() == "spectra"
 
 
+def test_wideband_source_extracts_and_retunes(tmp_path):
+    """_WidebandSource: filterbank-extract one station from a wideband
+    capture and switch stations mid-stream — each decodes its OWN PI (the
+    DeviceSelector + retune workflow, fm_demod_tuner.cpp:174-176)."""
+    from fm_radio_tpu.apps.monitor import Monitor, _WidebandSource
+    from fm_radio_tpu.io.pcm import c64_to_u8
+    from fm_radio_tpu.io.synth import FMModulator, ModulatorConfig
+    from fm_radio_tpu.models.app import App
+
+    m, fs_ch, block = 4, 1_024_000, 16384
+    n_ch = block * 80  # ~1.3 s/station: RDS lock (~0.45 s) + groups, twice
+    n_wide = n_ch * m
+    t_ax = np.arange(n_wide) / (fs_ch * m)
+    wide = np.zeros(n_wide, np.complex64)
+    for k, pi in ((1, 0x1111), (2, 0x2222)):
+        mod = FMModulator(ModulatorConfig())
+        groups = [(pi, (0 << 12) | (1 << 10), 0xE101, 0x4142)]
+        iq = mod.generate(n_ch, left_hz=1000.0, right_hz=1000.0,
+                          rds_groups=groups)
+        wide += (np.repeat(iq, m)[:n_wide]
+                 * np.exp(2j * np.pi * k * fs_ch * t_ax)).astype(np.complex64)
+    wide /= np.abs(wide).max() / 100.0
+    path = tmp_path / "wide.pcm"
+    c64_to_u8(wide).tofile(path)
+
+    def monitor_station(chan, blocks):
+        app = App(block_size=block, channels=1, integer_input=True)
+        mon = Monitor(app, block_size=block)
+        x = src.read(blocks)
+        for b in range(x.size // block):
+            mon.step(x[b * block:(b + 1) * block], with_taps=False)
+        return app.rds_chains[0].db.pi_code
+
+    with open(path, "rb") as fh:
+        src = _WidebandSource(fh, block, m, channel=1)
+        assert monitor_station(1, 38) == 0x1111
+        src.set_channel(2)  # retune mid-stream: filterbank state carries
+        assert monitor_station(2, 38) == 0x2222
+
+
 def test_monitor_cli_smoke(tmp_path):
     """End-to-end: monitor a synthetic station, expect pilot lock + PI."""
     import os
