@@ -123,6 +123,7 @@ class RDSDecoder:
         dispatch_b = {
             0: self._on_group_0b,
             2: self._on_group_2b,
+            14: self._on_group_14b,
             15: self._on_group_15b,
         }
         fn = dispatch_b.get(code)
@@ -267,6 +268,21 @@ class RDSDecoder:
             self.handler.on_radio_text(c1, 2 * seg + 1)
         self._ap(f"A/B={ab_flag}, segment_address={seg:2d}, text='{c0}{c1}'")
         return has_d
+
+    def _on_group_14b(self, group) -> bool:
+        """Type 14B: EON fast TA switching (superset — the reference
+        declines every version-B group, rds_decoder.cpp:146-155).  Block B
+        carries TP(ON)/TA(ON) for the cross-referenced network whose PI
+        repeats in block D; broadcasters use it to flip a receiver to the
+        other network's traffic announcement."""
+        block_b, block_d = group[1], group[3]
+        if not block_d.is_valid:
+            self._ap("PI(on)=?")
+            return False
+        tp_on = (block_b.data >> 4) & 1
+        ta_on = (block_b.data >> 3) & 1
+        self._ap(f"TP(on)={tp_on}, TA(on)={ta_on}, PI(on)={block_d.data:04X}")
+        return True
 
     def _on_group_15b(self, group) -> bool:
         """Type 15B: fast basic tuning and switching (IEC 62106 §6.1.5.21;

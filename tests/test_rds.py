@@ -332,6 +332,23 @@ def test_station_schedule_long_af_list_commits():
     )
 
 
+def test_decoder_14b_eon_ta_switching():
+    """14B decodes TP(ON)/TA(ON)/PI(ON) in default mode and prints
+    Unsupported_Code under strict_ref (reference parity)."""
+    g = _mk_group(pi=0xAB01, gtype=14, version=1,
+                  extra_b=(1 << 4) | (1 << 3), c=0xAB01, d=0xCD02)
+    data = _groups_to_bytes([g] * 3)
+    chain = RDSDecodingChain()
+    chain.process(data)
+    line = next(ln for ln in chain.log_lines if "Type 14B" in ln)
+    assert "TP(on)=1, TA(on)=1, PI(on)=CD02" in line
+
+    strict = RDSDecodingChain(strict_ref=True)
+    strict.process(data)
+    line = next(ln for ln in strict.log_lines if "Type 14B" in ln)
+    assert line.endswith("Unsupported_Code")
+
+
 def test_fast_resync_recovers_burst_in_one_group():
     """Opt-in fast resync: a framing-destroying burst (all four blocks
     invalid) triggers immediate re-acquisition instead of the reference's
