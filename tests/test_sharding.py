@@ -175,6 +175,15 @@ def test_time_parallel_rds_groups_match_sequential():
     # recorded so future rounds don't re-try.
 
 
+def test_rds_warmup_blocks_sizing():
+    from fm_radio_tpu.parallel import rds_warmup_blocks
+
+    assert rds_warmup_blocks(16384) == 16      # 0.25 s at 1.024 MHz
+    assert rds_warmup_blocks(65536) == 4
+    assert rds_warmup_blocks(65536, DemodConfig()) == 4
+    assert rds_warmup_blocks(1 << 22) == 1     # never zero
+
+
 def test_superblock_stream_matches_sequential():
     """Super-block streaming: a 96-block capture in three time-sharded
     super-blocks, each seeded with the previous chunk's real-IQ tail as
