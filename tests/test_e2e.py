@@ -338,3 +338,26 @@ def test_modulator_streaming_matches_one_shot():
     np.testing.assert_allclose(
         np.concatenate([a, b]), one, atol=1e-3
     )
+
+
+def test_noise_produces_no_false_rds_groups():
+    """Receiver integrity on dead air: demodulating pure noise must yield
+    finite audio and ZERO fully-valid RDS groups (a valid group needs four
+    consecutive CRC-10 passes — random bits clear that at ~2^-40; anything
+    decoded from noise would be a correction-logic bug)."""
+    import numpy as np
+
+    from fm_radio_tpu.models.app import App
+
+    rng = np.random.default_rng(42)
+    block = 16384
+    n = block * 32  # 0.5 s
+    iq = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64) * 40.0
+    app = App(block_size=block, channels=1, decode_rds=True)
+    app.process(iq)
+    audio = app.audio[0]
+    assert np.isfinite(audio).all()
+    full = [g for g in app.rds_chains[0].chain.groups
+            if all(b.is_valid for b in g)]
+    assert not full, f"decoded {len(full)} groups from noise"
