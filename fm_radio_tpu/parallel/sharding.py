@@ -41,8 +41,11 @@ def rds_warmup_blocks(block_size: int, cfg: DemodConfig | None = None,
                       seconds: float = 0.25) -> int:
     """Halo length (in blocks) for RDS-grade time sharding: enough signal
     for the BPSK TED/PLL to re-acquire from cold (~0.2 s at the reference
-    loop gains, bpsk_synchroniser.h:18-32) plus margin.  Audio-only
-    consumers can use 1-2 blocks (the pilot PLL settles in ~20 ms)."""
+    loop gains, bpsk_synchroniser.h:18-32) plus margin.  Measured knee
+    (docs/SCALING.md): 128 ms halo loses the shard's RDS traffic, 192 ms
+    recovers sequential group counts exactly; the 0.25 s default sits above
+    it with margin.  Audio-only consumers can use 1-2 blocks (the pilot PLL
+    settles in ~20 ms)."""
     fs = cfg.rates.fs_baseband if cfg is not None else 1_024_000
     return max(1, -(-int(seconds * fs) // block_size))
 
