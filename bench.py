@@ -213,19 +213,57 @@ def _supervise() -> None:
     chip_env = {k: v for k, v in base_env.items()
                 if k not in ("FMTPU_BENCH_CPU", "JAX_PLATFORMS")}
 
-    def attempt(env: dict, timeout: float) -> tuple[str | None, str]:
-        """Returns (json_line | None, failure_kind)."""
+    def _child_cpu_s(pid: int) -> float:
+        """utime+stime of the child (Linux) — progress signal for the
+        hang detector.  A tunnel hang blocks on a socket at ~0 CPU; a slow
+        remote compile keeps burning CPU.  Returns -1 if unreadable."""
         try:
-            p = subprocess.run(
-                argv, env=env, timeout=timeout, capture_output=True, text=True
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(") ", 1)[1].split()
+            return (int(parts[11]) + int(parts[12])) / os.sysconf("SC_CLK_TCK")
+        except (OSError, IndexError, ValueError):
+            return -1.0
+
+    def attempt(env: dict, timeout: float) -> tuple[str | None, str]:
+        """Returns (json_line | None, failure_kind).
+
+        Hang detection is CPU-progress-based, not a fixed wall cap: the
+        cold remote compile of the 2048ch program can exceed 15 min (it
+        looks exactly like a hang from outside, and killing it also
+        discards the compile-cache write that would make every later
+        attempt fast — a livelock this supervisor caused in round 2).
+        The child is killed only when its CPU clock stalls for
+        ``stall_s`` while producing no result, or at the hard ``timeout``.
+        """
+        stall_s = float(os.environ.get("FMTPU_BENCH_STALL", "240"))
+        try:
+            p = subprocess.Popen(
+                argv, env=env, text=True,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             )
-            out, err, kind = p.stdout, p.stderr, "crash"
-        except subprocess.TimeoutExpired as e:
-            # the child may have printed the result and then hung in
-            # backend teardown — the measurement is still valid
-            out = e.stdout.decode() if isinstance(e.stdout, bytes) else e.stdout
-            err = e.stderr.decode() if isinstance(e.stderr, bytes) else e.stderr
-            kind = "hang"
+        except OSError as e:
+            return None, f"spawn: {e}"
+        t_end = time.monotonic() + timeout
+        last_cpu, last_adv = -2.0, time.monotonic()
+        kind = "crash"
+        while True:
+            try:
+                out, err = p.communicate(timeout=10)
+                break
+            except subprocess.TimeoutExpired:
+                pass
+            now = time.monotonic()
+            cpu = _child_cpu_s(p.pid)
+            if cpu > last_cpu + 0.5 or cpu < 0:
+                last_cpu, last_adv = cpu, now
+            if now > t_end or now - last_adv > stall_s:
+                kind = "hang"
+                p.kill()
+                try:
+                    out, err = p.communicate(timeout=30)
+                except subprocess.TimeoutExpired:
+                    out = err = ""
+                break
         for line in reversed((out or "").strip().splitlines()):
             if line.startswith("{"):
                 return line, ""
@@ -246,11 +284,10 @@ def _supervise() -> None:
         remaining = deadline - time.monotonic()
         if remaining < 120:  # too little budget left for a meaningful attempt
             break
-        # cap the non-final attempts at half the TOTAL budget: an attempt
-        # that HANGS must leave room for a retry (an uncapped first attempt
-        # would eat the whole deadline and make the hang-retry dead code)
-        slice_t = remaining if i == 2 else min(remaining, t_budget / 2)
-        line, kind = attempt(chip_env, slice_t)
+        # an attempt may use the FULL remaining budget: true hangs are
+        # caught early by the CPU-stall detector (not by this wall cap),
+        # so a slow cold compile is never killed while it is progressing
+        line, kind = attempt(chip_env, remaining)
         if line is not None or kind == "crash":
             break  # success, or a deterministic crash: no point retrying
         if kind == "transient" and i < 2:

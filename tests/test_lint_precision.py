@@ -19,20 +19,44 @@ PKG = os.path.join(os.path.dirname(__file__), "..", "fm_radio_tpu")
 TARGETS = {"dot", "einsum", "matmul", "tensordot", "vdot"}
 
 
+# lax-level products and convolutions default to bf16 on TPU exactly like
+# the jnp wrappers; jnp.convolve has no precision= pre-jax-0.4-ish callers
+# forget exists; the @ operator is jnp.matmul in disguise.
+LAX_TARGETS = {"dot_general", "dot", "conv_general_dilated", "conv",
+               "conv_with_general_padding"}
+TARGETS_CONV = {"convolve", "correlate"}
+
+
 def _bare_products(path):
-    tree = ast.parse(open(path).read())
+    src = open(path).read()
+    tree = ast.parse(src)
     hits = []
     for node in ast.walk(tree):
+        # `a @ b` on traced arrays is jnp.matmul with default precision.
+        # Only flag when neither operand is an obviously-host numpy value —
+        # we can't type-infer, so flag them all; the package currently has
+        # zero `@` uses outside kernels/ and that is the desired state.
+        if isinstance(node, ast.BinOp) and isinstance(node.op, ast.MatMult):
+            hits.append((node.lineno, "@ (matmul operator)"))
+            continue
         if not isinstance(node, ast.Call):
             continue
         fn = node.func
         name = None
-        if isinstance(fn, ast.Attribute) and fn.attr in TARGETS:
+        if isinstance(fn, ast.Attribute):
             base = fn.value
-            if isinstance(base, ast.Name) and base.id in ("jnp", "np", "numpy"):
-                if base.id != "jnp":
-                    continue  # host-side numpy is f64/f32, fine
-                name = fn.attr
+            if fn.attr in TARGETS or fn.attr in TARGETS_CONV:
+                if isinstance(base, ast.Name) and base.id == "jnp":
+                    name = fn.attr
+            elif fn.attr in LAX_TARGETS:
+                # jax.lax.X or lax.X
+                if (isinstance(base, ast.Name) and base.id == "lax") or (
+                    isinstance(base, ast.Attribute)
+                    and base.attr == "lax"
+                    and isinstance(base.value, ast.Name)
+                    and base.value.id == "jax"
+                ):
+                    name = f"lax.{fn.attr}"
         if name is None:
             continue
         kws = {k.arg for k in node.keywords}

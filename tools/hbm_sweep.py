@@ -173,6 +173,17 @@ def pallas_read(x, bm: int, bn: int):
 # ----------------------------------------------------------------- timing
 
 
+def _force(y) -> float:
+    """Force TRUE device completion: fetch a data-dependent scalar.
+
+    ``block_until_ready`` is unreliable over the tunneled backend (it can
+    return at dispatch-ack, before the chip finishes — bench.py carries the
+    same workaround); this round-1 sweep bug produced impossible ~450 TB/s
+    readings.  A host fetch of a value that depends on the result cannot
+    complete early."""
+    return float(np.asarray(y[:1, :1]))
+
+
 def time_chained(fn, x, iters: int, repeats: int) -> float:
     """Best wall-seconds for `iters` serially-chained applications of fn."""
 
@@ -180,11 +191,11 @@ def time_chained(fn, x, iters: int, repeats: int) -> float:
     def run(x0):
         return jax.lax.fori_loop(0, iters, lambda i, y: fn(y), x0)
 
-    run(x).block_until_ready()  # compile
+    _force(run(x))  # compile + warm
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        run(x).block_until_ready()
+        _force(run(x))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -203,11 +214,11 @@ def time_read(fn, x, iters: int, repeats: int) -> float:
         return jax.lax.fori_loop(
             0, iters, body, jnp.zeros((1, 128), x0.dtype))
 
-    run(x).block_until_ready()
+    _force(run(x))
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        run(x).block_until_ready()
+        _force(run(x))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -216,8 +227,9 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--mb", type=int, default=256,
                     help="array size in MiB (f32, [R, 1024])")
-    ap.add_argument("--iters", type=int, default=24,
-                    help="chained applications per dispatch")
+    ap.add_argument("--iters", type=int, default=128,
+                    help="chained applications per dispatch (>=128 keeps the "
+                         "one in-region fetch's 5-30 ms tunnel latency <10%)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--json", action="store_true",
                     help="one JSON line per variant (for hw_gate logs)")
