@@ -276,7 +276,10 @@ def _supervise() -> None:
             sys.stderr.write(err[-2000:])
         return None, kind
 
-    t_budget = float(os.environ.get("FMTPU_BENCH_TIMEOUT", "1800"))
+    # default sized for a COLD compile cache: the 2048ch program takes
+    # 15-20 min through the remote-compile service the first time (cached:
+    # seconds).  The CPU-fallback reserve below is unaffected.
+    t_budget = float(os.environ.get("FMTPU_BENCH_TIMEOUT", "2700"))
     deadline = time.monotonic() + t_budget
     backoff = float(os.environ.get("FMTPU_BENCH_BACKOFF", "90"))
     line = kind = None

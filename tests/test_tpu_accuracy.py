@@ -133,7 +133,10 @@ def test_kernel_path_matches_scan_path_on_hardware():
     )
     from fm_radio_tpu.utils.transfer import device_put_complex, fetch
 
-    c, n = 128, 65536
+    # n MUST leave audio frames beyond the settle skip below: n/32 audio
+    # frames vs 2048 skipped.  The round-2 gate ran with n=65536 = exactly
+    # 2048 frames -> empty measurement slice -> NaN SNR -> "failure".
+    c, n = 128, 1 << 18
     rng = np.random.default_rng(0)
     ph = np.cumsum(0.5 * rng.standard_normal((c, n)).astype(np.float32), -1)
     x = np.round(100 * np.cos(ph)) + 1j * np.round(100 * np.sin(ph))
@@ -151,6 +154,7 @@ def test_kernel_path_matches_scan_path_on_hardware():
 
     err = np.abs(outs["kernel"] - outs["scan"])
     # settle region: skip the first 2048 audio frames of loop acquisition
+    assert err.shape[1] > 2048, "fixture too short: settle skip leaves nothing"
     rms = float(np.sqrt((err[:, 2048:] ** 2).mean()))
     sig_rms = float(np.sqrt((outs["scan"][:, 2048:] ** 2).mean()))
     snr = 20 * np.log10(sig_rms / (rms + 1e-12))

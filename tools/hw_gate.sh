@@ -37,17 +37,21 @@ FMTPU_TPU_TESTS=1 timeout 2400 python -m pytest tests/test_tpu_accuracy.py -q \
 note "golden parity on the TPU path"
 timeout 2400 python tools/golden_tpu.py 2>&1 | tail -8 | tee -a "$LOG"
 
+# cold remote compile of the 2048ch program takes 15-20 min (cached:
+# seconds); give every bench variant a cold-capable budget
+export FMTPU_BENCH_TIMEOUT=5400
+
 note "bench baseline (2048ch)"
-timeout 2400 python bench.py 2048 2>&1 | tail -2 | tee -a "$LOG"
+timeout 5700 python bench.py 2048 2>&1 | tail -2 | tee -a "$LOG"
 
 note "bench int8 front end A/B (2048ch)"
-FMTPU_BENCH_INT8=1 timeout 2400 python bench.py 2048 2>&1 | tail -2 | tee -a "$LOG"
+FMTPU_BENCH_INT8=1 timeout 5700 python bench.py 2048 2>&1 | tail -2 | tee -a "$LOG"
 
 note "bench wide-band front end A/B (2048ch, NO=256)"
-FMTPU_BENCH_NO=256 timeout 2400 python bench.py 2048 2>&1 | tail -2 | tee -a "$LOG"
+FMTPU_BENCH_NO=256 timeout 5700 python bench.py 2048 2>&1 | tail -2 | tee -a "$LOG"
 
 note "bench int8 + wide-band composed (2048ch)"
-FMTPU_BENCH_INT8=1 FMTPU_BENCH_NO=256 timeout 2400 python bench.py 2048 2>&1 | tail -2 | tee -a "$LOG"
+FMTPU_BENCH_INT8=1 FMTPU_BENCH_NO=256 timeout 5700 python bench.py 2048 2>&1 | tail -2 | tee -a "$LOG"
 
 note "serving soak on the chip (6 windows x 2 s, 4 stations)"
 timeout 2400 python tools/soak.py --passes 6 --json "$LOG.soak.jsonl" \
