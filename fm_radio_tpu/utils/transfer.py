@@ -113,3 +113,48 @@ def unpack_iq_words(w):
 
     ihi = jnp.floor(w * jnp.float32(1.0 / 256.0))
     return ihi - 127.0, (w - ihi * 256.0) - 127.0
+
+
+def pack_iq_u8_23(iq_u8: np.ndarray) -> np.ndarray:
+    """Dense 3-samples-in-2-words packing: 2/3 the bytes of pack_iq_u8.
+
+    f32 carries 24-bit integers exactly, so one word can hold THREE bytes
+    (pack_iq_u8 uses only 16 of them).  Layout is chosen so the front-end
+    kernel can extract stride-3 RESIDUE subsequences with pure elementwise
+    arithmetic — no cross-lane interleave:
+
+      iq_u8: [..., N, 2] with N % 3 == 0.  Returns [..., 2, N/3] f32 where
+        out[0, t] = I[3t]*2^16 + I[3t+1]*2^8 + I[3t+2]   (I-plane words)
+        out[1, t] = Q[3t]*2^16 + Q[3t+1]*2^8 + Q[3t+2]   (Q-plane words)
+
+    Each byte FIELD of a word stream is one residue subsequence: field k of
+    out[p, :] is plane p's samples at time 3t+k, already in time order
+    within the residue.  See unpack_iq_words_23.
+    """
+    iq = np.asarray(iq_u8)
+    assert iq.shape[-1] == 2 and iq.dtype == np.uint8
+    n = iq.shape[-2]
+    assert n % 3 == 0, "dense packing needs N % 3 == 0"
+    tri = iq.reshape(*iq.shape[:-2], n // 3, 3, 2).astype(np.float32)
+    w = tri[..., 0, :] * 65536.0 + tri[..., 1, :] * 256.0 + tri[..., 2, :]
+    # [..., N/3, 2] -> [..., 2, N/3]
+    return np.moveaxis(w, -1, -2)
+
+
+def unpack_iq_words_23(w):
+    """Traceable inverse of :func:`pack_iq_u8_23` -> centered residue planes.
+
+    w: [2, ..., T] (I-words, Q-words).  Returns ((i0, i1, i2), (q0, q1, q2)),
+    six f32 arrays of shape [..., T]: plane residues, where ik[t] is
+    I[3t+k] - 127.  All arithmetic exact on integers < 2^24.
+    """
+    import jax.numpy as jnp
+
+    def fields(words):
+        b0 = jnp.floor(words * jnp.float32(1.0 / 65536.0))
+        rem = words - b0 * 65536.0
+        b1 = jnp.floor(rem * jnp.float32(1.0 / 256.0))
+        b2 = rem - b1 * 256.0
+        return b0 - 127.0, b1 - 127.0, b2 - 127.0
+
+    return fields(w[0]), fields(w[1])

@@ -130,3 +130,31 @@ def test_update_controls_coeff_redesign_is_lru_cached():
     assert d.coeffs is off  # same object: designer not re-run
     d.update_controls(use_deemphasis_filter=True)
     assert d.coeffs is on
+
+
+def test_pack_iq_u8_23_round_trip():
+    """Dense 3-in-2 packing: exact byte round trip through f32 words, and
+    residue planes line up with the full-rate planes at stride 3."""
+    import numpy as np
+
+    from fm_radio_tpu.utils.transfer import (
+        pack_iq_u8,
+        pack_iq_u8_23,
+        unpack_iq_words,
+        unpack_iq_words_23,
+    )
+
+    rng = np.random.default_rng(7)
+    iq = rng.integers(0, 256, size=(3, 96, 2), dtype=np.uint8)
+
+    w23 = pack_iq_u8_23(iq)
+    assert w23.shape == (3, 2, 32) and w23.dtype == np.float32
+    # every word is an exact 24-bit integer (survives the f32-only boundary)
+    assert np.all(w23 == np.round(w23)) and np.all(w23 < 2**24)
+
+    (i0, i1, i2), (q0, q1, q2) = unpack_iq_words_23(w23.swapaxes(0, 1))
+    re, im = unpack_iq_words(pack_iq_u8(iq))  # 16-bit packing as oracle
+    re, im = np.asarray(re), np.asarray(im)
+    for k, (ik, qk) in enumerate(((i0, q0), (i1, q1), (i2, q2))):
+        np.testing.assert_array_equal(np.asarray(ik), re[:, k::3])
+        np.testing.assert_array_equal(np.asarray(qk), im[:, k::3])
