@@ -114,15 +114,17 @@ def _variant_kernel(xw_ref, band_refs, y_ref, bufr, bufi,
     y_ref[...] = d * jnp.float32(0.123)
 
 
-def build(c, b, no, mode, int8):
+def build(c, b, no, mode, int8, c_blk=None, t_blk=None):
     taps = jnp.asarray(create_fir_lpf(128 + _M, 0.25), jnp.float32)
     band = _band_matrix(taps, no)
     bands = quantize_band_int8(band) if int8 else (band,)
     _w = no * _M + _TB
-    t_blk = no * _M
-    while t_blk * 2 <= 2048 and b % (t_blk * 2) == 0:
-        t_blk *= 2
-    c_blk = min(c, 128)
+    if t_blk is None:
+        t_blk = no * _M
+        while t_blk * 2 <= 2048 and b % (t_blk * 2) == 0:
+            t_blk *= 2
+    if c_blk is None:
+        c_blk = min(c, 128)
     grid = (c // c_blk, b // t_blk)
     small_out = mode in ("stream", "unpack")
     out_shape = (
@@ -214,6 +216,30 @@ def main():
             print(
                 f"{tag:28s} {dt * 1e3:8.3f} ms/pass   "
                 f"in-stream {gb_in / dt:6.1f} GB/s"
+            )
+
+    # tile-geometry sweep: the HBM sweep's read benchmark hits ~489 GB/s on
+    # 2-8 MB blocks while the production [128, 2048] (1 MB) tile streams at
+    # ~369 — find the shape that closes the gap (VMEM budget permitting)
+    for mode in ("stream", "full"):
+        for c_blk, t_blk in ((128, 2048), (128, 4096), (256, 1024),
+                             (256, 2048), (512, 1024), (512, 2048)):
+            if c % c_blk or b % t_blk or t_blk % 512:
+                continue
+            # scoped VMEM: 2 scratch + 2x double-buffered input + output
+            vmem_mb = (
+                2 * c_blk * (_TB + t_blk) + 2 * 2 * c_blk * t_blk
+                + 2 * c_blk * t_blk // 4
+            ) * 4 / 1e6
+            if vmem_mb > 14.5:
+                continue
+            dt = time_variant(
+                build(c, b, 128, mode, False, c_blk=c_blk, t_blk=t_blk),
+                xw, iters,
+            )
+            print(
+                f"{mode}:tile={c_blk}x{t_blk:<5d} {dt * 1e3:11.3f} ms/pass   "
+                f"in-stream {gb_in / dt:6.1f} GB/s   (~{vmem_mb:.1f} MB VMEM)"
             )
 
 
