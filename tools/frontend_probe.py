@@ -50,15 +50,36 @@ _M = 4
 
 
 def _variant_kernel(xw_ref, band_refs, y_ref, bufr, bufi,
-                    *, t_blk, no, mode, int8):
-    """One time-tile of the front end, variant selected by ``mode``."""
+                    *, t_blk, no, mode, int8, fmt="f32w", xq_ref=None):
+    """One time-tile of the front end, variant selected by ``mode``.
+
+    fmt: input encoding —
+      f32w  packed f32 words w = I*256 + Q (production round-2 default)
+      u8    two int8 planes (I-128, Q-128; xw_ref=I, xq_ref=Q): HALF the
+            HBM bytes and NO unpack arithmetic (Mosaic rejects u8->f32, so
+            the host stores value-shifted int8 and the kernel adds 1 after
+            the i8 -> i32 -> f32 cast chain)
+      i16   int16 words w - 32768: half the bytes, same single stream
+    """
+
+    def _f(x):  # Mosaic has no direct 8/16-bit -> f32 cast
+        return (x.astype(jnp.int32) if x.dtype != jnp.float32 else x
+                ).astype(jnp.float32)
+
     if mode == "stream":
         # pure input DMA: touch every word once, tiny output
-        y_ref[...] = jnp.sum(xw_ref[...], axis=-1, keepdims=True)[:, :1] * jnp.ones(
-            (1, 128), jnp.float32
-        )
+        acc = jnp.sum(_f(xw_ref[...]), axis=-1, keepdims=True)
+        if xq_ref is not None:
+            acc += jnp.sum(_f(xq_ref[...]), axis=-1, keepdims=True)
+        y_ref[...] = acc[:, :1] * jnp.ones((1, 128), jnp.float32)
         return
-    re, im = unpack_iq_words(xw_ref[...])
+    if fmt == "u8":
+        re = _f(xw_ref[...]) + 1.0
+        im = _f(xq_ref[...]) + 1.0
+    elif fmt == "i16":
+        re, im = unpack_iq_words(_f(xw_ref[...]) + 32768.0)
+    else:
+        re, im = unpack_iq_words(xw_ref[...])
     if mode == "unpack":
         y_ref[...] = (
             jnp.sum(re - im, axis=-1, keepdims=True)[:, :1]
@@ -114,7 +135,8 @@ def _variant_kernel(xw_ref, band_refs, y_ref, bufr, bufi,
     y_ref[...] = d * jnp.float32(0.123)
 
 
-def build(c, b, no, mode, int8, c_blk=None, t_blk=None):
+def build(c, b, no, mode, int8, c_blk=None, t_blk=None, fmt="f32w",
+          tile_major=False):
     taps = jnp.asarray(create_fir_lpf(128 + _M, 0.25), jnp.float32)
     band = _band_matrix(taps, no)
     bands = quantize_band_int8(band) if int8 else (band,)
@@ -150,22 +172,39 @@ def build(c, b, no, mode, int8, c_blk=None, t_blk=None):
             pl.BlockSpec((_w, no), lambda ci, ti: (0, 0), memory_space=pltpu.VMEM)
         ]
 
-    def kern(xw_ref, *refs):
-        band_refs = refs[: len(band_specs)]
-        y_ref, bufr, bufi = refs[len(band_specs) :]
+    n_x = 2 if fmt == "u8" else 1
+
+    def kern(*refs):
+        x_refs = refs[:n_x]
+        band_refs = refs[n_x : n_x + len(band_specs)]
+        y_ref, bufr, bufi = refs[n_x + len(band_specs) :]
+        if tile_major:
+            # [1, c_blk, t_blk] block -> materialize the (c_blk, t_blk)
+            # tile; _variant_kernel's ref[...] reads work on values too
+            x_refs = tuple(r[0] for r in x_refs)
         _variant_kernel(
-            xw_ref, band_refs, y_ref, bufr, bufi,
-            t_blk=t_blk, no=no, mode=mode, int8=int8,
+            x_refs[0], band_refs, y_ref, bufr, bufi,
+            t_blk=t_blk, no=no, mode=mode, int8=int8, fmt=fmt,
+            xq_ref=x_refs[1] if n_x == 2 else None,
         )
 
-    def apply(xw):
+    # tile-major: input pre-arranged [n_tt, C, t_blk] so each grid block is
+    # ONE fully-contiguous HBM span (the [C, B] layout fragments a
+    # (c_blk, t_blk) block into t_blk*4-byte bursts — the hbm_sweep read
+    # benchmark only reaches 489 GB/s on contiguous blocks)
+    x_spec = (
+        pl.BlockSpec((1, c_blk, t_blk), lambda ci, ti: (ti, ci, 0),
+                     memory_space=pltpu.VMEM)
+        if tile_major
+        else pl.BlockSpec((c_blk, t_blk), lambda ci, ti: (ci, ti),
+                          memory_space=pltpu.VMEM)
+    )
+
+    def apply(*xs):
         return pl.pallas_call(
             kern,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((c_blk, t_blk), lambda ci, ti: (ci, ti),
-                             memory_space=pltpu.VMEM)
-            ]
+            in_specs=[x_spec] * n_x
             + band_specs,
             out_specs=out_spec,
             out_shape=out_shape,
@@ -174,26 +213,28 @@ def build(c, b, no, mode, int8, c_blk=None, t_blk=None):
                 pltpu.VMEM((c_blk, _TB + t_blk), jnp.float32),
             ],
             interpret=_INTERPRET,
-        )(xw, *bands)
+        )(*xs, *bands)
 
     return apply
 
 
 def time_variant(apply_fn, xw, iters, repeats=3):
+    xs = xw if isinstance(xw, tuple) else (xw,)
+
     @jax.jit
-    def run(x0):
+    def run(*x0):
         def body(i, carry):
-            xb, acc = jax.lax.optimization_barrier((x0, carry))
-            y = apply_fn(xb)
+            *xb, acc = jax.lax.optimization_barrier((*x0, carry))
+            y = apply_fn(*xb)
             return acc + y[0, 0]
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-    float(np.asarray(run(xw)))  # compile + warm
+    float(np.asarray(run(*xs)))  # compile + warm
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(np.asarray(run(xw)))
+        float(np.asarray(run(*xs)))
         best = min(best, time.perf_counter() - t0)
     return best / iters
 
@@ -201,12 +242,82 @@ def time_variant(apply_fn, xw, iters, repeats=3):
 def main():
     c = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     b = int(sys.argv[2]) if len(sys.argv) > 2 else 262144
+    sections = os.environ.get("FMTPU_PROBE_SECTIONS", "engines,tiles,ingest")
     iters = 2 if _INTERPRET else 16
     rng = np.random.default_rng(0)
     iq = rng.integers(0, 256, size=(c, b, 2), dtype=np.uint8)
     xw = jnp.asarray(pack_iq_u8(iq))
     gb_in = c * b * 4 / 1e9
     print(f"# [C={c}, B={b}] packed input = {gb_in:.2f} GB/pass, iters={iters}")
+
+    # 8-bit ingest A/B: the tunnel transports u8/i16 EXACTLY (tested
+    # 2026-08-19, all of u8/i8/i16/f16/bf16 round-trip bit-perfectly), so
+    # the round-1 "f32-only host boundary" premise behind the packed-f32
+    # word format is obsolete.  Raw u8 planes (or i16 words) HALVE the
+    # front end's HBM input bytes — K1 is ~74% input DMA.
+    if "ingest" in sections:
+        xr8 = jnp.asarray((iq[..., 0].astype(np.int16) - 128
+                           ).astype(np.int8))
+        xi8 = jnp.asarray((iq[..., 1].astype(np.int16) - 128
+                           ).astype(np.int8))
+        w16 = jnp.asarray(
+            (iq[..., 0].astype(np.int32) * 256 + iq[..., 1] - 32768
+             ).astype(np.int16))
+        for fmt, x_in, bytes_s in (("f32w", xw, 4), ("i16", w16, 2),
+                                   ("u8", (xr8, xi8), 2)):
+            for mode in ("stream", "full"):
+                for c_blk, t_blk in ((128, 2048), (512, 1024), (128, 4096)):
+                    if c % c_blk or b % t_blk:
+                        continue
+                    gb = c * b * bytes_s / 1e9
+                    dt = time_variant(
+                        build(c, b, 128, mode, False,
+                              c_blk=c_blk, t_blk=t_blk, fmt=fmt),
+                        x_in, iters)
+                    print(f"{mode}:{fmt}:tile={c_blk}x{t_blk:<5d} "
+                          f"{dt * 1e3:8.3f} ms/pass   "
+                          f"in-stream {gb / dt:6.1f} GB/s", flush=True)
+    # tile-major layout x ingest dtype: each grid block one contiguous span
+    if "tm" in sections.split(","):
+        for fmt, bytes_s in (("f32w", 4), ("u8", 2)):
+            for mode in ("stream", "full"):
+                for c_blk, t_blk in ((128, 2048), (512, 1024), (128, 4096),
+                                     (512, 2048), (1024, 1024)):
+                    if c % c_blk or b % t_blk:
+                        continue
+                    n_tt = b // t_blk
+                    if fmt == "u8":
+                        x_in = tuple(
+                            jnp.asarray(np.ascontiguousarray(
+                                (iq[..., p].astype(np.int16) - 128)
+                                .astype(np.int8)
+                                .reshape(c, n_tt, t_blk)
+                                .transpose(1, 0, 2)))
+                            for p in (0, 1))
+                    else:
+                        x_in = jnp.asarray(np.ascontiguousarray(
+                            np.asarray(xw).reshape(c, n_tt, t_blk)
+                            .transpose(1, 0, 2)))
+                    gb = c * b * bytes_s / 1e9
+                    try:
+                        dt = time_variant(
+                            build(c, b, 128, mode, False, c_blk=c_blk,
+                                  t_blk=t_blk, fmt=fmt, tile_major=True),
+                            x_in, iters)
+                    except Exception as e:
+                        print(f"{mode}:{fmt}:TM:tile={c_blk}x{t_blk} "
+                              f"FAIL {type(e).__name__}: {str(e)[:90]}",
+                              flush=True)
+                        continue
+                    print(f"{mode}:{fmt}:TM:tile={c_blk}x{t_blk:<5d} "
+                          f"{dt * 1e3:8.3f} ms/pass   "
+                          f"in-stream {gb / dt:6.1f} GB/s", flush=True)
+
+    if not (set(sections.split(",")) - {"ingest", "tm"}):
+        return
+
+    if "engines" not in sections:
+        return
     for mode in ("stream", "unpack", "dots", "full"):
         for no, int8 in ((128, False), (128, True), (256, False), (256, True)):
             if mode in ("stream", "unpack") and (no != 128 or int8):
@@ -221,6 +332,8 @@ def main():
     # tile-geometry sweep: the HBM sweep's read benchmark hits ~489 GB/s on
     # 2-8 MB blocks while the production [128, 2048] (1 MB) tile streams at
     # ~369 — find the shape that closes the gap (VMEM budget permitting)
+    if "tiles" not in sections:
+        return
     for mode in ("stream", "full"):
         for c_blk, t_blk in ((128, 2048), (128, 4096), (256, 1024),
                              (256, 2048), (512, 1024), (512, 2048)):
