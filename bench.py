@@ -99,9 +99,18 @@ def main() -> None:
         ],
         axis=-1,
     ).astype(np.uint8)
-    from fm_radio_tpu.utils.transfer import pack_iq_u8
+    from fm_radio_tpu.utils.transfer import pack_iq_u8, split_iq_i8
 
-    x = jnp.asarray(pack_iq_u8(iq_u8))  # [C, B] packed words, f32
+    # ingest-format A/B lens (FMTPU_BENCH_FMT): "i8" = raw int8 (re, im)
+    # planes (2 B/complex sample, utils/transfer.split_iq_i8) vs "f32w" =
+    # packed f32 words (4 B).  The front end is input-DMA-bound
+    # (docs/PERF.md K1 decomposition), so the byte halving is the lever.
+    fmt = os.environ.get("FMTPU_BENCH_FMT", "f32w")
+    if fmt == "i8":
+        x = jnp.asarray(split_iq_i8(iq_u8))  # [2, C, B] int8 planes
+    else:
+        assert fmt == "f32w", fmt
+        x = jnp.asarray(pack_iq_u8(iq_u8))  # [C, B] packed words, f32
 
     @jax.jit
     def run(state, x):
@@ -157,6 +166,7 @@ def main() -> None:
         and pll_chunks == 1
         and not cfg.frontend_int8
         and cfg.frontend_band_no == 128
+        and fmt == "f32w"  # A/B fmt lens: not the production default yet
     ):
         try:
             # atomic: the supervisor SIGKILLs hung children; a kill landing

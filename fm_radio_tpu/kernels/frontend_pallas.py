@@ -254,6 +254,30 @@ def _ds4_disc_packed_kernel(
     )
 
 
+def _ds4_disc_i8_kernel(
+    x8_ref, tail_ref, prev_ref, *rest,
+    t_blk: int, n_tt: int, scale: float, interp: bool, int_input: bool,
+    int8_dots: bool = False, no: int = _NO,
+):
+    # Raw int8 ingest: [2, c_blk, t_blk] planes of (I-128, Q-128)
+    # (utils/transfer.split_iq_i8) — HALF the HBM read of packed f32 words
+    # and no unpack arithmetic at all; the only VPU work is the i8 -> f32
+    # cast chain plus the +1 recentering to the reference's u8-127
+    # (app.cpp:57-63).
+    from fm_radio_tpu.utils.transfer import i8_planes_to_f32
+
+    nb = 3 if int8_dots else 1
+    band_refs, out_scratch = rest[:nb], rest[nb:]
+    y_ref, out_tail_ref, out_prev_ref, bufr_ref, bufi_ref, carry_ref = out_scratch
+    bufr_ref[:, _TB:], bufi_ref[:, _TB:] = i8_planes_to_f32(x8_ref[...])
+    _ds4_disc_core(
+        tail_ref, prev_ref, band_refs, y_ref, out_tail_ref, out_prev_ref,
+        bufr_ref, bufi_ref, carry_ref,
+        t_blk=t_blk, n_tt=n_tt, scale=scale, interp=interp,
+        int_input=int_input, int8_dots=int8_dots, no=no,
+    )
+
+
 def pick_tiles(c: int, b: int, no: int = _NO) -> tuple[int, int] | None:
     """(c_blk, t_blk) or None if shapes don't fit the kernel's contract."""
     if b % (no * _M) != 0:
@@ -316,6 +340,11 @@ def ds4_disc_pallas(
     unpacks and recenters in-VMEM (exact), halving the HBM input read —
     the front end is input-bandwidth-bound.  Packed implies int_input.
 
+    ``xp`` may ALSO be a [2, C, B] **int8** array of (I-128, Q-128) planes
+    (utils/transfer.split_iq_i8): half the packed form's HBM bytes again
+    (2 B/complex sample, the format floor) and no unpack arithmetic —
+    the kernel casts i8 -> f32 and adds 1 (exact).  Implies int_input.
+
     ``int8_dots=True`` (requires int_input) runs the band matmuls on the
     MXU's int8 path (2x the bf16 rate on v5e): x is shifted by -1 into int8
     range and the taps are quantized to two int8 fixed-point planes
@@ -330,10 +359,17 @@ def ds4_disc_pallas(
     """
     no = n_out_sub
     _w = no * _M + _TB
-    packed = not isinstance(xp, (tuple, list))
-    if packed:
-        xw = xp
-        c, b = xw.shape
+    packed = i8 = False
+    if not isinstance(xp, (tuple, list)):
+        if xp.ndim == 3:
+            # [2, C, B] int8 (I-128, Q-128) planes — utils/transfer.split_iq_i8
+            assert xp.dtype == jnp.int8 and xp.shape[0] == 2
+            i8 = True
+            c, b = xp.shape[1:]
+        else:
+            packed = True
+            xw = xp
+            c, b = xw.shape
         int_input = True
     else:
         xr, xi = xp
@@ -371,14 +407,20 @@ def ds4_disc_pallas(
     scale = disc_scale(fd, fs_out)
 
     kern = functools.partial(
-        _ds4_disc_packed_kernel if packed else _ds4_disc_kernel,
+        _ds4_disc_i8_kernel if i8
+        else _ds4_disc_packed_kernel if packed else _ds4_disc_kernel,
         t_blk=t_blk, n_tt=n_tt, scale=scale,
         interp=interpret, int_input=int_input, int8_dots=int8_dots, no=no,
     )
     grid = (c // c_blk, n_tt)
-    x_spec = pl.BlockSpec((c_blk, t_blk), lambda ci, ti: (ci, ti),
-                          memory_space=pltpu.VMEM)
-    x_in = (xw,) if packed else (xr, xi)
+    if i8:
+        x_spec = pl.BlockSpec((2, c_blk, t_blk), lambda ci, ti: (0, ci, ti),
+                              memory_space=pltpu.VMEM)
+        x_in = (xp,)
+    else:
+        x_spec = pl.BlockSpec((c_blk, t_blk), lambda ci, ti: (ci, ti),
+                              memory_space=pltpu.VMEM)
+        x_in = (xw,) if packed else (xr, xi)
     y, out_tail, out_prev = pl.pallas_call(
         kern,
         grid=grid,

@@ -195,7 +195,7 @@ def demod_block(
     st = dict(state)
     taps: dict[str, Any] = {}
 
-    packed = False
+    packed = i8 = False
     if jnp.iscomplexobj(x):
         xp = (x.real, x.imag)
     elif x.ndim == 2:
@@ -205,12 +205,21 @@ def demod_block(
         # fused path; exact XLA unpack below otherwise.
         packed = True
         xp = None
+    elif x.dtype == jnp.int8:
+        # [2, C, B] int8 (I-128, Q-128) planes (utils/transfer.split_iq_i8):
+        # the radio's native bytes, 2 B/complex sample — half the packed
+        # form's HBM read and host->device transfer again.  Cast + recenter
+        # happen in-kernel on the fused path; exact XLA cast otherwise.
+        assert x.ndim == 3 and x.shape[0] == 2
+        i8 = True
+        xp = None
     else:  # [2, C, B] plane form
         assert x.ndim == 3 and x.shape[0] == 2
         xp = (x[0], x[1])
 
-    c = x.shape[-2] if packed else xp[0].shape[0]
-    b = x.shape[-1] if packed else xp[0].shape[-1]
+    direct = packed or i8  # x feeds the fused front end unconverted
+    c = x.shape[-2] if direct else xp[0].shape[0]
+    b = x.shape[-1] if direct else xp[0].shape[-1]
     # Auto gate: the serial-loop kernels (PLL/BPSK) tile channels by
     # gcd(c, 512) — correct for ANY c, but narrow tiles multiply the serial
     # time, so auto only takes the kernel path when tiles stay >= 128 lanes
@@ -244,6 +253,7 @@ def demod_block(
         and coeffs.taps_audio_lpr.shape[0] - 4 <= 128
         and coeffs.taps_audio_lmr.shape[0] == coeffs.taps_audio_lpr.shape[0]
         and coeffs.taps_rds.shape[0] - 8 <= 128
+        and not i8  # chain megakernel doesn't take the i8 form (opt-in path)
         and pick_tiles_chain(c, b, packed) is not None
     )
     if fuse_chain:
@@ -264,24 +274,26 @@ def demod_block(
             and coeffs.taps_fm_in.shape[0] - 4 <= 128
             and pick_tiles(c, b, cfg.frontend_band_no) is not None
         )
-        if packed and not fuse_front:
-            # exact XLA unpack fallback (CPU / odd shapes / taps mode)
-            from fm_radio_tpu.utils.transfer import unpack_iq_words
+        if direct and not fuse_front:
+            # exact XLA unpack/cast fallback (CPU / odd shapes / taps mode)
+            from fm_radio_tpu.utils.transfer import (
+                i8_planes_to_f32, unpack_iq_words,
+            )
 
-            xp = unpack_iq_words(x)
+            xp = i8_planes_to_f32(x) if i8 else unpack_iq_words(x)
         if fuse_front:
             # one HBM pass: ds x4 + discriminator fused (kernels/frontend_pallas)
             tail, prev, fm_demod = ds4_disc_pallas(
                 coeffs.taps_fm_in,
                 (st["ds_fm_in"].real, st["ds_fm_in"].imag),
                 st["disc_prev_theta"],
-                x if packed else xp,
+                x if direct else xp,
                 cfg.analog.f_wbfm_deviation,
                 float(r.fs_fm_in),
                 interpret=jax.default_backend() != "tpu",
-                int_input=packed or cfg.assume_integer_input,
+                int_input=direct or cfg.assume_integer_input,
                 int8_dots=cfg.frontend_int8
-                and (packed or cfg.assume_integer_input),
+                and (direct or cfg.assume_integer_input),
                 n_out_sub=cfg.frontend_band_no,
             )
             st["ds_fm_in"] = jax.lax.complex(*tail)
@@ -559,8 +571,9 @@ class BroadcastFMDemod:
         )
 
     def process(self, x: np.ndarray, include_taps: bool = False) -> dict:
-        """x: [C, B] complex64 centered baseband, or [C, B] f32 of packed
-        u8 IQ words (utils/transfer.pack_iq_u8). Returns outs dict (numpy)."""
+        """x: [C, B] complex64 centered baseband, [C, B] f32 of packed
+        u8 IQ words (utils/transfer.pack_iq_u8), or [2, C, B] int8 planes
+        (utils/transfer.split_iq_i8). Returns outs dict (numpy)."""
         from fm_radio_tpu.utils.transfer import device_put_complex, fetch_tree
 
         if x.ndim == 1:
@@ -568,7 +581,8 @@ class BroadcastFMDemod:
         if np.iscomplexobj(x) and isinstance(x, np.ndarray):
             xd = device_put_complex(x)  # host complex crosses the wire as f32
         elif isinstance(x, np.ndarray):
-            xd = jnp.asarray(np.asarray(x, np.float32))
+            xd = jnp.asarray(
+                x if x.dtype == np.int8 else np.asarray(x, np.float32))
         else:
             # already a device array (e.g. channelizer output fed straight to
             # the demod): use in place, complex or not — no host round trip

@@ -115,6 +115,35 @@ def unpack_iq_words(w):
     return ihi - 127.0, (w - ihi * 256.0) - 127.0
 
 
+def split_iq_i8(iq_u8: np.ndarray) -> np.ndarray:
+    """Raw 8-bit ingest planes: u8 IQ -> [2, ..., N] int8 of (I-128, Q-128).
+
+    The tunneled host boundary moves int8 bit-exactly (verified 2026-08-19;
+    the round-1 'f32-only boundary' premise behind :func:`pack_iq_u8` is
+    obsolete), so the radio's native bytes can travel and live in HBM at
+    2 bytes/complex sample — HALF the packed-f32-word form.  The shift is
+    -128 (not the reference's -127, app.cpp:57-63) because 255-127 = 128
+    overflows int8; the kernel adds the +1 back after the f32 cast
+    (see i8_planes_to_f32).
+    """
+    iq = np.asarray(iq_u8)
+    assert iq.shape[-1] == 2 and iq.dtype == np.uint8
+    planes = np.moveaxis(iq, -1, 0).astype(np.int16) - 128
+    return np.ascontiguousarray(planes.astype(np.int8))
+
+
+def i8_planes_to_f32(x8):
+    """Traceable inverse of :func:`split_iq_i8` -> centered (re, im) f32
+    planes (u8 - 127, app.cpp:57-63).  Works in XLA and inside Pallas
+    kernels (Mosaic has no direct 8-bit -> f32 cast; hop through i32)."""
+    import jax.numpy as jnp
+
+    def f(p):
+        return p.astype(jnp.int32).astype(jnp.float32) + 1.0
+
+    return f(x8[0]), f(x8[1])
+
+
 def pack_iq_u8_23(iq_u8: np.ndarray) -> np.ndarray:
     """Dense 3-samples-in-2-words packing: 2/3 the bytes of pack_iq_u8.
 

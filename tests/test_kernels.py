@@ -310,6 +310,69 @@ def test_ds4_disc_pallas_int8_dots():
     np.testing.assert_array_equal(y_pk, y_i8)
 
 
+def test_ds4_disc_pallas_i8_planes_ingest():
+    """Raw int8-plane ingest ([2, C, B] of I-128/Q-128, transfer.split_iq_i8)
+    must be BIT-identical to the centered f32-planes integer fast path and to
+    the packed-word form — the kernel's cast+recenter is exact arithmetic.
+    demod_block's dtype dispatch is exercised end to end as well."""
+    from dataclasses import replace
+
+    from fm_radio_tpu.kernels.frontend_pallas import ds4_disc_pallas
+    from fm_radio_tpu.models.demod import demod_block, demod_init_state
+    from fm_radio_tpu.utils.transfer import pack_iq_u8, split_iq_i8
+
+    c, b = 3, 4096
+    cfg = CFG
+    co = make_coeffs(cfg)
+    nn = int(np.asarray(co.taps_fm_in).shape[0])
+    rng = np.random.default_rng(17)
+    phase = np.cumsum(rng.standard_normal((c, 2 * b)).astype(np.float32) * 0.4, -1)
+    iq_u8 = np.stack(
+        [np.round(100 * np.cos(phase) + 127.0),
+         np.round(100 * np.sin(phase) + 127.0)], axis=-1,
+    ).astype(np.uint8)
+    i8 = split_iq_i8(iq_u8)  # [2, c, 2b] int8
+    assert i8.dtype == np.int8
+    np.testing.assert_array_equal(
+        i8.astype(np.int32) + 128, np.moveaxis(iq_u8, -1, 0))
+    xr = iq_u8[..., 0].astype(np.float32) - 127.0
+    xi = iq_u8[..., 1].astype(np.float32) - 127.0
+
+    def run(x_of_blk):
+        tail = (jnp.zeros((c, nn - 4), jnp.float32),) * 2
+        pt = jnp.zeros((c,), jnp.float32)
+        ys = []
+        for blk in range(2):
+            tail, pt, y = ds4_disc_pallas(
+                co.taps_fm_in, tail, pt, x_of_blk(blk),
+                cfg.analog.f_wbfm_deviation, float(cfg.rates.fs_fm_in),
+                interpret=True, int_input=True,
+            )
+            ys.append(np.asarray(y))
+        return np.concatenate(ys, axis=-1)
+
+    y_planes = run(lambda blk: (jnp.asarray(xr[:, blk * b:(blk + 1) * b]),
+                                jnp.asarray(xi[:, blk * b:(blk + 1) * b])))
+    y_i8 = run(lambda blk: jnp.asarray(i8[:, :, blk * b:(blk + 1) * b]))
+    np.testing.assert_array_equal(y_i8, y_planes)
+
+    # demod_block dtype dispatch: i8 form == packed form through the whole
+    # chain, on both the fused (loop_impl=pallas, interpret) and the unfused
+    # XLA fallback paths
+    w = pack_iq_u8(iq_u8)[:, :b]
+    for impl in ("pallas", "scan"):
+        cfg_i = replace(CFG, loop_impl=impl)
+        st0 = demod_init_state(cfg_i, c)
+        _, outs_pk = demod_block(cfg_i, co, st0, jnp.asarray(w))
+        _, outs_i8 = demod_block(cfg_i, co, st0, jnp.asarray(i8[:, :, :b]))
+        np.testing.assert_array_equal(
+            np.asarray(outs_i8["audio"]), np.asarray(outs_pk["audio"]),
+            err_msg=f"loop_impl={impl}")
+        np.testing.assert_array_equal(
+            np.asarray(outs_i8["rds_pred"]), np.asarray(outs_pk["rds_pred"]),
+            err_msg=f"loop_impl={impl}")
+
+
 @pytest.mark.parametrize("use_deemph", [False, True])
 def test_midend_pallas_matches_ops(use_deemph):
     """Fused ds2+deemph+hilbert+peak+theta kernel (kernels/midend_pallas.py)
