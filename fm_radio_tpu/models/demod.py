@@ -199,6 +199,11 @@ def demod_block(
     if jnp.iscomplexobj(x):
         xp = (x.real, x.imag)
     elif x.ndim == 2:
+        # Packed words are f32 by construction; fail loudly on e.g. a 2-D
+        # int8 array rather than silently unpacking garbage.
+        assert x.dtype == jnp.float32, (
+            f"2-D input must be packed f32 IQ words (pack_iq_u8), got "
+            f"{x.dtype}; int8 ingest uses [2, C, B] planes (split_iq_i8)")
         # packed u8 IQ: one f32 word per sample, w = I_u8*256 + Q_u8
         # (utils/transfer.pack_iq_u8) — halves the front end's HBM read
         # and the host->device transfer.  Unpacked exactly in-kernel on the

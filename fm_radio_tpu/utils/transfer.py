@@ -1,9 +1,11 @@
-"""Float32-only host<->device transfer shims.
+"""Host<->device transfer shims for the tunneled TPU boundary.
 
-The tunneled TPU backend in this environment (axon) implements host<->device
-transfers ONLY for float32: complex64, int32 and bool transfers raise
-UNIMPLEMENTED, and so does eager creation of non-f32 constants (it embeds them
-via a transfer).  These shims keep every host boundary f32:
+Verified transfer support of the tunneled backend (axon) in this environment
+(2026-08-19, bit-perfect round-trips + device compute): float32, uint8, int8,
+int16, float16, bfloat16.  Still UNSUPPORTED and shimmed here: complex64,
+int32, bool, float64 — those transfers (and eager creation of such constants,
+which embeds them via a transfer) raise UNIMPLEMENTED.  These shims keep every
+unsupported host boundary f32:
 
   * complex arrays cross as stacked (real, imag) f32 pairs and are
     (re)combined inside a jitted program;

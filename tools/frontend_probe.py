@@ -243,6 +243,7 @@ def main():
     c = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     b = int(sys.argv[2]) if len(sys.argv) > 2 else 262144
     sections = os.environ.get("FMTPU_PROBE_SECTIONS", "engines,tiles,ingest")
+    secs = set(sections.split(","))
     iters = 2 if _INTERPRET else 16
     rng = np.random.default_rng(0)
     iq = rng.integers(0, 256, size=(c, b, 2), dtype=np.uint8)
@@ -255,7 +256,7 @@ def main():
     # the round-1 "f32-only host boundary" premise behind the packed-f32
     # word format is obsolete.  Raw u8 planes (or i16 words) HALVE the
     # front end's HBM input bytes — K1 is ~74% input DMA.
-    if "ingest" in sections:
+    if "ingest" in secs:
         xr8 = jnp.asarray((iq[..., 0].astype(np.int16) - 128
                            ).astype(np.int8))
         xi8 = jnp.asarray((iq[..., 1].astype(np.int16) - 128
@@ -278,7 +279,7 @@ def main():
                           f"{dt * 1e3:8.3f} ms/pass   "
                           f"in-stream {gb / dt:6.1f} GB/s", flush=True)
     # tile-major layout x ingest dtype: each grid block one contiguous span
-    if "tm" in sections.split(","):
+    if "tm" in secs:
         for fmt, bytes_s in (("f32w", 4), ("u8", 2)):
             for mode in ("stream", "full"):
                 for c_blk, t_blk in ((128, 2048), (512, 1024), (128, 4096),
@@ -313,47 +314,45 @@ def main():
                           f"{dt * 1e3:8.3f} ms/pass   "
                           f"in-stream {gb / dt:6.1f} GB/s", flush=True)
 
-    if not (set(sections.split(",")) - {"ingest", "tm"}):
-        return
-
-    if "engines" not in sections:
-        return
-    for mode in ("stream", "unpack", "dots", "full"):
-        for no, int8 in ((128, False), (128, True), (256, False), (256, True)):
-            if mode in ("stream", "unpack") and (no != 128 or int8):
-                continue  # no dots in these variants
-            dt = time_variant(build(c, b, no, mode, int8), xw, iters)
-            tag = f"{mode}:no={no}:{'int8' if int8 else 'bf16x2'}"
-            print(
-                f"{tag:28s} {dt * 1e3:8.3f} ms/pass   "
-                f"in-stream {gb_in / dt:6.1f} GB/s"
-            )
+    if "engines" in secs:
+        for mode in ("stream", "unpack", "dots", "full"):
+            for no, int8 in ((128, False), (128, True), (256, False),
+                             (256, True)):
+                if mode in ("stream", "unpack") and (no != 128 or int8):
+                    continue  # no dots in these variants
+                dt = time_variant(build(c, b, no, mode, int8), xw, iters)
+                tag = f"{mode}:no={no}:{'int8' if int8 else 'bf16x2'}"
+                print(
+                    f"{tag:28s} {dt * 1e3:8.3f} ms/pass   "
+                    f"in-stream {gb_in / dt:6.1f} GB/s"
+                )
 
     # tile-geometry sweep: the HBM sweep's read benchmark hits ~489 GB/s on
     # 2-8 MB blocks while the production [128, 2048] (1 MB) tile streams at
     # ~369 — find the shape that closes the gap (VMEM budget permitting)
-    if "tiles" not in sections:
-        return
-    for mode in ("stream", "full"):
-        for c_blk, t_blk in ((128, 2048), (128, 4096), (256, 1024),
-                             (256, 2048), (512, 1024), (512, 2048)):
-            if c % c_blk or b % t_blk or t_blk % 512:
-                continue
-            # scoped VMEM: 2 scratch + 2x double-buffered input + output
-            vmem_mb = (
-                2 * c_blk * (_TB + t_blk) + 2 * 2 * c_blk * t_blk
-                + 2 * c_blk * t_blk // 4
-            ) * 4 / 1e6
-            if vmem_mb > 14.5:
-                continue
-            dt = time_variant(
-                build(c, b, 128, mode, False, c_blk=c_blk, t_blk=t_blk),
-                xw, iters,
-            )
-            print(
-                f"{mode}:tile={c_blk}x{t_blk:<5d} {dt * 1e3:11.3f} ms/pass   "
-                f"in-stream {gb_in / dt:6.1f} GB/s   (~{vmem_mb:.1f} MB VMEM)"
-            )
+    if "tiles" in secs:
+        for mode in ("stream", "full"):
+            for c_blk, t_blk in ((128, 2048), (128, 4096), (256, 1024),
+                                 (256, 2048), (512, 1024), (512, 2048)):
+                if c % c_blk or b % t_blk or t_blk % 512:
+                    continue
+                # scoped VMEM: 2 scratch + 2x double-buffered input + output
+                vmem_mb = (
+                    2 * c_blk * (_TB + t_blk) + 2 * 2 * c_blk * t_blk
+                    + 2 * c_blk * t_blk // 4
+                ) * 4 / 1e6
+                if vmem_mb > 14.5:
+                    continue
+                dt = time_variant(
+                    build(c, b, 128, mode, False, c_blk=c_blk, t_blk=t_blk),
+                    xw, iters,
+                )
+                print(
+                    f"{mode}:tile={c_blk}x{t_blk:<5d} "
+                    f"{dt * 1e3:11.3f} ms/pass   "
+                    f"in-stream {gb_in / dt:6.1f} GB/s   "
+                    f"(~{vmem_mb:.1f} MB VMEM)"
+                )
 
 
 if __name__ == "__main__":
