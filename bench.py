@@ -167,6 +167,7 @@ def main() -> None:
         and not cfg.frontend_int8
         and cfg.frontend_band_no == 128
         and fmt == "f32w"  # A/B fmt lens: not the production default yet
+        and not os.environ.get("FMTPU_FE_TILES")  # tile-geometry A/B lens
     ):
         try:
             # atomic: the supervisor SIGKILLs hung children; a kill landing

@@ -26,6 +26,7 @@ no unaligned lane shifts are ever emitted.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -279,11 +280,21 @@ def _ds4_disc_i8_kernel(
 
 
 def pick_tiles(c: int, b: int, no: int = _NO) -> tuple[int, int] | None:
-    """(c_blk, t_blk) or None if shapes don't fit the kernel's contract."""
+    """(c_blk, t_blk) or None if shapes don't fit the kernel's contract.
+
+    ``FMTPU_FE_TILES=<c_blk>x<t_blk>`` overrides the choice (A/B lens for
+    tile-geometry sweeps on the real chip; tools/frontend_probe.py found the
+    K1 probe kernel ~6.7% faster at 512x1024 than the round-1 128x2048)."""
     if b % (no * _M) != 0:
         return None
-    # 2048 keeps (2 planes x double-buffered input) + 2 tail-extended scratch
-    # buffers + outputs well inside the 16 MB scoped-VMEM budget at c_blk=128
+    ov = os.environ.get("FMTPU_FE_TILES")
+    if ov:
+        c_blk, t_blk = (int(v) for v in ov.split("x"))
+        if c % c_blk or b % t_blk or t_blk % (no * _M):
+            return None
+        return c_blk, t_blk
+    # default keeps (2 planes x double-buffered input) + 2 tail-extended
+    # scratch buffers + outputs well inside the 16 MB scoped-VMEM budget
     t_blk = no * _M
     while t_blk * 2 <= 2048 and b % (t_blk * 2) == 0:
         t_blk *= 2
