@@ -38,10 +38,13 @@ def fused_prefix(cfg, coeffs, state, x, upto: int):
     from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas_theta
 
     st = dict(state)
+    # x: [C, B] packed f32 words (production ingest) or [2, C, B] planes
+    xin = (x[0], x[1]) if x.ndim == 3 else x
     tail, prev, fm_demod = ds4_disc_pallas(
         coeffs.taps_fm_in, (st["ds_fm_in"].real, st["ds_fm_in"].imag),
-        st["disc_prev_theta"], (x[0], x[1]),
-        cfg.analog.f_wbfm_deviation, float(cfg.rates.fs_fm_in))
+        st["disc_prev_theta"], xin,
+        cfg.analog.f_wbfm_deviation, float(cfg.rates.fs_fm_in),
+        int_input=bool(cfg.assume_integer_input))
     st["ds_fm_in"] = jax.lax.complex(*tail)
     st["disc_prev_theta"] = prev
     if upto == 0:
@@ -198,11 +201,15 @@ UNFUSED_STAGES = [
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     unfused = "--unfused" in sys.argv
+    # default = the production ingest (packed u8 words + integer fast path,
+    # exactly the bench config); --planes probes the (re, im) f32-plane
+    # fallback (2x the input bytes, hi/lo x split in the front end)
+    planes = "--planes" in sys.argv or unfused
     channels = int(args[0]) if len(args) > 0 else 256
     block = int(args[1]) if len(args) > 1 else 1 << 20
     n_blocks = int(args[2]) if len(args) > 2 else 4
 
-    cfg = DemodConfig()
+    cfg = DemodConfig(assume_integer_input=not planes)
     coeffs = make_coeffs(cfg)
     state = demod_init_state(cfg, channels)
 
@@ -210,8 +217,20 @@ def main():
     phase = np.cumsum(
         rng.standard_normal((channels, block)).astype(np.float32) * 0.5, axis=-1
     )
-    xp = np.stack([100.0 * np.cos(phase), 100.0 * np.sin(phase)]).astype(np.float32)
-    x = jnp.asarray(xp)
+    if planes:
+        xp = np.stack(
+            [100.0 * np.cos(phase), 100.0 * np.sin(phase)]
+        ).astype(np.float32)
+        x = jnp.asarray(xp)
+    else:
+        from fm_radio_tpu.utils.transfer import pack_iq_u8
+
+        iq_u8 = np.stack(
+            [np.round(100.0 * np.cos(phase) + 127.0),
+             np.round(100.0 * np.sin(phase) + 127.0)],
+            axis=-1,
+        ).astype(np.uint8)
+        x = jnp.asarray(pack_iq_u8(iq_u8))
 
     def timed(fn, *args):
         out = fn(*args)
@@ -226,7 +245,8 @@ def main():
 
     print(f"channels={channels} block={block} n_blocks={n_blocks} "
           f"device={jax.devices()[0].device_kind} "
-          f"mode={'unfused' if unfused else 'fused'}")
+          f"mode={'unfused' if unfused else 'fused'} "
+          f"ingest={'planes' if planes else 'packed'}")
 
     stages = UNFUSED_STAGES if unfused else FUSED_STAGES
     prefix = chain_prefix if unfused else fused_prefix

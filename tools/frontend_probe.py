@@ -136,7 +136,7 @@ def _variant_kernel(xw_ref, band_refs, y_ref, bufr, bufi,
 
 
 def build(c, b, no, mode, int8, c_blk=None, t_blk=None, fmt="f32w",
-          tile_major=False):
+          tile_major=False, semantics=None):
     taps = jnp.asarray(create_fir_lpf(128 + _M, 0.25), jnp.float32)
     band = _band_matrix(taps, no)
     bands = quantize_band_int8(band) if int8 else (band,)
@@ -200,6 +200,12 @@ def build(c, b, no, mode, int8, c_blk=None, t_blk=None, fmt="f32w",
                           memory_space=pltpu.VMEM)
     )
 
+    extra = {}
+    if semantics is not None:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=semantics
+        )
+
     def apply(*xs):
         return pl.pallas_call(
             kern,
@@ -213,6 +219,7 @@ def build(c, b, no, mode, int8, c_blk=None, t_blk=None, fmt="f32w",
                 pltpu.VMEM((c_blk, _TB + t_blk), jnp.float32),
             ],
             interpret=_INTERPRET,
+            **extra,
         )(*xs, *bands)
 
     return apply
@@ -353,6 +360,20 @@ def main():
                     f"in-stream {gb_in / dt:6.1f} GB/s   "
                     f"(~{vmem_mb:.1f} MB VMEM)"
                 )
+
+    # grid-dimension semantics: the K1 engines measure ADDITIVE (stream +
+    # dots + atan2), i.e. the auto-pipeliner is not overlapping the input
+    # DMA with compute.  All production kernels leave dimension_semantics
+    # unset (= all-arbitrary); declaring the channel dim PARALLEL tells
+    # Mosaic c-tiles are independent — probe whether that recovers overlap.
+    if "sem" in secs:
+        for sem in (None, ("parallel", "arbitrary")):
+            for mode in ("stream", "dots", "full"):
+                dt = time_variant(
+                    build(c, b, 128, mode, False, semantics=sem), xw, iters)
+                tag = f"{mode}:sem={sem and 'P,A' or 'default'}"
+                print(f"{tag:28s} {dt * 1e3:8.3f} ms/pass   "
+                      f"in-stream {gb_in / dt:6.1f} GB/s", flush=True)
 
 
 if __name__ == "__main__":

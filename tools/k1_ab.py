@@ -1,0 +1,64 @@
+"""A/B the PRODUCTION front-end kernel against the probe's stripped variant.
+
+chain_probe (bench shape, 2048x131072) puts production K1 at ~6.3 ms per
+2^28-sample block while tools/frontend_probe.py's "full" variant — same
+band dots, same atan2/wrap, same tile geometry — measures ~4.0 ms.  This
+tool times BOTH through the identical harness (same timing loop, same input,
+same shape) to decide whether the gap is real kernel overhead (carry
+structure, extra outputs, pl.when branches) or an artifact of how
+chain_probe composes stages.
+
+Usage: python tools/k1_ab.py [channels=2048] [block=131072]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fm_radio_tpu.kernels.frontend_pallas import ds4_disc_pallas, pick_tiles
+from fm_radio_tpu.ops.design import create_fir_lpf
+from fm_radio_tpu.utils.transfer import pack_iq_u8
+from tools.frontend_probe import build, time_variant
+
+
+def main() -> None:
+    c = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    b = int(sys.argv[2]) if len(sys.argv) > 2 else 131072
+    iters = 16
+    nn = 64  # production ds_fm_in LPF order (broadcast_fm_demod.h:45)
+    taps = jnp.asarray(create_fir_lpf(nn, 0.25), jnp.float32)
+    halo = nn - 4
+
+    rng = np.random.default_rng(0)
+    iq = rng.integers(0, 256, size=(c, b, 2), dtype=np.uint8)
+    xw = jnp.asarray(pack_iq_u8(iq))
+    tail = (jnp.zeros((c, halo), jnp.float32), jnp.zeros((c, halo), jnp.float32))
+    prev = jnp.zeros((c,), jnp.float32)
+    gb_in = c * b * 4 / 1e9
+    print(f"# [C={c}, B={b}] tiles={pick_tiles(c, b)} input={gb_in:.2f} GB/pass")
+
+    # -- production kernel, full return structure --------------------------
+    def prod(x):
+        new_tail, new_prev, y = ds4_disc_pallas(
+            taps, tail, prev, x, 75e3, 256e3, int_input=True
+        )
+        # fold every output into the carry so nothing is dead-code-eliminated
+        return y + (new_tail[0][:, :1] + new_tail[1][:, :1]
+                    + new_prev[:, None])
+
+    dt = time_variant(prod, xw, iters)
+    print(f"production ds4_disc_pallas   {dt * 1e3:8.3f} ms/pass   "
+          f"in-stream {gb_in / dt:6.1f} GB/s", flush=True)
+
+    # -- probe 'full' variant (no carries, 132-tap band, same geometry) ----
+    dt = time_variant(build(c, b, 128, "full", False), xw, iters)
+    print(f"probe full variant           {dt * 1e3:8.3f} ms/pass   "
+          f"in-stream {gb_in / dt:6.1f} GB/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
