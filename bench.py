@@ -53,8 +53,12 @@ def main() -> None:
     cfg = DemodConfig(
         assume_integer_input=True,
         pll_time_chunks=pll_chunks,
-        # A/B lens on the int8-MXU front end (kernels/frontend_pallas.py)
-        frontend_int8=os.environ.get("FMTPU_BENCH_INT8") == "1",
+        # int8-MXU front end (kernels/frontend_pallas.py).  DEFAULT ON since
+        # round 3: composed with i8-plane ingest it selects the int8-DIRECT
+        # kernel (dots straight off the int8 input ref, no full-tile unpack)
+        # — measured 26.7 vs 24.6 Gsps (docs/PERF.md).  FMTPU_BENCH_INT8=0
+        # restores the bf16x2 front end A/B.
+        frontend_int8=os.environ.get("FMTPU_BENCH_INT8", "1") == "1",
         # A/B lens on the wide band sub-matmul (128 default; 256 halves the
         # front end's dot count — it is dot-issue-bound)
         frontend_band_no=int(os.environ.get("FMTPU_BENCH_NO", "128")),
@@ -106,11 +110,11 @@ def main() -> None:
     ).astype(np.uint8)
     from fm_radio_tpu.utils.transfer import pack_iq_u8, split_iq_i8
 
-    # ingest-format A/B lens (FMTPU_BENCH_FMT): "i8" = raw int8 (re, im)
-    # planes (2 B/complex sample, utils/transfer.split_iq_i8) vs "f32w" =
-    # packed f32 words (4 B).  The front end is input-DMA-bound
-    # (docs/PERF.md K1 decomposition), so the byte halving is the lever.
-    fmt = os.environ.get("FMTPU_BENCH_FMT", "f32w")
+    # ingest format (FMTPU_BENCH_FMT): "i8" = raw int8 (re, im) planes
+    # (2 B/complex sample, utils/transfer.split_iq_i8) vs "f32w" = packed
+    # f32 words (4 B).  DEFAULT "i8" since round 3: with frontend_int8 it
+    # feeds the int8-DIRECT front end — the fastest configuration measured.
+    fmt = os.environ.get("FMTPU_BENCH_FMT", "i8")
     if fmt == "i8":
         x = jnp.asarray(split_iq_i8(iq_u8))  # [2, C, B] int8 planes
     else:
@@ -166,12 +170,14 @@ def main() -> None:
     elif (
         jax.devices()[0].platform != "cpu"
         # only the DEFAULT-config lens may define "last real-chip
-        # measurement" — an A/B variant (int8 / wide band / chunked PLL)
-        # must not be cited later as the production number
+        # measurement" — an A/B variant (bf16 front end / wide band /
+        # chunked PLL / packed-word fmt) must not be cited later as the
+        # production number.  Production default since round 3: i8-plane
+        # ingest + int8-direct front end.
         and pll_chunks == 1
-        and not cfg.frontend_int8
+        and cfg.frontend_int8
         and cfg.frontend_band_no == 128
-        and fmt == "f32w"  # A/B fmt lens: not the production default yet
+        and fmt == "i8"
         and not os.environ.get("FMTPU_FE_TILES")  # tile-geometry A/B lens
     ):
         try:

@@ -66,6 +66,37 @@ def _packed_input(path: str | None, max_samples: int | None = None):
     return pack_iq_u8(_read_input_u8(path, max_samples))
 
 
+def _i8_input(path: str | None, max_samples: int | None = None):
+    """int8-plane input ([2, 1, N] of I-128/Q-128, utils/transfer.
+    split_iq_i8): the round-3 production ingest — half the packed-word
+    bytes on the wire and in HBM, and with cfg.frontend_int8 the front end
+    dots straight off the planes.  File inputs are a lazily-splitting
+    memmap view (O(chunk) host memory); stdin falls back to a full read."""
+    if path not in (None, "-"):
+        from fm_radio_tpu.io.pcm import LazyI8Pcm
+
+        try:
+            return LazyI8Pcm(path, max_samples)
+        except (OSError, ValueError):
+            pass
+    from fm_radio_tpu.utils.transfer import split_iq_i8
+
+    return split_iq_i8(_read_input_u8(path, max_samples))[:, None, :]
+
+
+def _single_channel_ingest(args, cfg):
+    """(cfg', input view) per --ingest: "i8" (default) composes int8-plane
+    ingest with the int8-direct front end; "f32w" restores the packed-word
+    bf16x2 round-2 path (bit-exact f32-grade taps, ~-89 dB less tap
+    quantization — far below the golden budget either way)."""
+    import dataclasses
+
+    if args.ingest == "i8":
+        return (dataclasses.replace(cfg, frontend_int8=True),
+                _i8_input(args.input))
+    return cfg, _packed_input(args.input)
+
+
 def cmd_demod(args) -> None:
     import dataclasses
 
@@ -95,11 +126,11 @@ def cmd_demod(args) -> None:
     # --play - streams raw PCM on stdout: every informational line must go
     # to stderr or it corrupts the byte stream mid-playback
     info_out = sys.stderr if args.play == "-" else sys.stdout
-    # packed ingest (one f32 word per sample, utils/transfer.pack_iq_u8):
-    # half the host->device bytes of complex64; unpacked exactly in-kernel.
-    # File inputs are a lazy memmap view fed in chunks: O(chunk) host memory
+    # ingest: int8 planes by default (2 B/sample on the wire + in HBM,
+    # int8-direct front end), packed f32 words via --ingest f32w.  File
+    # inputs are a lazy memmap view fed in chunks: O(chunk) host memory
     # for arbitrarily long captures
-    iq = _packed_input(args.input)
+    cfg, iq = _single_channel_ingest(args, cfg)
     n_in = len(iq)
     app = App(block_size=block, cfg=cfg, channels=1,
               decode_rds=not args.no_rds, integer_input=True,
@@ -229,10 +260,16 @@ def cmd_scrape(args) -> None:
     compute, and an incremental WAV sink with in-place header updates —
     constant memory for arbitrarily long captures (the default path loads
     the whole file, convenient for short recordings)."""
+    import dataclasses
+
+    from fm_radio_tpu.config import DemodConfig
     from fm_radio_tpu.io.scraper import FMScraper
     from fm_radio_tpu.models.app import App
 
     block = power_ceil(args.block_size)
+    i8 = args.ingest == "i8"
+    cfg = (dataclasses.replace(DemodConfig(), frontend_int8=True)
+           if i8 else DemodConfig())
 
     if args.stream:
         from fm_radio_tpu import runtime as rt
@@ -242,7 +279,7 @@ def cmd_scrape(args) -> None:
         if not rt.available():
             sys.exit("--stream needs the native runtime "
                      "(build runtime/libfmtpu_runtime.so)")
-        app = App(block_size=block, channels=1, decode_rds=True,
+        app = App(block_size=block, cfg=cfg, channels=1, decode_rds=True,
                   integer_input=True)
         scraper = FMScraper(args.output, use_native=True)
         reader = rt.NativePcmReader(args.input, block)
@@ -250,10 +287,10 @@ def cmd_scrape(args) -> None:
         rds_bufs = app.rds_chains[0].rds_bytes  # chain's artifact accumulator
         try:
             while True:
-                blk = reader.next_packed()
+                blk = reader.next_i8() if i8 else reader.next_packed()
                 if blk is None:
                     break
-                app.process(blk[None, :])
+                app.process(blk if i8 else blk[None, :])
                 for a in app.audio_blocks:
                     scraper.on_audio_data(a[0], fs_audio)
                 app.audio_blocks.clear()
@@ -269,8 +306,8 @@ def cmd_scrape(args) -> None:
               f" and {scraper.rds_path or 'no RDS bytes'} (streamed)")
         return
 
-    iq = _packed_input(args.input)
-    app = App(block_size=block, channels=1, decode_rds=True,
+    iq = _i8_input(args.input) if i8 else _packed_input(args.input)
+    app = App(block_size=block, cfg=cfg, channels=1, decode_rds=True,
               integer_input=True)
     scraper = FMScraper(args.output)
     fs_audio = int(app.demod.fs_audio)
@@ -757,11 +794,19 @@ def cmd_selftest(args) -> None:
     if args.cnr is not None:
         iq = _add_awgn(iq, args.cnr)
 
-    # exercise the real user ingest path: u8 quantization + packed words
+    # exercise the real user ingest path: u8 quantization + int8 planes +
+    # the int8-direct front end (the production default, matching
+    # `fmtpu demod`'s --ingest i8)
+    import dataclasses as _dc
+
+    from fm_radio_tpu.config import DemodConfig as _DC
+    from fm_radio_tpu.utils.transfer import split_iq_i8
+
     u8 = c64_to_u8(iq.astype(np.complex64)).reshape(-1, 2)
-    app = App(block_size=block, channels=1, integer_input=True)
+    app = App(block_size=block, cfg=_dc.replace(_DC(), frontend_int8=True),
+              channels=1, integer_input=True)
     t0 = time.time()
-    app.process(pack_iq_u8(u8))
+    app.process(split_iq_i8(u8)[:, None, :])
     elapsed = time.time() - t0
 
     audio = app.audio[0]
@@ -877,6 +922,10 @@ def build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("demod", help="demodulate IQ pcm -> audio + RDS")
     d.add_argument("-i", "--input", default=None, help="input *.pcm (default stdin)")
     d.add_argument("-b", "--block-size", type=int, default=65536)
+    d.add_argument("--ingest", choices=("i8", "f32w"), default="i8",
+                   help="device ingest format: int8 planes + int8-direct "
+                        "front end (default, fastest) or packed f32 words "
+                        "+ bf16x2 front end")
     d.add_argument("-o", "--output-wav", default=None)
     d.add_argument("--taps", default=None, help="dump tap-point buffers to dir")
     d.add_argument("--no-rds", action="store_true")
@@ -930,6 +979,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--stream", action="store_true",
                    help="native-runtime streaming pipeline: prefetching "
                         "reader + incremental WAV sink, constant memory")
+    s.add_argument("--ingest", choices=("i8", "f32w"), default="i8",
+                   help="device ingest format: int8 planes + int8-direct "
+                        "front end (default, fastest) or packed f32 words "
+                        "+ bf16x2 front end")
     s.set_defaults(fn=cmd_scrape)
 
     t = sub.add_parser(

@@ -78,3 +78,33 @@ class LazyPackedPcm:
         assert step == 1, "LazyPackedPcm supports contiguous slices only"
         chunk = np.asarray(self._mm[2 * start : 2 * stop]).reshape(-1, 2)
         return self._pack(chunk)
+
+
+class LazyI8Pcm:
+    """Constant-memory int8-plane view of a u8 IQ capture on disk.
+
+    Like :class:`LazyPackedPcm` but in the round-3 production ingest format
+    (utils/transfer.split_iq_i8): slices come back as [2, 1, M] int8 planes
+    of (I-128, Q-128) — 2 bytes per complex sample on the host->device wire
+    and in HBM, HALF the packed-word form, and with cfg.frontend_int8 the
+    front-end kernel dots straight off the planes (no unpack at all).
+    Single-channel (the ``fmtpu demod``/``scrape`` shape); ``len()`` counts
+    complex samples.
+    """
+
+    def __init__(self, path: str, max_samples: int | None = None):
+        self._mm = np.memmap(path, dtype=np.uint8, mode="r")
+        self._n = self._mm.size // 2
+        if max_samples is not None:
+            self._n = min(self._n, max_samples)
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, sl: slice) -> np.ndarray:
+        from fm_radio_tpu.utils.transfer import split_iq_i8
+
+        start, stop, step = sl.indices(self._n)
+        assert step == 1, "LazyI8Pcm supports contiguous slices only"
+        chunk = np.asarray(self._mm[2 * start : 2 * stop]).reshape(-1, 2)
+        return split_iq_i8(chunk)[:, None, :]

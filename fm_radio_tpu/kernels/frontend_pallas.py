@@ -279,6 +279,156 @@ def _ds4_disc_i8_kernel(
     )
 
 
+def _ds4_disc_i8_direct_kernel(
+    x8_ref, tail_ref, prev_ref, b1_ref, b2_ref, srow_ref,
+    y_ref, out_tail_ref, out_prev_ref,
+    w0r, w0i, tailr, taili, carry_ref,
+    *, t_blk: int, n_tt: int, scale: float, no: int = _NO,
+):
+    """int8-DIRECT front end: band dots read the [2, C, B] int8 input ref's
+    aligned windows straight off VMEM — no full-tile unpack/copy at all.
+
+    Round-3 probe finding (tools/frontend_probe.py, i8d/i8x sections, real
+    chip): the packed-f32 kernel's critical path is the full-tile VPU
+    unpack->scratch copy (~2.8 us/tile, serial with the MXU dots via a WAR
+    hazard on the single scratch); this variant measured 3.16 ms vs the
+    production kernel's 4.28 ms at 1024ch x 256k (-26%).  Only window 0 of
+    each tile needs assembly (carried tail | first no*_M input columns);
+    windows s>=1 start at lane offset s*no*_M - _TB, 128-aligned by
+    construction.  The +1 recenter of the (I-128, Q-128) planes folds into
+    the band's column-sum correction (quantize_band_int8's s_row), so the
+    per-input-sample VPU cost is ZERO.  Output values are bit-identical to
+    the int8_dots scratch path (same operands, same dot order).
+    """
+    ti = pl.program_id(1)
+    _w = no * _M + _TB
+    n_sub = t_blk // (no * _M)
+    n_out = t_blk // _M
+
+    @pl.when(ti == 0)
+    def _init():
+        tailr[...] = tail_ref[0]
+        taili[...] = tail_ref[1]
+        carry_ref[...] = prev_ref[...]
+
+    # window-0 assembly: [carried tail (_TB) | first no*_M input columns]
+    w0r[:, :_TB] = tailr[...]
+    w0i[:, :_TB] = taili[...]
+    w0r[:, _TB:] = x8_ref[0, :, : no * _M]
+    w0i[:, _TB:] = x8_ref[1, :, : no * _M]
+
+    s_row = srow_ref[...]
+
+    def dot8(xwin):
+        y1 = jnp.dot(xwin, b1_ref[...], preferred_element_type=jnp.int32)
+        y2 = jnp.dot(xwin, b2_ref[...], preferred_element_type=jnp.int32)
+        return (
+            y1.astype(jnp.float32)
+            + y2.astype(jnp.float32) * jnp.float32(1.0 / 128.0)
+        ) + s_row
+
+    for s in range(n_sub):
+        if s == 0:
+            fr, fi = dot8(w0r[...]), dot8(w0i[...])
+        else:
+            w0 = s * no * _M - _TB
+            fr = dot8(x8_ref[0, :, w0 : w0 + _w])
+            fi = dot8(x8_ref[1, :, w0 : w0 + _w])
+        if s == 0:
+            fm_r, fm_i = fr, fi
+        else:
+            fm_r = jnp.concatenate([fm_r, fr], axis=-1)
+            fm_i = jnp.concatenate([fm_i, fi], axis=-1)
+
+    # carry the input tail for the next tile (small int8 copies)
+    tailr[...] = x8_ref[0, :, t_blk - _TB :]
+    taili[...] = x8_ref[1, :, t_blk - _TB :]
+
+    # discriminator: wrap(theta[n] - theta[n-1]) * scale  (fm_demod.cpp:30-45)
+    theta = _atan2(fm_i, fm_r)
+    prev = jnp.concatenate([carry_ref[:, :1], theta[:, : n_out - 1]], axis=-1)
+    d = theta - prev
+    pi = jnp.float32(np.pi)
+    two_pi = jnp.float32(2.0 * np.pi)
+    d = jnp.where(d >= pi, d - two_pi, d)
+    d = jnp.where(d <= -pi, d + two_pi, d)
+    y_ref[...] = d * jnp.float32(scale)
+    carry_ref[...] = theta[:, n_out - 1 :]
+
+    @pl.when(ti == n_tt - 1)
+    def _finish():
+        out_tail_ref[0] = tailr[...]
+        out_tail_ref[1] = taili[...]
+        out_prev_ref[...] = carry_ref[...]
+
+
+def _ds4_disc_i8_direct(taps, tail_p, prev_theta, x8, fd, fs_out,
+                        interpret: bool, no: int):
+    """pallas_call wrapper for the int8-direct kernel (i8 planes ingest +
+    int8 band dots).  Carried tails cross as the f32 state the rest of the
+    chain uses; the [C, halo] <-> int8 conversions here are negligible."""
+    c, b = x8.shape[1:]
+    tiles = pick_tiles(c, b, no)
+    assert tiles is not None, "shape not supported; gate with pick_tiles"
+    c_blk, t_blk = tiles
+    n_tt = b // t_blk
+    _w = no * _M + _TB
+    nn = taps.shape[0]
+    halo = nn - _M
+
+    b1, b2, s_row = quantize_band_int8(_band_matrix(taps, no))
+    # f32 tail state holds u8-127 baseband values in [-127, 128]; the
+    # kernel's int8 domain is (u8-128) = value - 1 in [-128, 127]
+    tail8 = (pack_front_tail(tail_p, c, halo) - 1.0).astype(jnp.int8)
+    scale = disc_scale(fd, fs_out)
+
+    kern = functools.partial(
+        _ds4_disc_i8_direct_kernel,
+        t_blk=t_blk, n_tt=n_tt, scale=scale, no=no,
+    )
+    grid = (c // c_blk, n_tt)
+    cspec = lambda shape: pl.BlockSpec(shape, lambda ci, ti: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    y, out_tail, out_prev = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2, c_blk, t_blk), lambda ci, ti: (0, ci, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c_blk, _TB), lambda ci, ti: (0, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_blk, 1), lambda ci, ti: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            cspec((_w, no)), cspec((_w, no)), cspec((1, no)),
+        ],
+        out_specs=[
+            pl.BlockSpec((c_blk, t_blk // _M), lambda ci, ti: (ci, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c_blk, _TB), lambda ci, ti: (0, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_blk, 1), lambda ci, ti: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, b // _M), jnp.float32),
+            jax.ShapeDtypeStruct((2, c, _TB), jnp.int8),
+            jax.ShapeDtypeStruct((c, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c_blk, _TB + no * _M), jnp.int8),
+            pltpu.VMEM((c_blk, _TB + no * _M), jnp.int8),
+            pltpu.VMEM((c_blk, _TB), jnp.int8),
+            pltpu.VMEM((c_blk, _TB), jnp.int8),
+            pltpu.VMEM((c_blk, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x8, tail8, prev_theta[:, None], b1, b2, s_row)
+
+    tail_f = out_tail.astype(jnp.float32) + 1.0
+    new_tail = (tail_f[0, :, _TB - halo :], tail_f[1, :, _TB - halo :])
+    return new_tail, out_prev[:, 0], y
+
+
 def pick_tiles(c: int, b: int, no: int = _NO) -> tuple[int, int] | None:
     """(c_blk, t_blk) or None if shapes don't fit the kernel's contract.
 
@@ -375,6 +525,13 @@ def ds4_disc_pallas(
         if xp.ndim == 3:
             # [2, C, B] int8 (I-128, Q-128) planes — utils/transfer.split_iq_i8
             assert xp.dtype == jnp.int8 and xp.shape[0] == 2
+            if int8_dots:
+                # int8 ingest + int8 MXU dots compose into the DIRECT kernel
+                # (no full-tile unpack at all) — the fastest front end
+                # measured (docs/PERF.md round 3)
+                return _ds4_disc_i8_direct(
+                    taps, tail_p, prev_theta, xp, fd, fs_out, interpret, no
+                )
             i8 = True
             c, b = xp.shape[1:]
         else:

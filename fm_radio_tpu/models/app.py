@@ -66,16 +66,20 @@ class App:
     # -- input paths -------------------------------------------------------
 
     def _match_pending(self, x: np.ndarray) -> np.ndarray:
-        """Pending re-block buffer in the stream's dtype (complex64 baseband
-        or f32 packed words — a stream keeps ONE format throughout)."""
-        if self._pending.dtype != x.dtype:
+        """Pending re-block buffer in the stream's dtype (complex64 baseband,
+        f32 packed words, or [2, C, N] int8 planes — a stream keeps ONE
+        format throughout)."""
+        if self._pending.dtype != x.dtype or self._pending.ndim != x.ndim:
             if self._pending.size:
                 raise ValueError(
                     "input format changed mid-stream with samples pending "
                     f"({self._pending.dtype} -> {x.dtype}); a stream must "
-                    "keep one format (complex64 baseband or f32 packed words)"
+                    "keep one format (complex64 baseband, f32 packed words, "
+                    "or int8 planes)"
                 )
-            self._pending = np.zeros((self.channels, 0), x.dtype)
+            shape = ((2, self.channels, 0) if x.ndim == 3
+                     else (self.channels, 0))
+            self._pending = np.zeros(shape, x.dtype)
         return self._pending
 
     def process_u8(self, iq_u8: np.ndarray) -> None:
@@ -86,17 +90,19 @@ class App:
         self.process(x)
 
     def process(self, x: np.ndarray) -> None:
-        """x: [N] or [C, N] centered complex64, or f32 packed u8 IQ words
-        (utils/transfer.pack_iq_u8).  Re-blocks internally
-        (reconstruction_buffer.h:16-26)."""
+        """x: [N] or [C, N] centered complex64, f32 packed u8 IQ words
+        (utils/transfer.pack_iq_u8), or [2, C, N] int8 planes
+        (utils/transfer.split_iq_i8 — the fastest ingest, feeding the
+        int8-direct front end when cfg.frontend_int8 is set).  Re-blocks
+        internally (reconstruction_buffer.h:16-26)."""
         if x.ndim == 1:
             x = x[None, :]
         buf = np.concatenate([self._match_pending(x), x], axis=-1)
         n_blocks = buf.shape[-1] // self.block_size
         for b in range(n_blocks):
-            blk = buf[:, b * self.block_size : (b + 1) * self.block_size]
+            blk = buf[..., b * self.block_size : (b + 1) * self.block_size]
             self._run_block(blk)
-        self._pending = buf[:, n_blocks * self.block_size :]
+        self._pending = buf[..., n_blocks * self.block_size :]
 
     def process_all(self, x: np.ndarray) -> None:
         """Batch fast path: identical outputs to :meth:`process`, but all
@@ -119,7 +125,7 @@ class App:
         t = n_blocks * self.block_size
         final_state, outs = demod_stream(
             self.demod.cfg,  # demod.cfg tracks update_controls; self.cfg doesn't
-            np.ascontiguousarray(buf[:, :t]),
+            np.ascontiguousarray(buf[..., :t]),
             self.block_size,
             state=self.demod.state,
             coeffs=self.demod.coeffs,
@@ -136,7 +142,7 @@ class App:
                 sym = pred[c][valid[c]]
                 if sym.size:
                     self.rds_chains[c].process_symbols(sym)
-        self._pending = buf[:, t:]
+        self._pending = buf[..., t:]
 
     # -- core --------------------------------------------------------------
 
@@ -205,9 +211,12 @@ def demod_stream(
 
     x: [C, T] complex64 — or [C, T] REAL f32 of packed u8 IQ words
     (utils/transfer.pack_iq_u8; half the transfer + HBM bytes, unpacked
-    exactly in the front-end kernel).  T a multiple of block_size.  Returns
-    (final_state, outs) where outs arrays have a leading block axis folded
-    back into time: audio [C, T/32, 2], rds_pred/valid [C, T/64].
+    exactly in the front-end kernel) — or [2, C, T] int8 (I-128, Q-128)
+    planes (utils/transfer.split_iq_i8; half the bytes AGAIN, and with
+    cfg.frontend_int8 the front end dots straight off the int8 planes).
+    T a multiple of block_size.  Returns (final_state, outs) where outs
+    arrays have a leading block axis folded back into time: audio
+    [C, T/32, 2], rds_pred/valid [C, T/64].
 
     This is the offline/throughput path (the jitted equivalent of the
     fm_demod_benchmark fread loop) — one trace, no host round-trips.
@@ -216,25 +225,34 @@ def demod_stream(
     """
     if coeffs is None:
         coeffs = make_coeffs(cfg)
-    c, t = x.shape
+    i8 = x.ndim == 3
+    if i8:
+        assert x.dtype == np.int8, "3-D input must be [2, C, T] int8 planes"
+        _, c, t = x.shape
+    else:
+        c, t = x.shape
     assert t % block_size == 0
     n_blocks = t // block_size
     if state is None:
         state = demod_init_state(cfg, c)
     from fm_radio_tpu.utils.transfer import device_put_complex
 
-    packed = not np.iscomplexobj(x)
-    if packed:
+    if i8:
+        xd = jnp.asarray(x)
+        xb = xd.reshape(2, c, n_blocks, block_size).transpose(2, 0, 1, 3)
+    elif not np.iscomplexobj(x):
         xd = (
             jnp.asarray(np.asarray(x, np.float32))
             if isinstance(x, np.ndarray)
             else jnp.asarray(x)
         )
-    elif isinstance(x, np.ndarray):
-        xd = device_put_complex(np.asarray(x))
+        xb = xd.reshape(c, n_blocks, block_size).transpose(1, 0, 2)
     else:
-        xd = jnp.asarray(x)
-    xb = xd.reshape(c, n_blocks, block_size).transpose(1, 0, 2)
+        if isinstance(x, np.ndarray):
+            xd = device_put_complex(np.asarray(x))
+        else:
+            xd = jnp.asarray(x)
+        xb = xd.reshape(c, n_blocks, block_size).transpose(1, 0, 2)
 
     def step(st, blk):
         st, outs = demod_block(cfg, coeffs, st, blk)

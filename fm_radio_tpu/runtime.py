@@ -82,6 +82,10 @@ def load() -> ctypes.CDLL:
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)
     ]
     lib.rt_pcm_next_block_packed_f32.restype = ctypes.c_int
+    lib.rt_pcm_next_block_i8.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int8)
+    ]
+    lib.rt_pcm_next_block_i8.restype = ctypes.c_int
     lib.rt_pcm_close.argtypes = [ctypes.c_void_p]
 
     lib.rt_wav_open.argtypes = [ctypes.c_char_p, ctypes.c_int32, ctypes.c_int16]
@@ -161,6 +165,17 @@ class NativePcmReader:
         out = np.empty(self.block_size, dtype=np.float32)
         ok = self._lib.rt_pcm_next_block_packed_f32(
             self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        )
+        return out if ok else None
+
+    def next_i8(self) -> np.ndarray | None:
+        """Next block as [2, 1, block_size] int8 (I-128, Q-128) planes
+        (utils/transfer.split_iq_i8 format, single channel) — half the
+        packed-word bytes; feeds the int8-direct front end when
+        cfg.frontend_int8 is set.  None at end of stream."""
+        out = np.empty((2, 1, self.block_size), dtype=np.int8)
+        ok = self._lib.rt_pcm_next_block_i8(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
         )
         return out if ok else None
 

@@ -142,6 +142,33 @@ int rt_pcm_next_block_packed_f32(void* handle, float* dst) {
     return 1;
 }
 
+int rt_pcm_next_block_i8(void* handle, int8_t* dst) {
+    // raw int8 plane ingest (utils/transfer.split_iq_i8): dst holds
+    // [2, block_pairs] planes of (I-128, Q-128) — 2 bytes per complex
+    // sample, HALF the packed-f32-word bytes; with frontend_int8 the TPU
+    // front end dots straight off these planes (the round-3 production
+    // fast path, kernels/frontend_pallas.py::_ds4_disc_i8_direct_kernel).
+    auto* r = (PcmReader*)handle;
+    std::vector<uint8_t> blk;
+    {
+        std::unique_lock<std::mutex> lk(r->mu);
+        r->cv_filled.wait(lk, [r] { return r->count > 0 || r->eof; });
+        if (r->count == 0) return 0;
+        blk.swap(r->slots[r->tail]);
+        r->tail = (r->tail + 1) % r->slots.size();
+        r->count--;
+        r->cv_space.notify_all();
+    }
+    const uint8_t* p = blk.data();
+    int8_t* di = dst;
+    int8_t* dq = dst + r->block_pairs;
+    for (int64_t i = 0; i < r->block_pairs; i++) {
+        di[i] = (int8_t)((int32_t)p[2 * i] - 128);
+        dq[i] = (int8_t)((int32_t)p[2 * i + 1] - 128);
+    }
+    return 1;
+}
+
 void rt_pcm_close(void* handle) {
     auto* r = (PcmReader*)handle;
     {

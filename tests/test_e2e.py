@@ -267,6 +267,42 @@ def test_process_all_matches_process():
     assert a1.rds_bytes(0).tobytes() == a2.rds_bytes(0).tobytes()
 
 
+def test_app_i8_planes_ingest_matches_packed():
+    """App fed [2, C, N] int8 planes (split_iq_i8) == App fed packed f32
+    words, bitwise, through re-blocking (process) AND the one-dispatch scan
+    (process_all) — with frontend_int8 this is the int8-DIRECT front end
+    (the round-3 production fast path) vs the packed int8 scratch path,
+    which are bit-identical by construction (same int8 operands/dot order).
+    """
+    from dataclasses import replace
+
+    from fm_radio_tpu.io.pcm import c64_to_u8
+    from fm_radio_tpu.utils.transfer import pack_iq_u8, split_iq_i8
+
+    mod = FMModulator(ModulatorConfig())
+    groups = [(0x1234, (0 << 12) | (1 << 10), 0xE101, 0x4142)]
+    iq = mod.generate(BLOCK * 4 + 999, left_hz=1000.0, right_hz=3000.0,
+                      rds_groups=groups)  # non-multiple length: pending tail
+    u8 = c64_to_u8(iq).reshape(-1, 2)
+    w = pack_iq_u8(u8)                    # [N] f32 words
+    i8 = split_iq_i8(u8)[:, None, :]      # [2, 1, N] int8 planes
+
+    cfg = replace(DemodConfig(), frontend_int8=True)
+    for batch in (False, True):
+        a_pk = App(block_size=BLOCK, cfg=cfg, channels=1, integer_input=True)
+        a_i8 = App(block_size=BLOCK, cfg=cfg, channels=1, integer_input=True)
+        chunk = BLOCK + 4567  # misaligned chunks exercise re-blocking
+        for off in range(0, len(w), chunk):
+            feed = (a_pk.process_all if batch else a_pk.process)
+            feed(w[off : off + chunk][None, :])
+            feed = (a_i8.process_all if batch else a_i8.process)
+            feed(i8[:, :, off : off + chunk])
+        np.testing.assert_array_equal(a_pk.audio, a_i8.audio,
+                                      err_msg=f"batch={batch}")
+        assert a_pk.rds_bytes(0).tobytes() == a_i8.rds_bytes(0).tobytes()
+        assert a_i8._pending.shape[-1] == a_pk._pending.shape[-1]
+
+
 def test_update_controls_midstream():
     """Runtime control changes (the reference's GUI dirty-flag redesign,
     broadcast_fm_demod.cpp:330-389): flip to LPR-only and enable de-emphasis

@@ -309,6 +309,17 @@ def test_ds4_disc_pallas_int8_dots():
                int8_dots=True)
     np.testing.assert_array_equal(y_pk, y_i8)
 
+    # int8-DIRECT kernel (i8 planes + int8_dots -> dots straight off the
+    # input ref, no full-tile unpack): same int8 operands, same dot order
+    # -> bit-identical to the scratch int8 paths, including the carried
+    # tail across the streaming split
+    from fm_radio_tpu.utils.transfer import split_iq_i8
+
+    i8 = split_iq_i8(iq_u8)
+    y_dir = run(lambda blk: jnp.asarray(i8[:, :, blk * b : (blk + 1) * b]),
+                int8_dots=True)
+    np.testing.assert_array_equal(y_dir, y_i8)
+
 
 def test_ds4_disc_pallas_i8_planes_ingest():
     """Raw int8-plane ingest ([2, C, B] of I-128/Q-128, transfer.split_iq_i8)

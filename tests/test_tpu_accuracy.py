@@ -117,6 +117,42 @@ def test_channelizer_kernel_matches_oracle_on_hardware():
         assert err < 2e-2, f"channel {ch}: max err {err:.2e}"
 
 
+def test_i8_direct_front_end_matches_packed_on_hardware():
+    """int8-DIRECT front end (i8 planes + frontend_int8, round-3 production
+    fast path) vs the packed-word int8 scratch path, both on REAL Mosaic.
+    int32 dot accumulation is exact integer arithmetic and the dequant /
+    discriminator op order is identical, so the audio must be BIT-exact —
+    any difference is a Mosaic miscompile of the direct kernel's
+    input-ref-windowed int8 dots."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from fm_radio_tpu.config import DemodConfig
+    from fm_radio_tpu.models.demod import (
+        demod_block,
+        demod_init_state,
+        make_coeffs,
+    )
+    from fm_radio_tpu.utils.transfer import fetch, pack_iq_u8, split_iq_i8
+
+    c, n = 128, 1 << 18
+    rng = np.random.default_rng(3)
+    iq_u8 = rng.integers(0, 256, size=(c, n, 2), dtype=np.uint8)
+
+    cfg = DemodConfig(frontend_int8=True)
+    co = make_coeffs(cfg)
+    outs = {}
+    for name, x in (
+        ("packed", jnp.asarray(pack_iq_u8(iq_u8))),
+        ("i8direct", jnp.asarray(split_iq_i8(iq_u8))),
+    ):
+        st = demod_init_state(cfg, c)
+        _, o = demod_block(cfg, co, st, x)
+        outs[name] = fetch(o["audio"])
+    np.testing.assert_array_equal(outs["packed"], outs["i8direct"])
+
+
 def test_kernel_path_matches_scan_path_on_hardware():
     """Full demod_block: production Mosaic kernel path vs the lax.scan
     reference path, both ON DEVICE — catches Mosaic-only miscompiles that

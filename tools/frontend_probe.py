@@ -225,6 +225,204 @@ def build(c, b, no, mode, int8, c_blk=None, t_blk=None, fmt="f32w",
     return apply
 
 
+def build_dbuf(c, b, no, mode, c_blk=None, t_blk=None):
+    """Parity double-buffered scratch variant (packed f32 words).
+
+    Hypothesis (from the additive engine decomposition): the per-tile chain
+    is unpack->scratch (VPU, ~2.8 us) then dots<-scratch (MXU, ~0.85 us),
+    and the NEXT tile's unpack has a WAR hazard on the SAME scratch, so the
+    MXU time adds to the critical path instead of overlapping the next
+    unpack.  Alternating two scratch pairs by time-tile parity splits the
+    dependency chain in two, letting tile i's dots run under tile i+1's
+    unpack: expected dots ~= max(DMA, unpack) ~= stream time."""
+    taps = jnp.asarray(create_fir_lpf(128 + _M, 0.25), jnp.float32)
+    band = _band_matrix(taps, no)
+    _w = no * _M + _TB
+    if t_blk is None:
+        t_blk = no * _M
+        while t_blk * 2 <= 2048 and b % (t_blk * 2) == 0:
+            t_blk *= 2
+    if c_blk is None:
+        c_blk = min(c, 128)
+    grid = (c // c_blk, b // t_blk)
+    n_sub = t_blk // (no * _M)
+
+    def kern(xw_ref, band_ref, y_ref, bufrA, bufiA, bufrB, bufiB):
+        ti = pl.program_id(1)
+        re, im = unpack_iq_words(xw_ref[...])
+        b_hi, b_lo = _split_bf16(band_ref[...], _INTERPRET)
+
+        def dots(bufr, bufi, other_r, other_i):
+            bufr[:, _TB:] = re
+            bufi[:, _TB:] = im
+            bufr[:, :_TB] = other_r[:, t_blk:]
+            bufi[:, :_TB] = other_i[:, t_blk:]
+            xr_hi = bufr[...].astype(jnp.bfloat16)
+            xi_hi = bufi[...].astype(jnp.bfloat16)
+
+            def dot(x_hi, w0):
+                xwin = x_hi[:, w0 : w0 + _w]
+                return (
+                    jnp.dot(xwin, b_hi, preferred_element_type=jnp.float32)
+                    + jnp.dot(xwin, b_lo, preferred_element_type=jnp.float32)
+                )
+
+            parts = [(dot(xr_hi, s * no * _M), dot(xi_hi, s * no * _M))
+                     for s in range(n_sub)]
+            fr = jnp.concatenate([p[0] for p in parts], axis=-1)
+            fi = jnp.concatenate([p[1] for p in parts], axis=-1)
+            if mode == "dots":
+                y_ref[...] = fr + fi
+                return
+            theta = _atan2(fi, fr)
+            d = theta - jnp.concatenate([theta[:, :1], theta[:, :-1]], -1)
+            pi = jnp.float32(np.pi)
+            d = jnp.where(d >= pi, d - 2 * pi, d)
+            d = jnp.where(d <= -pi, d + 2 * pi, d)
+            y_ref[...] = d * jnp.float32(0.123)
+
+        @pl.when(ti % 2 == 0)
+        def _even():
+            dots(bufrA, bufiA, bufrB, bufiB)
+
+        @pl.when(ti % 2 == 1)
+        def _odd():
+            dots(bufrB, bufiB, bufrA, bufiA)
+
+    def apply(xw):
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((c_blk, t_blk), lambda ci, ti: (ci, ti),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_w, no), lambda ci, ti: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((c_blk, t_blk // _M),
+                                   lambda ci, ti: (ci, ti),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((c, b // _M), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((c_blk, _TB + t_blk), jnp.float32)
+                for _ in range(4)
+            ],
+            interpret=_INTERPRET,
+        )(xw, band)
+
+    return apply
+
+
+def build_i8direct(c, b, no, mode, c_blk=None, t_blk=None, noasm=False,
+                   semantics=None):
+    """int8-direct variant: raw i8 (I-128, Q-128) plane inputs, int8 band
+    dots reading the INPUT REF windows directly — no full-tile scratch copy
+    at all (only window 0 needs a small [c_blk, _TB + no*_M] assembly with
+    the carried tail), and HALF the packed format's HBM bytes.  The +1
+    recenter folds into the band's column-sum correction (s_row), so the
+    VPU does nothing per input sample; per-step VPU work is only the
+    decimated dequant + (mode=full) atan2.  All window offsets
+    s*no*_M - _TB + _TB = s*no*_M ... are 128-aligned in lanes."""
+    taps = jnp.asarray(create_fir_lpf(128 + _M, 0.25), jnp.float32)
+    b1, b2, s_row = quantize_band_int8(_band_matrix(taps, no))
+    b1, b2 = np.asarray(b1), np.asarray(b2)
+    _w = no * _M + _TB
+    w0w = _TB + no * _M  # window-0 assembly width (tail + first sub-window)
+    if t_blk is None:
+        t_blk = no * _M
+        while t_blk * 2 <= 2048 and b % (t_blk * 2) == 0:
+            t_blk *= 2
+    if c_blk is None:
+        c_blk = min(c, 128)
+    grid = (c // c_blk, b // t_blk)
+    n_sub = t_blk // (no * _M)
+
+    def kern(xr_ref, xi_ref, b1_ref, b2_ref, srow_ref, y_ref,
+             w0r, w0i, tr, ti_buf):
+        ti = pl.program_id(1)
+        if not noasm:
+            # window-0 assembly: [carried tail | first no*_M input columns]
+            w0r[:, :_TB] = tr[...]
+            w0i[:, :_TB] = ti_buf[...]
+            w0r[:, _TB:] = xr_ref[:, : no * _M]
+            w0i[:, _TB:] = xi_ref[:, : no * _M]
+
+        def dot8(xwin):
+            y1 = jnp.dot(xwin, b1_ref[...], preferred_element_type=jnp.int32)
+            y2 = jnp.dot(xwin, b2_ref[...], preferred_element_type=jnp.int32)
+            return (
+                y1.astype(jnp.float32)
+                + y2.astype(jnp.float32) * jnp.float32(1 / 128.0)
+                + srow_ref[...]
+            )
+
+        parts = []
+        for s in range(n_sub):
+            if s == 0 and not noasm:
+                fr, fi = dot8(w0r[...]), dot8(w0i[...])
+            else:
+                # noasm lens: window 0 reads input[0:_w] (mis-filtered
+                # first outputs, identical op shape) — isolates the
+                # w0-scratch WAR + assembly cost
+                w0 = max(s * no * _M - _TB, 0)
+                fr = dot8(xr_ref[:, w0 : w0 + _w])
+                fi = dot8(xi_ref[:, w0 : w0 + _w])
+            parts.append((fr, fi))
+        if not noasm:
+            # carry the tail for the next tile (small [c_blk, _TB] copies)
+            tr[...] = xr_ref[:, t_blk - _TB :]
+            ti_buf[...] = xi_ref[:, t_blk - _TB :]
+        fr = jnp.concatenate([p[0] for p in parts], axis=-1)
+        fi = jnp.concatenate([p[1] for p in parts], axis=-1)
+        if mode == "dots":
+            y_ref[...] = fr + fi
+            return
+        theta = _atan2(fi, fr)
+        d = theta - jnp.concatenate([theta[:, :1], theta[:, :-1]], -1)
+        pi = jnp.float32(np.pi)
+        d = jnp.where(d >= pi, d - 2 * pi, d)
+        d = jnp.where(d <= -pi, d + 2 * pi, d)
+        y_ref[...] = d * jnp.float32(0.123)
+
+    extra = {}
+    if semantics is not None:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=semantics
+        )
+
+    def apply(xr8, xi8):
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            **extra,
+            in_specs=[
+                pl.BlockSpec((c_blk, t_blk), lambda ci, ti: (ci, ti),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c_blk, t_blk), lambda ci, ti: (ci, ti),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_w, no), lambda ci, ti: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_w, no), lambda ci, ti: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, no), lambda ci, ti: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((c_blk, t_blk // _M),
+                                   lambda ci, ti: (ci, ti),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((c, b // _M), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((c_blk, w0w), jnp.int8),
+                pltpu.VMEM((c_blk, w0w), jnp.int8),
+                pltpu.VMEM((c_blk, _TB), jnp.int8),
+                pltpu.VMEM((c_blk, _TB), jnp.int8),
+            ],
+            interpret=_INTERPRET,
+        )(xr8, xi8, b1, b2, np.asarray(s_row))
+
+    return apply
+
+
 def time_variant(apply_fn, xw, iters, repeats=3):
     xs = xw if isinstance(xw, tuple) else (xw,)
 
@@ -360,6 +558,55 @@ def main():
                     f"in-stream {gb_in / dt:6.1f} GB/s   "
                     f"(~{vmem_mb:.1f} MB VMEM)"
                 )
+
+    # parity double-buffered scratch: break the unpack(i+1) -WAR-> dots(i)
+    # serialization (see build_dbuf docstring)
+    if "dbuf" in secs:
+        for mode in ("dots", "full"):
+            dt = time_variant(build(c, b, 128, mode, False), xw, iters)
+            print(f"{mode}:single-buf             {dt * 1e3:8.3f} ms/pass   "
+                  f"in-stream {gb_in / dt:6.1f} GB/s", flush=True)
+            dt = time_variant(build_dbuf(c, b, 128, mode), xw, iters)
+            print(f"{mode}:double-buf             {dt * 1e3:8.3f} ms/pass   "
+                  f"in-stream {gb_in / dt:6.1f} GB/s", flush=True)
+
+    # int8-direct: i8 plane ingest + int8 band dots straight off the input
+    # ref (no full-tile scratch, half the HBM bytes — see build_i8direct)
+    if "i8d" in secs:
+        xr8 = jnp.asarray((iq[..., 0].astype(np.int16) - 128).astype(np.int8))
+        xi8 = jnp.asarray((iq[..., 1].astype(np.int16) - 128).astype(np.int8))
+        gb8 = c * b * 2 / 1e9
+        for mode in ("dots", "full"):
+            dt = time_variant(build_i8direct(c, b, 128, mode),
+                              (xr8, xi8), iters)
+            print(f"{mode}:i8direct               {dt * 1e3:8.3f} ms/pass   "
+                  f"in-stream {gb8 / dt:6.1f} GB/s", flush=True)
+
+    # i8direct decomposition: DMA floor, WAR/assembly cost, tile size, and
+    # parallel-channel semantics
+    if "i8x" in secs:
+        xr8 = jnp.asarray((iq[..., 0].astype(np.int16) - 128).astype(np.int8))
+        xi8 = jnp.asarray((iq[..., 1].astype(np.int16) - 128).astype(np.int8))
+        gb8 = c * b * 2 / 1e9
+        dt = time_variant(build(c, b, 128, "stream", False, fmt="u8"),
+                          (xr8, xi8), iters)
+        print(f"stream:i8                    {dt * 1e3:8.3f} ms/pass   "
+              f"in-stream {gb8 / dt:6.1f} GB/s", flush=True)
+        for tag, kw in (
+            ("dots:i8d:noasm", dict(noasm=True)),
+            ("dots:i8d:t4096", dict(t_blk=4096)),
+            ("dots:i8d:semP", dict(semantics=("parallel", "arbitrary"))),
+            ("dots:i8d:t4096:noasm", dict(t_blk=4096, noasm=True)),
+        ):
+            try:
+                dt = time_variant(build_i8direct(c, b, 128, "dots", **kw),
+                                  (xr8, xi8), iters)
+            except Exception as e:
+                print(f"{tag} FAIL {type(e).__name__}: {str(e)[:90]}",
+                      flush=True)
+                continue
+            print(f"{tag:28s} {dt * 1e3:8.3f} ms/pass   "
+                  f"in-stream {gb8 / dt:6.1f} GB/s", flush=True)
 
     # grid-dimension semantics: the K1 engines measure ADDITIVE (stream +
     # dots + atan2), i.e. the auto-pipeliner is not overlapping the input

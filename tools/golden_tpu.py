@@ -49,10 +49,10 @@ def main() -> int:
     golden_audio = np.fromfile(audio_f, np.float32).reshape(-1, 2)
     golden_rds = np.fromfile(rds_f, np.uint8)
 
-    w = pack_iq_u8(u8.reshape(-1, 2))
     # FMTPU_GOLDEN_INT8=1: gate the opt-in int8-MXU front end against the
     # same golden bound before any thought of making it the default
     from fm_radio_tpu.config import DemodConfig
+    from fm_radio_tpu.utils.transfer import split_iq_i8
 
     # FMTPU_GOLDEN_NO=256: gate the wide-band lens on REAL Mosaic (the
     # output-identity test runs in interpret mode; Mosaic compiles the
@@ -61,9 +61,16 @@ def main() -> int:
         frontend_int8=os.environ.get("FMTPU_GOLDEN_INT8") == "1",
         frontend_band_no=int(os.environ.get("FMTPU_GOLDEN_NO", "128")),
     )
+    # FMTPU_GOLDEN_FMT=i8: feed [2, 1, N] int8 planes instead of packed f32
+    # words — with FMTPU_GOLDEN_INT8=1 this gates the int8-DIRECT front end
+    # (the round-3 production fast path) on real Mosaic
+    if os.environ.get("FMTPU_GOLDEN_FMT", "f32w") == "i8":
+        x_in = split_iq_i8(u8.reshape(-1, 2))[:, None, :]  # [2, 1, N] i8
+    else:
+        x_in = pack_iq_u8(u8.reshape(-1, 2))
     app = App(block_size=block, cfg=cfg, channels=1, decode_rds=True,
               integer_input=True)
-    app.process(w)
+    app.process(x_in)
     ours = app.audio[0]
     settle = 32000 // 5
     d = ours[settle:] - golden_audio[settle:]

@@ -41,11 +41,11 @@ timeout 2400 python tools/golden_tpu.py 2>&1 | tail -8 | tee -a "$LOG"
 # seconds); give every bench variant a cold-capable budget
 export FMTPU_BENCH_TIMEOUT=5400
 
-note "bench baseline (2048ch)"
+note "bench production default (2048ch, i8 planes + int8-direct front end)"
 timeout 5700 python bench.py 2048 2>&1 | tail -2 | tee -a "$LOG"
 
-note "bench int8 front end A/B (2048ch)"
-FMTPU_BENCH_INT8=1 timeout 5700 python bench.py 2048 2>&1 | tail -2 | tee -a "$LOG"
+note "bench packed-word bf16x2 A/B (2048ch, the round-2 default)"
+FMTPU_BENCH_FMT=f32w FMTPU_BENCH_INT8=0 timeout 5700 python bench.py 2048 2>&1 | tail -2 | tee -a "$LOG"
 
 note "bench wide-band front end A/B (2048ch, NO=256)"
 FMTPU_BENCH_NO=256 timeout 5700 python bench.py 2048 2>&1 | tail -2 | tee -a "$LOG"
@@ -59,6 +59,9 @@ timeout 2400 python tools/soak.py --passes 6 --json "$LOG.soak.jsonl" \
 
 note "golden parity with the int8 front end"
 FMTPU_GOLDEN_INT8=1 timeout 2400 python tools/golden_tpu.py 2>&1 | tail -8 | tee -a "$LOG"
+
+note "golden parity at the PRODUCTION lens (i8 planes + int8-direct)"
+FMTPU_GOLDEN_INT8=1 FMTPU_GOLDEN_FMT=i8 timeout 2400 python tools/golden_tpu.py 2>&1 | tail -8 | tee -a "$LOG"
 
 note "golden parity with the wide band (NO=256) on real Mosaic"
 FMTPU_GOLDEN_NO=256 timeout 2400 python tools/golden_tpu.py 2>&1 | tail -8 | tee -a "$LOG"
