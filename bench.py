@@ -57,8 +57,10 @@ def main() -> None:
         # round 3: composed with i8-plane ingest it selects the int8-DIRECT
         # kernel (dots straight off the int8 input ref, no full-tile unpack)
         # — measured 26.7 vs 24.6 Gsps (docs/PERF.md).  FMTPU_BENCH_INT8=0
-        # restores the bf16x2 front end A/B.
-        frontend_int8=os.environ.get("FMTPU_BENCH_INT8", "1") == "1",
+        # restores the bf16x2 front end A/B.  The degraded CPU lane stays on
+        # the bf16 path: interpret-mode int8 is slower for no benefit there.
+        frontend_int8=(not cpu_fallback
+                       and os.environ.get("FMTPU_BENCH_INT8", "1") == "1"),
         # A/B lens on the wide band sub-matmul (128 default; 256 halves the
         # front end's dot count — it is dot-issue-bound)
         frontend_band_no=int(os.environ.get("FMTPU_BENCH_NO", "128")),
@@ -114,7 +116,7 @@ def main() -> None:
     # (2 B/complex sample, utils/transfer.split_iq_i8) vs "f32w" = packed
     # f32 words (4 B).  DEFAULT "i8" since round 3: with frontend_int8 it
     # feeds the int8-DIRECT front end — the fastest configuration measured.
-    fmt = os.environ.get("FMTPU_BENCH_FMT", "i8")
+    fmt = os.environ.get("FMTPU_BENCH_FMT", "f32w" if cpu_fallback else "i8")
     if fmt == "i8":
         x = jnp.asarray(split_iq_i8(iq_u8))  # [2, C, B] int8 planes
     else:

@@ -38,13 +38,18 @@ def fused_prefix(cfg, coeffs, state, x, upto: int):
     from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas_theta
 
     st = dict(state)
-    # x: [C, B] packed f32 words (production ingest) or [2, C, B] planes
-    xin = (x[0], x[1]) if x.ndim == 3 else x
+    # x: [2, C, B] int8 planes (production ingest), [C, B] packed f32
+    # words, or [2, C, B] f32 planes
+    if x.ndim == 3 and x.dtype != jnp.int8:
+        xin = (x[0], x[1])
+    else:
+        xin = x
     tail, prev, fm_demod = ds4_disc_pallas(
         coeffs.taps_fm_in, (st["ds_fm_in"].real, st["ds_fm_in"].imag),
         st["disc_prev_theta"], xin,
         cfg.analog.f_wbfm_deviation, float(cfg.rates.fs_fm_in),
-        int_input=bool(cfg.assume_integer_input))
+        int_input=bool(cfg.assume_integer_input),
+        int8_dots=bool(cfg.frontend_int8))
     st["ds_fm_in"] = jax.lax.complex(*tail)
     st["disc_prev_theta"] = prev
     if upto == 0:
@@ -201,15 +206,17 @@ UNFUSED_STAGES = [
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     unfused = "--unfused" in sys.argv
-    # default = the production ingest (packed u8 words + integer fast path,
-    # exactly the bench config); --planes probes the (re, im) f32-plane
-    # fallback (2x the input bytes, hi/lo x split in the front end)
+    # default = the round-3 production ingest (int8 planes + int8-direct
+    # front end, exactly the bench config); --packed probes the round-2
+    # packed-word bf16x2 lens, --planes the (re, im) f32-plane fallback
     planes = "--planes" in sys.argv or unfused
+    packed = "--packed" in sys.argv
     channels = int(args[0]) if len(args) > 0 else 256
     block = int(args[1]) if len(args) > 1 else 1 << 20
-    n_blocks = int(args[2]) if len(args) > 2 else 4
+    n_blocks = int(args[2]) if len(args) > 2 else 8
 
-    cfg = DemodConfig(assume_integer_input=not planes)
+    cfg = DemodConfig(assume_integer_input=not planes,
+                      frontend_int8=not (planes or packed))
     coeffs = make_coeffs(cfg)
     state = demod_init_state(cfg, channels)
 
@@ -223,14 +230,14 @@ def main():
         ).astype(np.float32)
         x = jnp.asarray(xp)
     else:
-        from fm_radio_tpu.utils.transfer import pack_iq_u8
+        from fm_radio_tpu.utils.transfer import pack_iq_u8, split_iq_i8
 
         iq_u8 = np.stack(
             [np.round(100.0 * np.cos(phase) + 127.0),
              np.round(100.0 * np.sin(phase) + 127.0)],
             axis=-1,
         ).astype(np.uint8)
-        x = jnp.asarray(pack_iq_u8(iq_u8))
+        x = jnp.asarray(pack_iq_u8(iq_u8) if packed else split_iq_i8(iq_u8))
 
     def timed(fn, *args):
         out = fn(*args)
@@ -246,7 +253,7 @@ def main():
     print(f"channels={channels} block={block} n_blocks={n_blocks} "
           f"device={jax.devices()[0].device_kind} "
           f"mode={'unfused' if unfused else 'fused'} "
-          f"ingest={'planes' if planes else 'packed'}")
+          f"ingest={'planes' if planes else 'packed' if packed else 'i8'}")
 
     stages = UNFUSED_STAGES if unfused else FUSED_STAGES
     prefix = chain_prefix if unfused else fused_prefix

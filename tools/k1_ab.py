@@ -13,6 +13,7 @@ Usage: python tools/k1_ab.py [channels=2048] [block=131072]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
@@ -21,14 +22,17 @@ import numpy as np
 
 from fm_radio_tpu.kernels.frontend_pallas import ds4_disc_pallas, pick_tiles
 from fm_radio_tpu.ops.design import create_fir_lpf
-from fm_radio_tpu.utils.transfer import pack_iq_u8
+from fm_radio_tpu.utils.transfer import pack_iq_u8, split_iq_i8
 from tools.frontend_probe import build, time_variant
 
 
 def main() -> None:
     c = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     b = int(sys.argv[2]) if len(sys.argv) > 2 else 131072
-    iters = 16
+    # 64 iters: at 16, the tunnel's 5-30 ms per-dispatch latency inflated
+    # every pass by ~0.3-1 ms (round-3 finding via tools/k3_probe — the
+    # same workload measured 2.0 ms at iters=16 and 0.80 ms at 96)
+    iters = int(os.environ.get("FMTPU_PROBE_ITERS", "64"))
     nn = 64  # production ds_fm_in LPF order (broadcast_fm_demod.h:45)
     taps = jnp.asarray(create_fir_lpf(nn, 0.25), jnp.float32)
     halo = nn - 4
@@ -36,23 +40,32 @@ def main() -> None:
     rng = np.random.default_rng(0)
     iq = rng.integers(0, 256, size=(c, b, 2), dtype=np.uint8)
     xw = jnp.asarray(pack_iq_u8(iq))
+    x8 = jnp.asarray(split_iq_i8(iq))
     tail = (jnp.zeros((c, halo), jnp.float32), jnp.zeros((c, halo), jnp.float32))
     prev = jnp.zeros((c,), jnp.float32)
     gb_in = c * b * 4 / 1e9
-    print(f"# [C={c}, B={b}] tiles={pick_tiles(c, b)} input={gb_in:.2f} GB/pass")
+    gb_i8 = c * b * 2 / 1e9
+    print(f"# [C={c}, B={b}] tiles={pick_tiles(c, b)} iters={iters} "
+          f"input={gb_in:.2f} GB/pass (packed) / {gb_i8:.2f} (i8)")
 
-    # -- production kernel, full return structure --------------------------
-    def prod(x):
+    # -- production kernels, full return structure -------------------------
+    def prod(x, **kw):
         new_tail, new_prev, y = ds4_disc_pallas(
-            taps, tail, prev, x, 75e3, 256e3, int_input=True
+            taps, tail, prev, x, 75e3, 256e3, int_input=True, **kw
         )
         # fold every output into the carry so nothing is dead-code-eliminated
         return y + (new_tail[0][:, :1] + new_tail[1][:, :1]
                     + new_prev[:, None])
 
     dt = time_variant(prod, xw, iters)
-    print(f"production ds4_disc_pallas   {dt * 1e3:8.3f} ms/pass   "
+    print(f"production packed bf16x2     {dt * 1e3:8.3f} ms/pass   "
           f"in-stream {gb_in / dt:6.1f} GB/s", flush=True)
+
+    import functools
+
+    dt = time_variant(functools.partial(prod, int8_dots=True), x8, iters)
+    print(f"production i8-DIRECT         {dt * 1e3:8.3f} ms/pass   "
+          f"in-stream {gb_i8 / dt:6.1f} GB/s", flush=True)
 
     # -- probe 'full' variant (no carries, 132-tap band, same geometry) ----
     dt = time_variant(build(c, b, 128, "full", False), xw, iters)

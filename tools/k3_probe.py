@@ -52,6 +52,31 @@ def _phasors(dt, off):
     return c2, s2, c3, s3
 
 
+def build_stream31(c, b8, c_blk=128, t_blk=1024):
+    """ONE row-stacked [3C, B8] input ref (the layout K2 could emit by
+    writing re/im/theta into c_blk-interleaved row groups): one 3x-taller
+    block DMA per grid step instead of three separate stream fetches."""
+    grid = (c // c_blk, b8 // t_blk)
+
+    def kern(x_ref, y_ref):
+        acc = jnp.sum(x_ref[...], -1, keepdims=True)
+        y_ref[...] = acc[:c_blk, :1] * jnp.ones((1, 128), jnp.float32)
+
+    def apply(x3):
+        return pl.pallas_call(
+            kern, grid=grid,
+            in_specs=[pl.BlockSpec((3 * c_blk, t_blk),
+                                   lambda ci, ti: (ci, ti),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((c_blk, 128), lambda ci, ti: (ci, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((c, 128), jnp.float32),
+            interpret=_INTERPRET,
+        )(x3)
+
+    return apply
+
+
 def build(c, b8, mode, c_blk=128, t_blk=None):
     taps_a = jnp.asarray(create_fir_lpf(64, 0.1), jnp.float32)
     taps_r = jnp.asarray(create_fir_lpf(128, 0.05), jnp.float32)
@@ -62,9 +87,16 @@ def build(c, b8, mode, c_blk=128, t_blk=None):
         t_blk = _NO * 8
     grid = (c // c_blk, b8 // t_blk)
     na = t_blk // (_NO * 4)
-    small = mode in ("stream", "phasor")
+    small = mode in ("stream", "stream1", "phasor")
 
     def kern(xr_ref, xi_ref, dt_ref, ba_ref, bm_ref, br_ref, *rest):
+        if mode == "stream1":
+            # single-plane stream: is the 3-plane rate a stream-COUNT
+            # artifact or an array-level ceiling?
+            (y_ref,) = rest
+            acc = jnp.sum(xr_ref[...], -1, keepdims=True)
+            y_ref[...] = acc[:, :1] * jnp.ones((1, 128), jnp.float32)
+            return
         if mode == "stream":
             (y_ref,) = rest
             acc = (jnp.sum(xr_ref[...], -1, keepdims=True)
@@ -184,16 +216,45 @@ def time_variant(apply_fn, xs, iters, repeats=3):
 def main():
     c = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     b8 = int(sys.argv[2]) if len(sys.argv) > 2 else 32768
-    iters = 2 if _INTERPRET else 16
+    # K3's pass is ~4x smaller than K1's (0.4 GB, fewer FLOPs): at iters=16
+    # the tunnel's 5-30 ms per-dispatch latency dominated and every stream
+    # variant measured a flat ~2.0 ms/pass regardless of bytes — amortize
+    # harder here
+    iters = 2 if _INTERPRET else int(os.environ.get("FMTPU_PROBE_ITERS", "96"))
     rng = np.random.default_rng(0)
     xs = tuple(jnp.asarray(rng.standard_normal((c, b8)).astype(np.float32))
                for _ in range(3))
     gb_in = 3 * c * b8 * 4 / 1e9
     print(f"# K3 [C={c}, B8={b8}] input={gb_in:.2f} GB/pass iters={iters}")
-    for mode in ("stream", "phasor", "full", "value"):
-        dt = time_variant(build(c, b8, mode), xs, iters)
-        print(f"{mode:8s} {dt * 1e3:8.3f} ms/pass   "
-              f"in-stream {gb_in / dt:6.1f} GB/s", flush=True)
+    # t_blk sweep: the 3 input planes at t_blk=1024 fragment into 4 KB HBM
+    # runs (measured 202 GB/s vs the front end's 367 at 8 KB runs); the
+    # production kernel is VMEM-pinned to 1024 by its 5 tail-extended
+    # scratches, but the value restructure's tiny scratches free VMEM for
+    # bigger tiles
+    cases = [("stream1", 1024), ("stream1", 2048),
+             ("stream31", 1024), ("stream31", 2048),
+             ("stream", 1024), ("stream", 2048), ("stream", 4096),
+             ("phasor", 1024), ("full", 1024),
+             ("value", 1024), ("value", 2048), ("value", 4096)]
+    x3 = jnp.concatenate(
+        [x.reshape(c // 128, 128, b8) for x in xs], axis=1
+    ).reshape(3 * c, b8)
+    for mode, t_blk in cases:
+        if b8 % t_blk:
+            continue
+        try:
+            if mode == "stream31":
+                dt = time_variant(build_stream31(c, b8, t_blk=t_blk),
+                                  (x3,), iters)
+            else:
+                dt = time_variant(build(c, b8, mode, t_blk=t_blk), xs, iters)
+        except Exception as e:
+            print(f"{mode}:t={t_blk} FAIL {type(e).__name__}: {str(e)[:90]}",
+                  flush=True)
+            continue
+        gb = gb_in / 3 if mode == "stream1" else gb_in
+        print(f"{mode}:t={t_blk:<5d} {dt * 1e3:8.3f} ms/pass   "
+              f"in-stream {gb / dt:6.1f} GB/s", flush=True)
 
 
 if __name__ == "__main__":
