@@ -449,7 +449,9 @@ def main():
     b = int(sys.argv[2]) if len(sys.argv) > 2 else 262144
     sections = os.environ.get("FMTPU_PROBE_SECTIONS", "engines,tiles,ingest")
     secs = set(sections.split(","))
-    iters = 2 if _INTERPRET else 16
+    # default 48: at 16 the tunnel's 5-30 ms per-dispatch latency inflates
+    # each pass by ~0.3-1 ms (see docs/PERF.md round-3 measurement note)
+    iters = 2 if _INTERPRET else int(os.environ.get("FMTPU_PROBE_ITERS", "48"))
     rng = np.random.default_rng(0)
     iq = rng.integers(0, 256, size=(c, b, 2), dtype=np.uint8)
     xw = jnp.asarray(pack_iq_u8(iq))
@@ -597,9 +599,19 @@ def main():
             ("dots:i8d:t4096", dict(t_blk=4096)),
             ("dots:i8d:semP", dict(semantics=("parallel", "arbitrary"))),
             ("dots:i8d:t4096:noasm", dict(t_blk=4096, noasm=True)),
+            # scratch-free AND fully-parallel grid: if THIS overlaps DMA
+            # with the dots (~stream time), the additive behavior of every
+            # scratch-carrying kernel is the 'arbitrary' inner dim
+            # disabling Mosaic's cross-iteration overlap
+            ("dots:i8d:noasm:semPP",
+             dict(noasm=True, semantics=("parallel", "parallel"))),
+            ("full:i8d:noasm:semPP",
+             dict(noasm=True, semantics=("parallel", "parallel"),
+                  mode="full")),
         ):
             try:
-                dt = time_variant(build_i8direct(c, b, 128, "dots", **kw),
+                md = kw.pop("mode", "dots")
+                dt = time_variant(build_i8direct(c, b, 128, md, **kw),
                                   (xr8, xi8), iters)
             except Exception as e:
                 print(f"{tag} FAIL {type(e).__name__}: {str(e)[:90]}",
