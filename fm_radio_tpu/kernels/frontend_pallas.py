@@ -368,7 +368,7 @@ def _ds4_disc_i8_direct(taps, tail_p, prev_theta, x8, fd, fs_out,
     int8 band dots).  Carried tails cross as the f32 state the rest of the
     chain uses; the [C, halo] <-> int8 conversions here are negligible."""
     c, b = x8.shape[1:]
-    tiles = pick_tiles(c, b, no)
+    tiles = pick_tiles(c, b, no, max_t=4096)
     assert tiles is not None, "shape not supported; gate with pick_tiles"
     c_blk, t_blk = tiles
     n_tt = b // t_blk
@@ -429,12 +429,16 @@ def _ds4_disc_i8_direct(taps, tail_p, prev_theta, x8, fd, fs_out,
     return new_tail, out_prev[:, 0], y
 
 
-def pick_tiles(c: int, b: int, no: int = _NO) -> tuple[int, int] | None:
+def pick_tiles(c: int, b: int, no: int = _NO,
+               max_t: int = 2048) -> tuple[int, int] | None:
     """(c_blk, t_blk) or None if shapes don't fit the kernel's contract.
 
     ``FMTPU_FE_TILES=<c_blk>x<t_blk>`` overrides the choice (A/B lens for
-    tile-geometry sweeps on the real chip; tools/frontend_probe.py found the
-    K1 probe kernel ~6.7% faster at 512x1024 than the round-1 128x2048)."""
+    tile-geometry sweeps on the real chip).  ``max_t`` caps the time tile:
+    2048 for the f32/packed kernels (two tail-extended f32 scratch buffers
+    bound the VMEM budget), 4096 for the int8-direct kernel (int8 input
+    blocks are half the bytes and it has no full-tile scratch — measured
+    +3.5% full-chain at 128x4096, docs/PERF.md round 3)."""
     if b % (no * _M) != 0:
         return None
     ov = os.environ.get("FMTPU_FE_TILES")
@@ -443,10 +447,10 @@ def pick_tiles(c: int, b: int, no: int = _NO) -> tuple[int, int] | None:
         if c % c_blk or b % t_blk or t_blk % (no * _M):
             return None
         return c_blk, t_blk
-    # default keeps (2 planes x double-buffered input) + 2 tail-extended
-    # scratch buffers + outputs well inside the 16 MB scoped-VMEM budget
+    # default keeps (2 planes x double-buffered input) + scratch + outputs
+    # well inside the 16 MB scoped-VMEM budget
     t_blk = no * _M
-    while t_blk * 2 <= 2048 and b % (t_blk * 2) == 0:
+    while t_blk * 2 <= max_t and b % (t_blk * 2) == 0:
         t_blk *= 2
     c_blk = c if c <= 128 else 128
     if c % c_blk != 0:

@@ -50,14 +50,17 @@ def build(c, b4, mode, c_blk=128, t_blk=1024):
     taps_h = jnp.asarray(create_fir_lpf(65, 0.3), jnp.float32)  # odd, 65-tap
     band2 = _band_m(taps2, 2)
     band3 = _band_m(taps_h, 1)
+    # restruct:<li>[:stk] sizes the IIR Toeplitz tiles at li instead of _LI
+    li = int(mode.split(":")[1]) if mode.startswith("restruct") else _LI
+    stacked = mode.endswith("stk")
     b_de, a_de = create_iir_single_pole_lpf(2.0 * 3200.0 / 128000.0)
-    t1_m, hm1, pm1 = _iir_tile_mats(b_de, a_de, _LI)
+    t1_m, hm1, pm1 = _iir_tile_mats(b_de, a_de, li)
     aux1 = jnp.concatenate([hm1, pm1], axis=0)
     # a sharp peak-like biquad for the probe (exact coefficients irrelevant
     # to timing; shape/structure matches the production peak filter)
     tp_m, hm_p, pm_p = _iir_tile_mats(
         jnp.asarray([0.001, 0.0, -0.001], jnp.float32),
-        jnp.asarray([1.0, -1.9989, 0.9998], jnp.float32), _LI)
+        jnp.asarray([1.0, -1.9989, 0.9998], jnp.float32), li)
     auxp = jnp.concatenate([hm_p, pm_p], axis=0)
     grid = (c // c_blk, b4 // t_blk)
     l = t_blk // 2
@@ -113,9 +116,10 @@ def build(c, b4, mode, c_blk=128, t_blk=1024):
             im_ref[...] = hi_im
             th_ref[...] = theta
             return
-        assert mode == "stackpeak"
-        # ds2 + deemph + hilbert identical to _midend_body, then ONE stacked
-        # peak chain over [2c, L]
+        assert mode.startswith("restruct")
+        # parameterized restructure: li = IIR Toeplitz sub-chunk width
+        # (bigger -> SHORTER serial chain, more MXU FLOPs: 2*li/sample),
+        # :stk = ONE peak chain over [2c, L] instead of re/im serially
         buf2[:, _TB:] = x
         b2_hi, b2_lo = _split_bf16(band2_ref[...], _INTERPRET)
         x2_hi, x2_lo = _split_bf16(buf2[...], _INTERPRET)
@@ -130,13 +134,13 @@ def build(c, b4, mode, c_blk=128, t_blk=1024):
         hm1 = aux1_ref[0:1, :]
         pm1 = aux1_ref[1:2, :]
         parts = []
-        for s in range(l // _LI):
-            xs = fm_out[:, s * _LI : (s + 1) * _LI]
+        for s in range(l // li):
+            xs = fm_out[:, s * li : (s + 1) * li]
             f_hi, f_lo = _split_bf16(xs, _INTERPRET)
             y = _dot4(f_hi, f_lo, t1_hi, t1_lo)
             y = y + st[:c_blk, 0:1] * hm1 + st[:c_blk, 1:2] * pm1
-            st[:c_blk, 0:1] = xs[:, _LI - 1 :]
-            st[:c_blk, 1:2] = y[:, _LI - 1 :]
+            st[:c_blk, 0:1] = xs[:, li - 1 :]
+            st[:c_blk, 1:2] = y[:, li - 1 :]
             parts.append(y)
         fm_out = jnp.concatenate(parts, -1) if len(parts) > 1 else parts[0]
         buf3[:, _TB:] = fm_out
@@ -152,34 +156,42 @@ def build(c, b4, mode, c_blk=128, t_blk=1024):
         hi_re = buf3[:, _TB - hilb_delay : _TB - hilb_delay + l]
         buf2[:, :_TB] = buf2[:, t_blk:]
         buf3[:, :_TB] = buf3[:, l:]
-        # stacked peak: one serial chain on [2c, L]
-        plane = jnp.concatenate([hi_re, hi_im], axis=0)
         tp_hi, tp_lo = _split_bf16(tp_ref[...], _INTERPRET)
         hm_p = auxp_ref[0:2, :]
         pm_p = auxp_ref[2:4, :]
-        parts = []
-        for s in range(l // _LI):
-            xs = plane[:, s * _LI : (s + 1) * _LI]
-            p_hi, p_lo = _split_bf16(xs, _INTERPRET)
-            y = _dot4(p_hi, p_lo, tp_hi, tp_lo)
-            y = (y + st[:, 2:3] * hm_p[0:1, :] + st[:, 3:4] * hm_p[1:2, :]
-                 + st[:, 4:5] * pm_p[0:1, :] + st[:, 5:6] * pm_p[1:2, :])
-            st[:, 3:4] = xs[:, _LI - 2 : _LI - 1]
-            st[:, 2:3] = xs[:, _LI - 1 :]
-            st[:, 5:6] = y[:, _LI - 2 : _LI - 1]
-            st[:, 4:5] = y[:, _LI - 1 :]
-            parts.append(y)
-        pk = jnp.concatenate(parts, -1) if len(parts) > 1 else parts[0]
-        theta = _atan2(pk[c_blk:], pk[:c_blk]) * jnp.float32(
-            1.0 / (2.0 * np.pi))
+
+        def peak(plane, r0, r1):
+            parts = []
+            for s in range(l // li):
+                xs = plane[:, s * li : (s + 1) * li]
+                p_hi, p_lo = _split_bf16(xs, _INTERPRET)
+                y = _dot4(p_hi, p_lo, tp_hi, tp_lo)
+                y = (y + st[r0:r1, 2:3] * hm_p[0:1, :]
+                     + st[r0:r1, 3:4] * hm_p[1:2, :]
+                     + st[r0:r1, 4:5] * pm_p[0:1, :]
+                     + st[r0:r1, 5:6] * pm_p[1:2, :])
+                st[r0:r1, 3:4] = xs[:, li - 2 : li - 1]
+                st[r0:r1, 2:3] = xs[:, li - 1 :]
+                st[r0:r1, 5:6] = y[:, li - 2 : li - 1]
+                st[r0:r1, 4:5] = y[:, li - 1 :]
+                parts.append(y)
+            return jnp.concatenate(parts, -1) if len(parts) > 1 else parts[0]
+
+        if stacked:
+            pk = peak(jnp.concatenate([hi_re, hi_im], axis=0), 0, 2 * c_blk)
+            pk_re, pk_im = pk[:c_blk], pk[c_blk:]
+        else:
+            pk_re = peak(hi_re, 0, c_blk)
+            pk_im = peak(hi_im, c_blk, 2 * c_blk)
+        theta = _atan2(pk_im, pk_re) * jnp.float32(1.0 / (2.0 * np.pi))
         acc[...] = acc[...] + jnp.sum(
-            pk[:c_blk] ** 2 + pk[c_blk:] ** 2, -1, keepdims=True)
+            pk_re * pk_re + pk_im * pk_im, -1, keepdims=True)
         re_ref[...] = hi_re
         im_ref[...] = hi_im
         th_ref[...] = theta
 
-    # stacked-peak state lives on [2c, cols]: allocate the taller scratch
-    st_rows = 2 * c_blk if mode == "stackpeak" else c_blk
+    # restruct state lives on [2c, cols] (re rows | im rows)
+    st_rows = 2 * c_blk if mode.startswith("restruct") else c_blk
     cspec = lambda shape: pl.BlockSpec(shape, lambda ci, ti: (0, 0),
                                        memory_space=pltpu.VMEM)
     tspec = lambda div: pl.BlockSpec((c_blk, t_blk // div),
@@ -192,8 +204,8 @@ def build(c, b4, mode, c_blk=128, t_blk=1024):
             in_specs=[
                 tspec(1),
                 cspec((_NO * 2 + _TB, _NO)), cspec((_NO + _TB, _NO)),
-                cspec((_LI, _LI)), cspec((2, _LI)),
-                cspec((_LI, _LI)), cspec((4, _LI)),
+                cspec((li, li)), cspec((2, li)),
+                cspec((li, li)), cspec((4, li)),
             ],
             out_specs=[tspec(2)] * 3,
             out_shape=[jax.ShapeDtypeStruct((c, b4 // 2), jnp.float32)] * 3,
@@ -237,7 +249,10 @@ def main():
     gb_in = c * b4 * 4 / 1e9
     print(f"# K2 [C={c}, B4={b4}] input={gb_in:.2f} GB/pass iters={iters} "
           f"(+3x output at B4/2)")
-    for mode in ("stream", "ds2", "hilb", "full", "stackpeak"):
+    for mode in ("stream", "ds2", "hilb", "full",
+                 "restruct:128", "restruct:128:stk",
+                 "restruct:256", "restruct:256:stk",
+                 "restruct:512", "restruct:512:stk"):
         try:
             dt = time_variant(build(c, b4, mode), x, iters)
         except Exception as e:
