@@ -423,6 +423,126 @@ def build_i8direct(c, b, no, mode, c_blk=None, t_blk=None, noasm=False,
     return apply
 
 
+def build_i8manual(c, b, no=128, mode="dots", c_blk=128, t_blk=4096):
+    """MANUAL double-buffered pipeline: the auto-pipeliner never overlaps
+    compute with the input stream in ANY probed variant (engines additive
+    across geometries, semantics, scratch structures — see docs/PERF.md),
+    so this variant bypasses it: grid over channels only, time looped
+    inside the kernel with explicit make_async_copy in/out DMAs on 2-slot
+    revolving buffers.  If dots ~= stream here, manual pipelining is the
+    door to overlap; window-0 filtering is approximated (noasm-style) —
+    this is a perf lens, not a correctness path."""
+    taps = jnp.asarray(create_fir_lpf(128 + _M, 0.25), jnp.float32)
+    b1, b2, s_row = quantize_band_int8(_band_matrix(taps, no))
+    _w = no * _M + _TB
+    n_tt = b // t_blk
+    n_sub = t_blk // (no * _M)
+    grid = (c // c_blk,)
+
+    def kern(xr_hbm, xi_hbm, b1_ref, b2_ref, srow_ref, y_hbm,
+             bufr, bufi, yb, in_sems, out_sems):
+        ci = pl.program_id(0)
+        s_row = srow_ref[...]
+
+        def in_dma(slot, ti, hbm, buf, plane):
+            return pltpu.make_async_copy(
+                hbm.at[pl.ds(ci * c_blk, c_blk), pl.ds(ti * t_blk, t_blk)],
+                buf.at[slot],
+                in_sems.at[slot, plane],
+            )
+
+        def out_dma(slot, ti):
+            return pltpu.make_async_copy(
+                yb.at[slot],
+                y_hbm.at[pl.ds(ci * c_blk, c_blk),
+                         pl.ds(ti * (t_blk // _M), t_blk // _M)],
+                out_sems.at[slot],
+            )
+
+        in_dma(0, 0, xr_hbm, bufr, 0).start()
+        in_dma(0, 0, xi_hbm, bufi, 1).start()
+
+        def dot8(xwin):
+            y1 = jnp.dot(xwin, b1_ref[...], preferred_element_type=jnp.int32)
+            y2 = jnp.dot(xwin, b2_ref[...], preferred_element_type=jnp.int32)
+            return (y1.astype(jnp.float32)
+                    + y2.astype(jnp.float32) * jnp.float32(1 / 128.0)
+                    ) + s_row
+
+        def loop_body(ti, _):
+            slot = ti % 2
+            nxt = (ti + 1) % 2
+
+            @pl.when(ti + 1 < n_tt)
+            def _():
+                in_dma(nxt, ti + 1, xr_hbm, bufr, 0).start()
+                in_dma(nxt, ti + 1, xi_hbm, bufi, 1).start()
+
+            in_dma(slot, ti, xr_hbm, bufr, 0).wait()
+            in_dma(slot, ti, xi_hbm, bufi, 1).wait()
+
+            parts = []
+            for s in range(n_sub):
+                w0 = max(s * no * _M - _TB, 0)
+                fr = dot8(bufr[slot, :, w0 : w0 + _w])
+                fi = dot8(bufi[slot, :, w0 : w0 + _w])
+                parts.append((fr, fi))
+            fr = jnp.concatenate([p[0] for p in parts], -1)
+            fi = jnp.concatenate([p[1] for p in parts], -1)
+            if mode == "full":
+                theta = _atan2(fi, fr)
+                d = theta - jnp.concatenate([theta[:, :1], theta[:, :-1]], -1)
+                pi = jnp.float32(np.pi)
+                d = jnp.where(d >= pi, d - 2 * pi, d)
+                d = jnp.where(d <= -pi, d + 2 * pi, d)
+                val = d * jnp.float32(0.123)
+            else:
+                val = fr + fi
+
+            # reuse of this out slot requires its previous copy done
+            @pl.when(ti >= 2)
+            def _():
+                out_dma(slot, ti - 2).wait()
+
+            yb[slot] = val
+            out_dma(slot, ti).start()
+
+        jax.lax.fori_loop(0, n_tt, loop_body, None, unroll=False)
+        # drain the last two output copies
+        @pl.when(n_tt >= 2)
+        def _():
+            out_dma(n_tt % 2, n_tt - 2).wait()
+        out_dma((n_tt - 1) % 2, n_tt - 1).wait()
+
+    def apply(xr8, xi8):
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((_w, no), lambda ci: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_w, no), lambda ci: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, no), lambda ci: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((c, b // _M), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, c_blk, t_blk), jnp.int8),
+                pltpu.VMEM((2, c_blk, t_blk), jnp.int8),
+                pltpu.VMEM((2, c_blk, t_blk // _M), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=_INTERPRET,
+        )(xr8, xi8, b1, b2, s_row)
+
+    return apply
+
+
 def time_variant(apply_fn, xw, iters, repeats=3):
     xs = xw if isinstance(xw, tuple) else (xw,)
 
@@ -619,6 +739,27 @@ def main():
                 continue
             print(f"{tag:28s} {dt * 1e3:8.3f} ms/pass   "
                   f"in-stream {gb8 / dt:6.1f} GB/s", flush=True)
+
+    # manual double-buffered DMA pipeline (bypasses the auto-pipeliner)
+    if "man" in secs:
+        xr8 = jnp.asarray((iq[..., 0].astype(np.int16) - 128).astype(np.int8))
+        xi8 = jnp.asarray((iq[..., 1].astype(np.int16) - 128).astype(np.int8))
+        gb8 = c * b * 2 / 1e9
+        for mode in ("dots", "full"):
+            for t_blk in (2048, 4096):
+                if b % t_blk:
+                    continue
+                try:
+                    dt = time_variant(
+                        build_i8manual(c, b, mode=mode, t_blk=t_blk),
+                        (xr8, xi8), iters)
+                except Exception as e:
+                    print(f"{mode}:i8man:t={t_blk} FAIL "
+                          f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+                    continue
+                print(f"{mode}:i8man:t={t_blk:<5d} "
+                      f"{dt * 1e3:8.3f} ms/pass   "
+                      f"in-stream {gb8 / dt:6.1f} GB/s", flush=True)
 
     # grid-dimension semantics: the K1 engines measure ADDITIVE (stream +
     # dots + atan2), i.e. the auto-pipeliner is not overlapping the input
