@@ -123,6 +123,25 @@ def test_lazy_packed_pcm_matches_eager(tmp_path):
     assert len(LazyPackedPcm(str(p), max_samples=100)) == 100
 
 
+def test_lazy_i8_pcm_matches_eager(tmp_path):
+    """LazyI8Pcm (the round-3 production ingest view) slices to exactly
+    split_iq_i8 of the whole file in the [2, 1, M] single-channel form."""
+    from fm_radio_tpu.io.pcm import LazyI8Pcm
+    from fm_radio_tpu.utils.transfer import split_iq_i8
+
+    rng = np.random.default_rng(4)
+    u8 = rng.integers(0, 256, 4096 * 2).astype(np.uint8)
+    p = tmp_path / "x.pcm"
+    u8.tofile(p)
+    lz = LazyI8Pcm(str(p))
+    full = split_iq_i8(u8.reshape(-1, 2))[:, None, :]
+    assert len(lz) == full.shape[-1]
+    assert lz[0:777].dtype == np.int8 and lz[0:777].shape == (2, 1, 777)
+    np.testing.assert_array_equal(lz[0:777], full[:, :, 0:777])
+    np.testing.assert_array_equal(lz[777:4096], full[:, :, 777:4096])
+    assert len(LazyI8Pcm(str(p), max_samples=100)) == 100
+
+
 def test_scan_finds_and_identifies_stations(tmp_path):
     """`fmtpu scan`: power-detect the active channels in a wideband capture,
     demodulate only those, and identify them (stereo pilot + RDS PI/PS) —

@@ -519,8 +519,8 @@ def build_i8manual(c, b, no=128, mode="dots", c_blk=128, t_blk=4096):
             kern,
             grid=grid,
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((_w, no), lambda ci: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((_w, no), lambda ci: (0, 0),
@@ -528,7 +528,7 @@ def build_i8manual(c, b, no=128, mode="dots", c_blk=128, t_blk=4096):
                 pl.BlockSpec((1, no), lambda ci: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((c, b // _M), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((2, c_blk, t_blk), jnp.int8),
