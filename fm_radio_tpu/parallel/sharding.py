@@ -74,12 +74,16 @@ def demod_channels_sharded(
 ):
     """One demod block with channels sharded over the full mesh.
 
-    x: [C, B]; C must be divisible by the mesh size.  State arrays keep their
-    leading [C] (or [2C]) axis sharded the same way, so the scan carries stay
-    local to each device — no collectives at all in the steady state.
+    x: [C, B] (complex64 / packed f32 words) or [2, C, B] int8 planes; C must
+    be divisible by the mesh size.  State arrays keep their leading [C] (or
+    [2C]) axis sharded the same way, so the scan carries stay local to each
+    device — no collectives at all in the steady state.
     """
     flat = P(("ch", "t"))
-    x_sharding = NamedSharding(mesh, P(("ch", "t"), None))
+    x_sharding = NamedSharding(
+        mesh,
+        P(None, ("ch", "t"), None) if x.ndim == 3 else P(("ch", "t"), None),
+    )
 
     def shard_state(s):
         # state leaves have leading channel-like axis (C or 2C)
@@ -116,7 +120,11 @@ def demod_time_parallel(
     """Demodulate one long stream with the time axis sharded over ``mesh_axis``
     (channels sharded over the other axis if present).
 
-    x: [C, T] with T divisible by (n_t * block_size).  Each shard receives a
+    x: [C, T] (complex64 or packed f32 words) — or [2, C, T] int8 planes
+    (utils/transfer.split_iq_i8, the round-3 production ingest: with
+    cfg.frontend_int8 the int8-direct front end runs per shard, and the
+    raw-IQ halo exchanged over ICI is HALF the packed form's bytes).
+    T divisible by (n_t * block_size).  Each shard receives a
     ``warmup_blocks * block_size`` halo of raw IQ from its left neighbor over
     ICI (ppermute), demodulates warm-up + payload from a cold state, and
     discards the warm-up outputs.  Shard 0's halo is zeros — it is genuinely
@@ -138,23 +146,27 @@ def demod_time_parallel(
     """
     n_t = mesh.shape[mesh_axis]
     other_axes = tuple(a for a in mesh.axis_names if a != mesh_axis)
-    c, t = x.shape
+    i8 = x.ndim == 3  # [2, C, T] int8 planes
+    c, t = x.shape[1:] if i8 else x.shape
     assert t % (n_t * block_size) == 0
     halo = warmup_blocks * block_size
 
-    in_spec = (P(*other_axes, mesh_axis) if other_axes else P(None, mesh_axis))
-    halo_spec = (P(*other_axes, None) if other_axes else P(None, None))
+    ch_spec = (*other_axes,) if other_axes else (None,)
+    in_spec = P(None, *ch_spec, mesh_axis) if i8 else P(*ch_spec, mesh_axis)
+    halo_spec = P(None, *ch_spec, None) if i8 else P(*ch_spec, None)
     stream_start = left_halo is None
     if stream_start:
         # dummy (zeros) so shard_fn's signature is static either way
-        left_halo = jnp.zeros((c, halo), x.dtype)
+        shape = (2, c, halo) if i8 else (c, halo)
+        left_halo = jnp.zeros(shape, x.dtype)
 
     def shard_fn(x_local: jnp.ndarray, halo0: jnp.ndarray):
-        # x_local: [C_local, T/n_t]; halo0: [C_local, halo] (time-replicated)
-        c_local = x_local.shape[0]
+        # x_local: [C_local, T/n_t] (or [2, C_local, T/n_t] int8 planes);
+        # halo0: matching [.., halo] (time-replicated)
+        c_local = x_local.shape[-2]
         # halo: my last `halo` samples -> right neighbor (positive slice
         # start: `-halo:` with warmup_blocks==0 would send the whole shard)
-        my_tail = x_local[:, x_local.shape[-1] - halo:]
+        my_tail = x_local[..., x_local.shape[-1] - halo:]
         left_tail = jax.lax.ppermute(
             my_tail, mesh_axis, [(i, (i + 1) % n_t) for i in range(n_t)]
         )
@@ -167,7 +179,11 @@ def demod_time_parallel(
 
         n_blocks = x_ext.shape[-1] // block_size
         state = demod_init_state(cfg, c_local)
-        xb = x_ext.reshape(c_local, n_blocks, block_size).transpose(1, 0, 2)
+        if i8:
+            xb = x_ext.reshape(2, c_local, n_blocks, block_size).transpose(
+                2, 0, 1, 3)
+        else:
+            xb = x_ext.reshape(c_local, n_blocks, block_size).transpose(1, 0, 2)
 
         def step(st, blk_i):
             blk, i = blk_i
@@ -200,9 +216,9 @@ def demod_time_parallel(
         mesh=mesh,
         in_specs=(in_spec, halo_spec),
         out_specs=(
-            (P(*other_axes, mesh_axis, None) if other_axes else P(None, mesh_axis, None)),
-            in_spec,
-            in_spec,
+            P(*ch_spec, mesh_axis, None),
+            P(*ch_spec, mesh_axis),
+            P(*ch_spec, mesh_axis),
         ),
         check_vma=False,
     )(x, left_halo)
@@ -236,19 +252,19 @@ def demod_superblock_stream(
     if superblock_blocks is None:
         superblock_blocks = 8 * warmup_blocks  # ~11% warm-up overhead
     span = n_t * superblock_blocks * block_size
-    c, t = x.shape
+    t = x.shape[-1]
     assert t % span == 0, (t, span)
     halo = warmup_blocks * block_size
 
     left = None
     for i0 in range(0, t, span):
-        xs = jnp.asarray(np.asarray(x[:, i0 : i0 + span]))
+        xs = jnp.asarray(np.asarray(x[..., i0 : i0 + span]))
         outs = demod_time_parallel(
             cfg, coeffs, xs, mesh, block_size=block_size,
             warmup_blocks=warmup_blocks, mesh_axis=mesh_axis,
             left_halo=left,
         )
-        left = xs[:, span - halo:]
+        left = xs[..., span - halo:]
         yield {k: np.asarray(v) for k, v in outs.items()}
 
 

@@ -50,6 +50,35 @@ def test_channel_sharded_matches_single(iq):
     )
 
 
+def test_time_parallel_i8_planes_matches_packed(iq):
+    """[2, C, T] int8-plane ingest through the time-sharded path (halo
+    ppermute on int8 — HALF the ICI bytes) is BIT-identical to the packed
+    f32-word form under frontend_int8: the int8-direct kernel and the
+    packed int8 scratch path share operands and dot order."""
+    from dataclasses import replace
+
+    from fm_radio_tpu.io.pcm import c64_to_u8
+    from fm_radio_tpu.utils.transfer import pack_iq_u8, split_iq_i8
+
+    cfg = replace(DemodConfig(), frontend_int8=True)
+    coeffs = make_coeffs(cfg)
+    u8 = c64_to_u8(np.asarray(iq)[: BLOCK * 8]).reshape(-1, 2)
+    w = pack_iq_u8(u8)[None, :]           # [1, T] packed words
+    i8 = split_iq_i8(u8)[:, None, :]      # [2, 1, T] int8 planes
+    mesh = make_mesh(1, 4)
+
+    outs_pk = demod_time_parallel(
+        cfg, coeffs, jnp.asarray(w), mesh, block_size=BLOCK, warmup_blocks=1
+    )
+    outs_i8 = demod_time_parallel(
+        cfg, coeffs, jnp.asarray(i8), mesh, block_size=BLOCK, warmup_blocks=1
+    )
+    for k in ("audio", "rds_pred", "rds_valid"):
+        np.testing.assert_array_equal(
+            np.asarray(outs_pk[k]), np.asarray(outs_i8[k]), err_msg=k
+        )
+
+
 def test_time_parallel_matches_sequential(iq):
     """Halo warm-up reproduces the sequential stream away from cold-start:
     compare the payload of shard 1.. against the exact sequential output."""
