@@ -160,8 +160,10 @@ class NativePcmReader:
 
     def next_packed(self) -> np.ndarray | None:
         """Next block as packed u8 words (w = I*256 + Q, one f32/sample —
-        utils/transfer.pack_iq_u8 format): half the host->device bytes, the
-        production ingest format.  None at end of stream."""
+        utils/transfer.pack_iq_u8 format): half the host->device bytes of
+        f32 planes (the round-2 format; :meth:`next_i8` is the round-3
+        production ingest at half these bytes again).  None at end of
+        stream."""
         out = np.empty(self.block_size, dtype=np.float32)
         ok = self._lib.rt_pcm_next_block_packed_f32(
             self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
