@@ -68,6 +68,9 @@ def main() -> None:
         # A/B lens on the wide band sub-matmul (128 default; 256 halves the
         # front end's dot count — it is dot-issue-bound)
         frontend_band_no=int(os.environ.get("FMTPU_BENCH_NO", "128")),
+        # A/B lens on the int16 inter-stage HBM format (kernels/qformat.py):
+        # halves the K1->K2, K2->K3 and PLL stream bytes
+        interstage_i16=os.environ.get("FMTPU_BENCH_I16") == "1",
     )
     coeffs = make_coeffs(cfg)
 
@@ -183,6 +186,7 @@ def main() -> None:
         and pll_chunks == 1
         and cfg.frontend_int8
         and cfg.frontend_band_no == 128
+        and not cfg.interstage_i16
         and fmt == "i8"
         and not os.environ.get("FMTPU_FE_TILES")  # tile-geometry A/B lens
     ):

@@ -179,6 +179,15 @@ class DemodConfig:
     # matrix in VMEM.  Output-identical; opt-in until measured on hardware.
     frontend_band_no: int = 128
 
+    # int16 inter-stage HBM format for the fused pipeline's big intermediates
+    # (mid-end re/im/theta outputs, PLL dt): halves the K2-write / PLL / K3-
+    # read traffic of ~0.8 GB per 2^28-sample block.  Quantization: phases
+    # (theta/dt, cycles in [-0.5, 0.5]) at 2^16 -> ~-96 dB; analytic-signal
+    # planes at 2^14 (range +-2) -> quant noise ~-85 dB below full scale on
+    # the audio path.  Opt-in lens until the hardware golden gate
+    # (FMTPU_GOLDEN_I16=1) and bench A/B decide adoption (docs/PERF.md).
+    interstage_i16: bool = False
+
     # Full-chain megakernel (kernels/chain_pallas.py): front end + mid-end +
     # pilot PLL + extraction in ONE Pallas kernel / one HBM pass.  "auto"
     # uses it whenever the shape fits (pick_tiles_chain).  Default "split"

@@ -44,11 +44,11 @@ def _unpack_state(st: jnp.ndarray) -> BPSKState:
 
 def _bpsk_kernel(
     x_re_ref, x_im_ref, st_ref, pred_ref, sym_re_ref, valid_ref, out_st_ref,
-    carry_ref,
+    carry_ref, xr_t_ref, xi_t_ref, pr_t_ref, sy_t_ref, va_t_ref,
     *, n_steps: int, n_chunks: int, ts: float, pll_ki_ts: float, pll_kp: float, pll_f_gain: float,
     pll_lpf_b0: float, pll_lpf_a1: float, ted_ki_ts: float, ted_kp: float,
     ted_f_center: float, ted_f_gain: float, ted_lpf_b0: float, ted_lpf_a1: float,
-    int_dump_kts: float, zcd_cooldown: float,
+    int_dump_kts: float, zcd_cooldown: float, channel_major: bool = False,
 ):
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
@@ -63,6 +63,19 @@ def _bpsk_kernel(
 
     carry0 = tuple(carry_ref[pl.ds(k, 1), :] for k in range(_ROWS))
 
+    if channel_major:
+        # HBM blocks stay [C, nc] (the producers' native layout, same trick
+        # as the PLL kernel): the flips to/from the loop's time-major form
+        # happen in VMEM instead of costing FOUR full XLA transpose passes
+        # over HBM ([C, N] x 2 inputs + 3 outputs at bench scale).
+        xr_t_ref[...] = x_re_ref[...].T
+        xi_t_ref[...] = x_im_ref[...].T
+        src_re, src_im = xr_t_ref, xi_t_ref
+        dst_p, dst_s, dst_v = pr_t_ref, sy_t_ref, va_t_ref
+    else:
+        src_re, src_im = x_re_ref, x_im_ref
+        dst_p, dst_s, dst_v = pred_ref, sym_re_ref, valid_ref
+
     def body(i, carry):
         (p_x1, p_y1, p_int, p_t, p_pe, zq, cool,
          t_x1, t_y1, t_int, t_pe, ramp, id_re, id_im) = carry
@@ -75,8 +88,8 @@ def _bpsk_kernel(
         t = _wrap(p_t + ts_f * (control * jnp.float32(pll_f_gain)))
         c = _cheb(_wrap(t + jnp.float32(0.25)))
         s = _cheb(t)
-        xr = x_re_ref[pl.ds(i, 1), :]
-        xi = x_im_ref[pl.ds(i, 1), :]
+        xr = src_re[pl.ds(i, 1), :]
+        xi = src_im[pl.ds(i, 1), :]
         iq_re = xr * c - xi * s
         iq_im = xr * s + xi * c
 
@@ -114,9 +127,9 @@ def _bpsk_kernel(
         p_pe2 = jnp.where(fire_ted, norm_pe, p_pe)
 
         fire_f = fire_ted.astype(jnp.float32)
-        pred_ref[pl.ds(i, 1), :] = id_im2 * fire_f
-        sym_re_ref[pl.ds(i, 1), :] = id_re2 * fire_f
-        valid_ref[pl.ds(i, 1), :] = fire_f
+        dst_p[pl.ds(i, 1), :] = id_im2 * fire_f
+        dst_s[pl.ds(i, 1), :] = id_re2 * fire_f
+        dst_v[pl.ds(i, 1), :] = fire_f
 
         id_re3 = jnp.where(fire_ted, zero, id_re2)
         id_im3 = jnp.where(fire_ted, zero, id_im2)
@@ -125,6 +138,10 @@ def _bpsk_kernel(
                 t_pe2, t_lpf, t_int2, t_pe2, ramp2, id_re3, id_im3)
 
     final = jax.lax.fori_loop(0, n_steps, body, carry0)
+    if channel_major:
+        pred_ref[...] = pr_t_ref[...].T
+        sym_re_ref[...] = sy_t_ref[...].T
+        valid_ref[...] = va_t_ref[...].T
     for k in range(_ROWS):
         carry_ref[pl.ds(k, 1), :] = final[k]
 
@@ -180,41 +197,58 @@ def bpsk_sync_pallas(cfg, state: BPSKState, x: jnp.ndarray, interpret: bool = Fa
     nc = pick_time_chunk(n, ct)
     n_chunks = n // nc
 
-    x_re = xr.T
-    x_im = xi.T
+    channel_major = ct % 8 == 0  # in-VMEM transpose wants full sublane tiles
     st = _pack_state(state)
 
     kern = functools.partial(
-        _bpsk_kernel, n_steps=nc, n_chunks=n_chunks, **bpsk_consts_from_cfg(cfg)
+        _bpsk_kernel, n_steps=nc, n_chunks=n_chunks,
+        channel_major=channel_major, **bpsk_consts_from_cfg(cfg)
     )
     grid = (c // ct, n_chunks)
+    if channel_major:
+        io_spec = pl.BlockSpec((ct, nc), lambda j, i: (j, i),
+                               memory_space=pltpu.VMEM)
+        io_shape = jax.ShapeDtypeStruct((c, n), jnp.float32)
+        t_scratch = pltpu.VMEM((nc, ct), jnp.float32)
+        x_re, x_im = xr, xi
+    else:
+        io_spec = pl.BlockSpec((nc, ct), lambda j, i: (i, j),
+                               memory_space=pltpu.VMEM)
+        io_shape = jax.ShapeDtypeStruct((n, c), jnp.float32)
+        t_scratch = pltpu.VMEM((8, 128), jnp.float32)
+        x_re, x_im = xr.T, xi.T
     pred_t, sym_re_t, valid_t, out_st = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((nc, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            io_spec,
+            io_spec,
             pl.BlockSpec((_ROWS, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((nc, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, ct), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            io_spec,
+            io_spec,
+            io_spec,
             pl.BlockSpec((_ROWS, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, c), jnp.float32),
-            jax.ShapeDtypeStruct((n, c), jnp.float32),
-            jax.ShapeDtypeStruct((n, c), jnp.float32),
+            io_shape,
+            io_shape,
+            io_shape,
             jax.ShapeDtypeStruct((_ROWS, c), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((_ROWS, ct), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((_ROWS, ct), jnp.float32)]
+        + [t_scratch] * 5,
         interpret=interpret,
     )(x_re, x_im, st)
 
+    if channel_major:
+        pred, sym_re, valid = pred_t, sym_re_t, valid_t
+    else:
+        pred, sym_re, valid = pred_t.T, sym_re_t.T, valid_t.T
     outs = {
-        "sym": jax.lax.complex(sym_re_t.T, pred_t.T),
-        "pred": pred_t.T,
-        "valid": valid_t.T > 0.5,
+        "sym": jax.lax.complex(sym_re, pred),
+        "pred": pred,
+        "valid": valid > 0.5,
     }
     return _unpack_state(out_st), outs

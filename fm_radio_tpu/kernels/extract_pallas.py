@@ -113,6 +113,7 @@ def _extract_kernel(
     lpr_ref, lmr_re_ref, lmr_im_ref, rds_re_ref, rds_im_ref, out_tails_ref,
     blpr_ref, blmr_r_ref, blmr_i_ref, brds_r_ref, brds_i_ref,
     *, t_blk: int, n_tt: int, h_lmr: float, h_rds: float, interp: bool,
+    iq_i16: bool = False, dt_i16: bool = False,
 ):
     ti = pl.program_id(1)
 
@@ -124,8 +125,14 @@ def _extract_kernel(
         brds_r_ref[:, :_TB] = tails_ref[3]
         brds_i_ref[:, :_TB] = tails_ref[4]
 
+    # int16 inter-stage inputs (kernels/qformat.py): dequant in-VMEM
+    from fm_radio_tpu.kernels.qformat import IQ_SCALE, PH_SCALE, dq_i16
+
+    xr = dq_i16(re_ref[...], IQ_SCALE) if iq_i16 else re_ref[...]
+    xi = dq_i16(im_ref[...], IQ_SCALE) if iq_i16 else im_ref[...]
+    dt = dq_i16(dt_ref[...], PH_SCALE) if dt_i16 else dt_ref[...]
     lpr, lmr_re, lmr_im, rds_re, rds_im = _extract_body(
-        re_ref[...], im_ref[...], dt_ref[...], off_ref[...],
+        xr, xi, dt, off_ref[...],
         ba_ref, bm_ref, br_ref,
         blpr_ref, blmr_r_ref, blmr_i_ref, brds_r_ref, brds_i_ref,
         t_blk=t_blk, n_out=_NO, h_lmr=h_lmr, h_rds=h_rds, interp=interp,
@@ -206,9 +213,11 @@ def extract_pallas(
 
     tails = pack_ext_tails(state, c, halo_a, halo_r)
 
+    iq_i16 = xr.dtype == jnp.int16
+    dt_i16 = dt.dtype == jnp.int16
     kern = functools.partial(
         _extract_kernel, t_blk=t_blk, n_tt=n_tt, h_lmr=h_lmr, h_rds=h_rds,
-        interp=interpret,
+        interp=interpret, iq_i16=iq_i16, dt_i16=dt_i16,
     )
     grid = (c // c_blk, n_tt)
     rowspec = lambda w: pl.BlockSpec((c_blk, w), lambda ci, ti: (ci, 0),
@@ -251,9 +260,14 @@ def extract_pallas(
     )(xr, xi, dt, state["lmr_phase_err"][:, None], tails, ba, bm, br)
 
     new_state = dict(state)
-    new_state["ds_audio_lpr"] = jax.lax.complex(
-        xr[:, b8 - halo_a :], xi[:, b8 - halo_a :]
-    )
+    xr_t, xi_t = xr[:, b8 - halo_a :], xi[:, b8 - halo_a :]
+    if iq_i16:
+        from fm_radio_tpu.kernels.qformat import IQ_SCALE as _IS
+
+        inv = jnp.float32(1.0 / _IS)
+        xr_t = xr_t.astype(jnp.float32) * inv
+        xi_t = xi_t.astype(jnp.float32) * inv
+    new_state["ds_audio_lpr"] = jax.lax.complex(xr_t, xi_t)
     new_state["ds_audio_lmr"] = jax.lax.complex(
         out_tails[1, :, _TB - halo_a :], out_tails[2, :, _TB - halo_a :]
     )

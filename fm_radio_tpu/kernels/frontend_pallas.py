@@ -116,7 +116,7 @@ def _ds4_disc_core(
     y_ref, out_tail_ref, out_prev_ref,
     bufr_ref, bufi_ref, carry_ref,
     *, t_blk: int, n_tt: int, scale: float, interp: bool, int_input: bool,
-    int8_dots: bool = False, no: int = _NO,
+    int8_dots: bool = False, no: int = _NO, out_i16: bool = False,
 ):
     """Shared body: assumes bufr/bufi[:, _TB:] hold this tile's input planes."""
     ti = pl.program_id(1)
@@ -201,7 +201,12 @@ def _ds4_disc_core(
     two_pi = jnp.float32(2.0 * np.pi)
     d = jnp.where(d >= pi, d - two_pi, d)
     d = jnp.where(d <= -pi, d + two_pi, d)
-    y_ref[...] = d * jnp.float32(scale)
+    if out_i16:
+        from fm_radio_tpu.kernels.qformat import FM_SCALE, q_i16
+
+        y_ref[...] = q_i16(d * jnp.float32(scale), FM_SCALE)
+    else:
+        y_ref[...] = d * jnp.float32(scale)
 
     # carry: last input samples + last phase
     carry_ref[...] = theta[:, n_out - 1 :]
@@ -218,7 +223,7 @@ def _ds4_disc_core(
 def _ds4_disc_kernel(
     xr_ref, xi_ref, tail_ref, prev_ref, *rest,
     t_blk: int, n_tt: int, scale: float, interp: bool, int_input: bool,
-    int8_dots: bool = False, no: int = _NO,
+    int8_dots: bool = False, no: int = _NO, out_i16: bool = False,
 ):
     nb = 3 if int8_dots else 1
     band_refs, out_scratch = rest[:nb], rest[nb:]
@@ -229,14 +234,14 @@ def _ds4_disc_kernel(
         tail_ref, prev_ref, band_refs, y_ref, out_tail_ref, out_prev_ref,
         bufr_ref, bufi_ref, carry_ref,
         t_blk=t_blk, n_tt=n_tt, scale=scale, interp=interp,
-        int_input=int_input, int8_dots=int8_dots, no=no,
+        int_input=int_input, int8_dots=int8_dots, no=no, out_i16=out_i16,
     )
 
 
 def _ds4_disc_packed_kernel(
     xw_ref, tail_ref, prev_ref, *rest,
     t_blk: int, n_tt: int, scale: float, interp: bool, int_input: bool,
-    int8_dots: bool = False, no: int = _NO,
+    int8_dots: bool = False, no: int = _NO, out_i16: bool = False,
 ):
     # Packed u8 IQ: one f32 word per complex sample, w = I_u8*256 + Q_u8
     # (exact integers < 2^16 — the only dtype the tunneled host boundary
@@ -251,14 +256,14 @@ def _ds4_disc_packed_kernel(
         tail_ref, prev_ref, band_refs, y_ref, out_tail_ref, out_prev_ref,
         bufr_ref, bufi_ref, carry_ref,
         t_blk=t_blk, n_tt=n_tt, scale=scale, interp=interp,
-        int_input=int_input, int8_dots=int8_dots, no=no,
+        int_input=int_input, int8_dots=int8_dots, no=no, out_i16=out_i16,
     )
 
 
 def _ds4_disc_i8_kernel(
     x8_ref, tail_ref, prev_ref, *rest,
     t_blk: int, n_tt: int, scale: float, interp: bool, int_input: bool,
-    int8_dots: bool = False, no: int = _NO,
+    int8_dots: bool = False, no: int = _NO, out_i16: bool = False,
 ):
     # Raw int8 ingest: [2, c_blk, t_blk] planes of (I-128, Q-128)
     # (utils/transfer.split_iq_i8) — HALF the HBM read of packed f32 words
@@ -275,7 +280,7 @@ def _ds4_disc_i8_kernel(
         tail_ref, prev_ref, band_refs, y_ref, out_tail_ref, out_prev_ref,
         bufr_ref, bufi_ref, carry_ref,
         t_blk=t_blk, n_tt=n_tt, scale=scale, interp=interp,
-        int_input=int_input, int8_dots=int8_dots, no=no,
+        int_input=int_input, int8_dots=int8_dots, no=no, out_i16=out_i16,
     )
 
 
@@ -284,6 +289,7 @@ def _ds4_disc_i8_direct_kernel(
     y_ref, out_tail_ref, out_prev_ref,
     w0r, w0i, tailr, taili, carry_ref,
     *, t_blk: int, n_tt: int, scale: float, no: int = _NO,
+    out_i16: bool = False,
 ):
     """int8-DIRECT front end: band dots read the [2, C, B] int8 input ref's
     aligned windows straight off VMEM — no full-tile unpack/copy at all.
@@ -352,7 +358,12 @@ def _ds4_disc_i8_direct_kernel(
     two_pi = jnp.float32(2.0 * np.pi)
     d = jnp.where(d >= pi, d - two_pi, d)
     d = jnp.where(d <= -pi, d + two_pi, d)
-    y_ref[...] = d * jnp.float32(scale)
+    if out_i16:
+        from fm_radio_tpu.kernels.qformat import FM_SCALE, q_i16
+
+        y_ref[...] = q_i16(d * jnp.float32(scale), FM_SCALE)
+    else:
+        y_ref[...] = d * jnp.float32(scale)
     carry_ref[...] = theta[:, n_out - 1 :]
 
     @pl.when(ti == n_tt - 1)
@@ -363,7 +374,7 @@ def _ds4_disc_i8_direct_kernel(
 
 
 def _ds4_disc_i8_direct(taps, tail_p, prev_theta, x8, fd, fs_out,
-                        interpret: bool, no: int):
+                        interpret: bool, no: int, out_i16: bool = False):
     """pallas_call wrapper for the int8-direct kernel (i8 planes ingest +
     int8 band dots).  Carried tails cross as the f32 state the rest of the
     chain uses; the [C, halo] <-> int8 conversions here are negligible."""
@@ -384,7 +395,7 @@ def _ds4_disc_i8_direct(taps, tail_p, prev_theta, x8, fd, fs_out,
 
     kern = functools.partial(
         _ds4_disc_i8_direct_kernel,
-        t_blk=t_blk, n_tt=n_tt, scale=scale, no=no,
+        t_blk=t_blk, n_tt=n_tt, scale=scale, no=no, out_i16=out_i16,
     )
     grid = (c // c_blk, n_tt)
     cspec = lambda shape: pl.BlockSpec(shape, lambda ci, ti: (0, 0),
@@ -410,7 +421,8 @@ def _ds4_disc_i8_direct(taps, tail_p, prev_theta, x8, fd, fs_out,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((c, b // _M), jnp.float32),
+            jax.ShapeDtypeStruct((c, b // _M),
+                                 jnp.int16 if out_i16 else jnp.float32),
             jax.ShapeDtypeStruct((2, c, _TB), jnp.int8),
             jax.ShapeDtypeStruct((c, 1), jnp.float32),
         ],
@@ -484,6 +496,7 @@ def ds4_disc_pallas(
     int_input: bool = False,
     int8_dots: bool = False,
     n_out_sub: int = _NO,
+    out_i16: bool = False,
 ):
     """Fused polyphase-ds4 + FM discriminator.
 
@@ -534,7 +547,8 @@ def ds4_disc_pallas(
                 # (no full-tile unpack at all) — the fastest front end
                 # measured (docs/PERF.md round 3)
                 return _ds4_disc_i8_direct(
-                    taps, tail_p, prev_theta, xp, fd, fs_out, interpret, no
+                    taps, tail_p, prev_theta, xp, fd, fs_out, interpret, no,
+                    out_i16=out_i16,
                 )
             i8 = True
             c, b = xp.shape[1:]
@@ -583,6 +597,7 @@ def ds4_disc_pallas(
         else _ds4_disc_packed_kernel if packed else _ds4_disc_kernel,
         t_blk=t_blk, n_tt=n_tt, scale=scale,
         interp=interpret, int_input=int_input, int8_dots=int8_dots, no=no,
+        out_i16=out_i16,
     )
     grid = (c // c_blk, n_tt)
     if i8:
@@ -611,7 +626,8 @@ def ds4_disc_pallas(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((c, b // _M), jnp.float32),
+            jax.ShapeDtypeStruct((c, b // _M),
+                                 jnp.int16 if out_i16 else jnp.float32),
             jax.ShapeDtypeStruct((2, c, _TB), jnp.float32),
             jax.ShapeDtypeStruct((c, 1), jnp.float32),
         ],

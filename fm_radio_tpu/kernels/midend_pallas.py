@@ -219,6 +219,7 @@ def _midend_kernel(
     re_ref, im_ref, th_ref, out_htail_ref, out_st_ref, out_pow_ref,
     buf2_ref, buf3_ref, st_ref, acc_ref,
     *, t_blk: int, n_tt: int, use_deemph: bool, hilb_delay: int, interp: bool,
+    in_i16: bool = False, out_i16: bool = False,
 ):
     ti = pl.program_id(1)
 
@@ -229,16 +230,26 @@ def _midend_kernel(
         st_ref[...] = st0_ref[...]
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    from fm_radio_tpu.kernels.qformat import (
+        FM_SCALE, IQ_SCALE, PH_SCALE, dq_i16, q_i16,
+    )
+
+    x = dq_i16(x_ref[...], FM_SCALE) if in_i16 else x_ref[...]
     hi_re, hi_im, theta = _midend_body(
-        x_ref[...],
+        x,
         band2_ref, band3_ref, t1_ref, aux1_ref, tp_ref, auxp_ref,
         buf2_ref, buf3_ref, st_ref, acc_ref,
         t_blk=t_blk, use_deemph=use_deemph, hilb_delay=hilb_delay,
         interp=interp,
     )
-    re_ref[...] = hi_re
-    im_ref[...] = hi_im
-    th_ref[...] = theta
+    if out_i16:
+        re_ref[...] = q_i16(hi_re, IQ_SCALE)
+        im_ref[...] = q_i16(hi_im, IQ_SCALE)
+        th_ref[...] = q_i16(theta, PH_SCALE)
+    else:
+        re_ref[...] = hi_re
+        im_ref[...] = hi_im
+        th_ref[...] = theta
 
     @pl.when(ti == n_tt - 1)
     def _finish():
@@ -324,12 +335,18 @@ def midend_pallas(
     state: dict,
     fm_demod: jnp.ndarray,
     interpret: bool = False,
+    out_i16: bool = False,
 ):
     """Fused ds x2 + de-emphasis + Hilbert + peak IIR + pilot phase.
 
     state keys used/updated: ds_fm_out, deemph, hilbert, peak_pilot,
     agc_pilot (gain update from the in-kernel power sum).
     Returns (state', fm_out_iq_p (re, im) [C, B/8], theta_cycles [C, B/8]).
+
+    ``fm_demod`` may be int16 (FM_SCALE fixed point, the front end's
+    cfg.interstage_i16 output) — dequantized in-VMEM.  ``out_i16=True``
+    emits re/im (IQ_SCALE) and theta (PH_SCALE) as int16 — HALF the
+    inter-stage HBM bytes (kernels/qformat.py).
     """
     from fm_radio_tpu.ops.agc import _agc_gain
 
@@ -350,9 +367,11 @@ def midend_pallas(
     t1, aux1, tp, auxp = mid_iir_params(coeffs, use_deemph)
     tail2, htail, st0 = pack_mid_state(state, c, halo2, k_h)
 
+    in_i16 = fm_demod.dtype == jnp.int16
     kern = functools.partial(
         _midend_kernel, t_blk=t_blk, n_tt=n_tt, use_deemph=use_deemph,
         hilb_delay=hilb_delay, interp=interpret,
+        in_i16=in_i16, out_i16=out_i16,
     )
     grid = (c // c_blk, n_tt)
     b8 = b4 // 2
@@ -382,9 +401,12 @@ def midend_pallas(
             rowspec(_TB), rowspec(_NSTATE), rowspec(1),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((c, b8), jnp.float32),
-            jax.ShapeDtypeStruct((c, b8), jnp.float32),
-            jax.ShapeDtypeStruct((c, b8), jnp.float32),
+            jax.ShapeDtypeStruct((c, b8),
+                                 jnp.int16 if out_i16 else jnp.float32),
+            jax.ShapeDtypeStruct((c, b8),
+                                 jnp.int16 if out_i16 else jnp.float32),
+            jax.ShapeDtypeStruct((c, b8),
+                                 jnp.int16 if out_i16 else jnp.float32),
             jax.ShapeDtypeStruct((c, _TB), jnp.float32),
             jax.ShapeDtypeStruct((c, _NSTATE), jnp.float32),
             jax.ShapeDtypeStruct((c, 1), jnp.float32),
@@ -399,7 +421,12 @@ def midend_pallas(
     )(fm_demod, tail2, htail, st0, band2, band3, t1, aux1, tp, auxp)
 
     new_state = dict(state)
-    new_state["ds_fm_out"] = fm_demod[:, b4 - halo2 :]
+    tail_src = fm_demod[:, b4 - halo2 :]
+    if in_i16:
+        from fm_radio_tpu.kernels.qformat import FM_SCALE as _FS
+
+        tail_src = tail_src.astype(jnp.float32) * jnp.float32(1.0 / _FS)
+    new_state["ds_fm_out"] = tail_src
     new_state["hilbert"] = out_htail[:, _TB - (k_h - 1) :]
     new_state["deemph"], new_state["peak_pilot"] = unpack_mid_iir_state(out_st)
     # AGC gain state from the in-kernel power sum (scaling itself is skipped:

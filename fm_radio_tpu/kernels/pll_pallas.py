@@ -81,7 +81,7 @@ def _pll_kernel(
     theta_ref, st_ref, dt_ref, out_st_ref, carry_ref, th_t_ref, dt_t_ref,
     *, n_steps: int, n_chunks: int, ts: float, f_center: float, f_gain: float,
     ki_ts: float, kp: float, lpf_b0: float, lpf_a1: float,
-    channel_major: bool = False,
+    channel_major: bool = False, io_i16: bool = False,
 ):
     """Serial PI+NCO loop over precomputed pilot phase angles.
 
@@ -111,13 +111,20 @@ def _pll_kernel(
 
     carry0 = tuple(carry_ref[pl.ds(k, 1), :] for k in range(_STATE_ROWS))
 
+    if io_i16:
+        # int16 inter-stage format (kernels/qformat.py): theta arrives and
+        # dt leaves as PH_SCALE fixed point — half the HBM stream bytes
+        from fm_radio_tpu.kernels.qformat import PH_SCALE, dq_i16
+
     if channel_major:
         # HBM blocks stay [C, nc] (the producers' native layout); the flips
         # to/from the loop's [nc, C] layout happen in VMEM on the transpose
         # unit instead of costing two full XLA transpose passes over HBM.
-        th_t_ref[...] = theta_ref[...].T  # [nc, ct]
+        th = theta_ref[...]
+        th_t_ref[...] = (dq_i16(th, PH_SCALE) if io_i16 else th).T  # [nc, ct]
         src, dst = th_t_ref, dt_t_ref
     else:
+        assert not io_i16, "i16 PLL IO requires the channel-major layout"
         src, dst = theta_ref, dt_ref
 
     def body(i, carry):
@@ -134,7 +141,12 @@ def _pll_kernel(
 
     final = jax.lax.fori_loop(0, n_steps, body, carry0)
     if channel_major:
-        dt_ref[...] = dt_t_ref[...].T  # [nc, ct] -> [ct, nc]
+        if io_i16:
+            from fm_radio_tpu.kernels.qformat import PH_SCALE, q_i16
+
+            dt_ref[...] = q_i16(dt_t_ref[...].T, PH_SCALE)
+        else:
+            dt_ref[...] = dt_t_ref[...].T  # [nc, ct] -> [ct, nc]
     for k in range(_STATE_ROWS):
         carry_ref[pl.ds(k, 1), :] = final[k]
 
@@ -190,6 +202,12 @@ def pilot_pll_pallas_theta(cfg, state: PilotPLLState, theta_cn: jnp.ndarray,
     c, n = theta_cn.shape
     g = int(getattr(cfg, "pll_time_chunks", 1))
     if g > 1 and n % g == 0 and n // g > int(getattr(cfg, "pll_chunk_warmup", 4096)):
+        if theta_cn.dtype == jnp.int16:
+            # the chunked variant is an opt-in low-channel lens: take the
+            # simple XLA dequant rather than threading i16 through it
+            from fm_radio_tpu.kernels.qformat import PH_SCALE, dq_i16
+
+            theta_cn = dq_i16(theta_cn, PH_SCALE)
         return _pilot_pll_chunked(cfg, state, theta_cn, interpret=interpret)
 
     return _pilot_pll_run(cfg, state, theta_cn, interpret=interpret)
@@ -210,6 +228,14 @@ def _pilot_pll_run(cfg, state: PilotPLLState, theta_cn: jnp.ndarray,
     nc = pick_time_chunk(n, ct)
     n_chunks = n // nc
     channel_major = ct % 8 == 0  # in-VMEM transpose wants full sublane tiles
+    io_i16 = theta_cn.dtype == jnp.int16
+    if io_i16 and not channel_major:
+        # odd channel tiles: dequant in XLA and run the f32 kernel (the i16
+        # format is a production-shape fast path, not a requirement)
+        from fm_radio_tpu.kernels.qformat import PH_SCALE, dq_i16
+
+        theta_cn = dq_i16(theta_cn, PH_SCALE)
+        io_i16 = False
 
     st = jnp.stack(
         [state.lpf_x1, state.lpf_y1, state.integ, state.nco_t, state.prev_pe]
@@ -217,7 +243,8 @@ def _pilot_pll_run(cfg, state: PilotPLLState, theta_cn: jnp.ndarray,
 
     kern = functools.partial(
         _pll_kernel, n_steps=nc, n_chunks=n_chunks,
-        channel_major=channel_major, **pll_consts_from_cfg(cfg)
+        channel_major=channel_major, io_i16=io_i16,
+        **pll_consts_from_cfg(cfg)
     )
     # time chunks innermost: the VMEM carry scratch threads loop state from
     # chunk to chunk while theta/dt blocks stream through double-buffered VMEM
@@ -225,7 +252,8 @@ def _pilot_pll_run(cfg, state: PilotPLLState, theta_cn: jnp.ndarray,
     if channel_major:
         io_spec = pl.BlockSpec((ct, nc), lambda j, i: (j, i),
                                memory_space=pltpu.VMEM)
-        io_shape = jax.ShapeDtypeStruct((c, n), jnp.float32)
+        io_shape = jax.ShapeDtypeStruct(
+            (c, n), jnp.int16 if io_i16 else jnp.float32)
         t_scratch = pltpu.VMEM((nc, ct), jnp.float32)
     else:
         io_spec = pl.BlockSpec((nc, ct), lambda j, i: (i, j),

@@ -279,6 +279,12 @@ def demod_block(
             and coeffs.taps_fm_in.shape[0] - 4 <= 128
             and pick_tiles(c, b, cfg.frontend_band_no) is not None
         )
+        # int16 inter-stage format (cfg.interstage_i16, kernels/qformat.py):
+        # the front end emits fm_demod as FM_SCALE int16 and the mid-end
+        # dequants it in-VMEM — each consumer self-detects by dtype, with
+        # XLA dequant fallbacks wherever a later fuse gate fails, so the
+        # flag can never produce wrong results on odd shapes.
+        i16x = bool(cfg.interstage_i16) and fuse_front
         if direct and not fuse_front:
             # exact XLA unpack/cast fallback (CPU / odd shapes / taps mode)
             from fm_radio_tpu.utils.transfer import (
@@ -300,6 +306,7 @@ def demod_block(
                 int8_dots=cfg.frontend_int8
                 and (direct or cfg.assume_integer_input),
                 n_out_sub=cfg.frontend_band_no,
+                out_i16=i16x,
             )
             st["ds_fm_in"] = jax.lax.complex(*tail)
             st["disc_prev_theta"] = prev
@@ -322,16 +329,35 @@ def demod_block(
             and coeffs.taps_hilbert.shape[0] - 1 <= 128
             and pick_tiles_mid(c, b4) is not None
         )
+        if fm_demod.dtype == jnp.int16 and not fuse_mid:
+            # i16 front-end output but the mid-end fuse gate failed: dequant
+            # in XLA (correctness fallback; only reachable on odd shapes)
+            from fm_radio_tpu.kernels.qformat import FM_SCALE, dq_i16
+
+            fm_demod = dq_i16(fm_demod, FM_SCALE)
         if fuse_mid:
             # one HBM pass: ds x2 + de-emphasis + Hilbert + peak IIR + pilot
             # phase fused (kernels/midend_pallas.py); the AGC gain state updates
             # from the in-kernel power sum (scaling skipped — phase detector is
             # amplitude-invariant), and the PLL consumes theta directly.
+            from fm_radio_tpu.kernels.extract_pallas import pick_tiles_ext as _pte
             from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas_theta
 
             interp = jax.default_backend() != "tpu"
+            # predict the extract fuse gate (b8 = b4 // 2 under fuse_mid) so
+            # the mid-end only emits i16 when extract will dequant in-VMEM
+            fuse_ext_pred = (
+                r.ds_audio == 4
+                and r.ds_rds == 8
+                and coeffs.taps_audio_lpr.shape[0] - 4 <= 128
+                and coeffs.taps_audio_lmr.shape[0]
+                == coeffs.taps_audio_lpr.shape[0]
+                and coeffs.taps_rds.shape[0] - 8 <= 128
+                and _pte(c, b4 // 2) is not None
+            )
             st2, fm_out_iq_p, theta_cn = midend_pallas(
-                coeffs, cfg, st, fm_demod, interpret=interp
+                coeffs, cfg, st, fm_demod, interpret=interp,
+                out_i16=bool(cfg.interstage_i16) and fuse_ext_pred,
             )
             for k in ("ds_fm_out", "deemph", "hilbert", "peak_pilot", "agc_pilot"):
                 st[k] = st2[k]

@@ -303,6 +303,65 @@ def test_app_i8_planes_ingest_matches_packed():
         assert a_i8._pending.shape[-1] == a_pk._pending.shape[-1]
 
 
+def test_interstage_i16_lens():
+    """cfg.interstage_i16 (int16 inter-kernel HBM format, kernels/qformat.py)
+    stays within its quantization budget end to end: audio within ~-55 dB of
+    the f32 pipeline and the decoded RDS groups identical (symbol decisions
+    have tens of dB of margin over the ~-85 dB quantization floor)."""
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+
+    from fm_radio_tpu.models.demod import (
+        demod_block,
+        demod_init_state,
+        make_coeffs,
+    )
+    from fm_radio_tpu.rds.chain import RDSFullChain
+
+    mod = FMModulator(ModulatorConfig())
+    groups = [(0x1234, (0 << 12) | (1 << 10) | seg, 0xE101, w)
+              for seg, w in enumerate((0x4142, 0x4344, 0x4546, 0x4748))]
+    n = BLOCK * 16
+    iq = mod.generate(n, left_hz=1000.0, right_hz=3000.0, rds_groups=groups)
+    # c=8 channels: the PLL/BPSK kernels' channel-major (ct % 8 == 0) form,
+    # the layout the i16 PLL IO requires
+    x = np.broadcast_to(iq, (8, n)).copy()
+
+    outs = {}
+    for name, i16 in (("f32", False), ("i16", True)):
+        cfg = replace(DemodConfig(), loop_impl="pallas", interstage_i16=i16)
+        co = make_coeffs(cfg)
+        st = demod_init_state(cfg, 8)
+        o_audio, o_pred, o_valid = [], [], []
+        for blk in range(n // BLOCK):
+            xb = jnp.asarray(x[:, blk * BLOCK : (blk + 1) * BLOCK])
+            st, o = demod_block(cfg, co, st, xb)
+            o_audio.append(np.asarray(o["audio"]))
+            o_pred.append(np.asarray(o["rds_pred"]))
+            o_valid.append(np.asarray(o["rds_valid"]))
+        outs[name] = (np.concatenate(o_audio, 1),
+                      np.concatenate(o_pred, 1),
+                      np.concatenate(o_valid, 1))
+
+    a_f, a_q = outs["f32"][0][0], outs["i16"][0][0]
+    settle = 2048
+    err = a_q[settle:] - a_f[settle:]
+    snr = 10 * np.log10(
+        (a_f[settle:] ** 2).mean() / ((err ** 2).mean() + 1e-20))
+    assert snr > 55.0, f"i16 inter-stage lens costs too much: {snr:.1f} dB"
+
+    def decode(pred, valid):
+        chain = RDSFullChain()
+        chain.process_symbols(pred[0][valid[0]])
+        return [tuple(b.data for b in g) for g in chain.chain.groups
+                if all(b.is_valid for b in g)]
+
+    g_f = decode(outs["f32"][1], outs["f32"][2])
+    g_q = decode(outs["i16"][1], outs["i16"][2])
+    assert g_f and g_q == g_f
+
+
 def test_update_controls_midstream():
     """Runtime control changes (the reference's GUI dirty-flag redesign,
     broadcast_fm_demod.cpp:330-389): flip to LPR-only and enable de-emphasis

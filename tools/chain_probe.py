@@ -65,8 +65,23 @@ def fused_prefix(cfg, coeffs, state, x, upto: int):
     st3, lpr, lmr, rds = extract_pallas(coeffs, cfg, st, iq_p, dt)
     for k in ("ds_audio_lpr", "ds_audio_lmr", "ds_rds"):
         st[k] = st3[k]
-    return st, (jnp.sum(lpr) + jnp.sum(lmr[1]) + jnp.sum(rds[0])
-                + jnp.sum(rds[1]))
+    if upto == 3:
+        return st, (jnp.sum(lpr) + jnp.sum(lmr[1]) + jnp.sum(rds[0])
+                    + jnp.sum(rds[1]))
+    # stage 4: the post-extract glue — RDS AGC + BPSK synchroniser kernel
+    # (the remaining chain pieces outside the four big kernels)
+    from fm_radio_tpu.kernels.bpsk_pallas import bpsk_sync_pallas
+    from fm_radio_tpu.ops.agc import agc_process_p
+
+    st["agc_rds"], rds_agc_p = agc_process_p(
+        st["agc_rds"], rds, target_power=cfg.bpsk.agc_target_power
+    )
+    st["bpsk"], bpsk_outs = bpsk_sync_pallas(
+        cfg, st["bpsk"], rds_agc_p,
+        interpret=jax.default_backend() != "tpu")
+    return st, (jnp.sum(lpr) + jnp.sum(lmr[1])
+                + jnp.sum(bpsk_outs["pred"])
+                + jnp.sum(bpsk_outs["valid"].astype(jnp.float32)))
 
 
 FUSED_STAGES = [
@@ -74,6 +89,7 @@ FUSED_STAGES = [
     "+ K2 ds2/deemph/hilbert/peak/theta",
     "+ PLL serial kernel",
     "+ K3 LPR/LMR/RDS extract",
+    "+ RDS AGC + BPSK kernel",
 ]
 
 

@@ -57,9 +57,11 @@ def main() -> int:
     # FMTPU_GOLDEN_NO=256: gate the wide-band lens on REAL Mosaic (the
     # output-identity test runs in interpret mode; Mosaic compiles the
     # wider band differently and must be accuracy-checked on chip too)
+    # FMTPU_GOLDEN_I16=1: gate the int16 inter-stage format lens
     cfg = DemodConfig(
         frontend_int8=os.environ.get("FMTPU_GOLDEN_INT8") == "1",
         frontend_band_no=int(os.environ.get("FMTPU_GOLDEN_NO", "128")),
+        interstage_i16=os.environ.get("FMTPU_GOLDEN_I16") == "1",
     )
     # FMTPU_GOLDEN_FMT=i8: feed [2, 1, N] int8 planes instead of packed f32
     # words — with FMTPU_GOLDEN_INT8=1 this gates the int8-DIRECT front end
