@@ -5,8 +5,10 @@ PLL / extract); ``--unfused`` probes the XLA-op fallback path stage by stage.
 Each prefix is timed inside a scanned multi-block dispatch (the only reliable
 measurement over the tunnel: per-dispatch latency is 5-30 ms and variable,
 so only deltas between prefixes at n_blocks amortization are trustworthy).
-Probes are FULL reductions of each new output — anything less lets XLA
-dead-code-eliminate stage work and corrupts the deltas.
+Completion probes: the fused path consumes ONE element per kernel output
+(pallas_call is opaque to XLA — O(1) probes force the kernel without adding
+full-reduction passes to the deltas); the unfused path keeps FULL sums
+(XLA ops are partially DCE-able, anything less corrupts the deltas).
 
 Usage: python tools/chain_probe.py [channels] [block] [n_blocks] [--unfused]
 """
@@ -28,6 +30,14 @@ from fm_radio_tpu.ops.discriminator import fm_discriminate_p
 from fm_radio_tpu.ops.fir import hilbert_fir_p, polyphase_decimate, polyphase_decimate_p
 from fm_radio_tpu.ops.iir import iir_filter_planes
 from fm_radio_tpu.ops.mixer import apply_harmonic_pll_p
+
+
+def _probe(*arrays):
+    """O(1) completion probe: pallas_call is opaque to XLA, so consuming ONE
+    element of each output forces the whole kernel without adding the full-
+    reduction passes that used to inflate each stage's delta by ~0.3-0.5 ms
+    (the unfused path still needs full sums — XLA ops DCE partially)."""
+    return sum(a[..., 0, 0].astype(jnp.float32).reshape(()) for a in arrays)
 
 
 def fused_prefix(cfg, coeffs, state, x, upto: int):
@@ -53,21 +63,20 @@ def fused_prefix(cfg, coeffs, state, x, upto: int):
     st["ds_fm_in"] = jax.lax.complex(*tail)
     st["disc_prev_theta"] = prev
     if upto == 0:
-        return st, jnp.sum(fm_demod)
+        return st, _probe(fm_demod)
     st2, iq_p, theta = midend_pallas(coeffs, cfg, st, fm_demod)
     for k in ("ds_fm_out", "deemph", "hilbert", "peak_pilot", "agc_pilot"):
         st[k] = st2[k]
     if upto == 1:
-        return st, jnp.sum(iq_p[0]) + jnp.sum(iq_p[1]) + jnp.sum(theta)
+        return st, _probe(iq_p[0], iq_p[1], theta)
     st["pll"], dt = pilot_pll_pallas_theta(cfg, st["pll"], theta)
     if upto == 2:
-        return st, jnp.sum(dt) + jnp.sum(iq_p[0]) + jnp.sum(iq_p[1])
+        return st, _probe(dt, iq_p[0], iq_p[1])
     st3, lpr, lmr, rds = extract_pallas(coeffs, cfg, st, iq_p, dt)
     for k in ("ds_audio_lpr", "ds_audio_lmr", "ds_rds"):
         st[k] = st3[k]
     if upto == 3:
-        return st, (jnp.sum(lpr) + jnp.sum(lmr[1]) + jnp.sum(rds[0])
-                    + jnp.sum(rds[1]))
+        return st, _probe(lpr, lmr[1], rds[0], rds[1])
     # stage 4: the post-extract glue — RDS AGC + BPSK synchroniser kernel
     # (the remaining chain pieces outside the four big kernels)
     from fm_radio_tpu.kernels.bpsk_pallas import bpsk_sync_pallas
@@ -79,9 +88,8 @@ def fused_prefix(cfg, coeffs, state, x, upto: int):
     st["bpsk"], bpsk_outs = bpsk_sync_pallas(
         cfg, st["bpsk"], rds_agc_p,
         interpret=jax.default_backend() != "tpu")
-    return st, (jnp.sum(lpr) + jnp.sum(lmr[1])
-                + jnp.sum(bpsk_outs["pred"])
-                + jnp.sum(bpsk_outs["valid"].astype(jnp.float32)))
+    return st, _probe(lpr, lmr[1], bpsk_outs["pred"],
+                      bpsk_outs["valid"].astype(jnp.float32))
 
 
 FUSED_STAGES = [
