@@ -166,15 +166,40 @@ def run(args: argparse.Namespace) -> int:
                 f"throughput degraded: early {early} -> late {late} Msps"
             )
     # gate 2: bounded memory after the first settled window
+    platform_leak_mb = None
     if len(windows) >= 3:
         grow = windows[-1]["rss_mb"] - windows[1]["rss_mb"]
-        if grow > args.rss_slack_mb:
-            failures.append(f"RSS grew {grow:.0f} MB > {args.rss_slack_mb}")
+        allowed = args.rss_slack_mb
+        import jax
+
+        if jax.devices()[0].platform != "cpu":
+            # Known axon-tunnel client defect (measured round 3, docs/PERF.md
+            # "tunnel transfer leak"): EVERY host<->device transfer's bytes
+            # are retained by the client — +16 MB RSS per 16 MB upload,
+            # unreclaimable (gc + jax.clear_caches no-ops, jax.live_arrays()
+            # empty), regardless of buffer reuse.  Serving over the tunnel
+            # therefore grows linearly with ingested bytes.  Budget 3x the
+            # per-window upload volume (captures re-upload + channelizer
+            # feeds + output fetches) and gate on the EXCESS — framework-
+            # side accumulation beyond the platform leak still fails.  The
+            # CPU lane (tests, CI) keeps the strict slack and covers
+            # framework leaks at full sensitivity.
+            upload_mb = n * 4 / 1e6
+            platform_leak_mb = round(3.0 * upload_mb * (len(windows) - 2), 1)
+            allowed = args.rss_slack_mb + platform_leak_mb
+        if grow > allowed:
+            failures.append(
+                f"RSS grew {grow:.0f} MB > {allowed:.0f} "
+                f"(slack {args.rss_slack_mb}"
+                + (f" + tunnel-leak budget {platform_leak_mb}"
+                   if platform_leak_mb else "") + ")"
+            )
 
     verdict = {
         "pass": not failures,
         "windows": len(windows),
         "failures": failures,
+        "tunnel_leak_budget_mb": platform_leak_mb,
         "rds_backend": type(app.rds_chains[0]).__name__,
         "stations": {
             f"st{k+1}": app.rds_database(k).summary() for k in range(n_st)
