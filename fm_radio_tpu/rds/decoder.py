@@ -2,8 +2,8 @@
 
 Parity: ``RDS_Decoder`` (``src/rds_decoder/rds_decoder.cpp:82-540``): version-A
 group types 0, 1, 2, 3, 4, 10, 11, 14 implemented; BEYOND the reference (which
-leaves every version-B group undecoded) types 0B and 2B are also decoded
-(``rds_decoder.cpp:128-157``).  One structured log line is produced per group
+leaves every version-B group undecoded) types 0B/1B/2B/14B/15B are also
+decoded (``rds_decoder.cpp:128-157``).  One structured log line is produced per group
 in the reference's format (``LoggingBuffer``) so stdout-parity tests against
 ``rds_decode`` are possible.
 """
@@ -46,7 +46,7 @@ class RDSDecoder:
         EVERY version-B group prints ``Unsupported_Code``
         (``rds_decoder.cpp:146-155``) — required for stdout-parity against
         ``rds_decode`` on streams containing B groups.  Default (False)
-        additionally decodes 0B/2B/15B (a strict superset)."""
+        additionally decodes 0B/1B/2B/14B/15B (a strict superset)."""
         self.handler = handler if handler is not None else _NullHandler()
         self.strict_ref = strict_ref
         self._msg: list[str] = []
@@ -122,6 +122,7 @@ class RDSDecoder:
             return False
         dispatch_b = {
             0: self._on_group_0b,
+            1: self._on_group_1b,
             2: self._on_group_2b,
             14: self._on_group_14b,
             15: self._on_group_15b,
@@ -249,6 +250,26 @@ class RDSDecoder:
             f"TA={ta}, M/S={ms}, decoder={di}, segment_address={seg}, "
             f"text='{c0}{c1}'"
         )
+        return has_d
+
+    def _on_group_1b(self, group) -> bool:
+        """Type 1B: programme item number, version B (IEC 62106 §6.1.5.2;
+        NOT in the reference — see _on_group_type).  Block C' repeats the PI
+        so only the paging code (block B) and the PIN day/time (block D,
+        same layout as 1A's block D, rds_decoder.cpp:246-300) survive."""
+        block_b, block_d = group[1], group[3]
+        has_d = self._has(block_d, "D")
+
+        paging_codes = block_b.data & 0x1F
+        day = (block_d.data >> 11) & 0x1F
+        hour = (block_d.data >> 6) & 0x1F
+        minute = block_d.data & 0x3F
+
+        self._ap(f"radio_paging_code={paging_codes}, ")
+        if has_d:
+            self._ap(f"day={day}, time={hour:02d}:{minute:02d}")
+        else:
+            self._ap("day=?, time=?")
         return has_d
 
     def _on_group_2b(self, group) -> bool:

@@ -225,6 +225,25 @@ def test_decoder_0b_service_name():
     assert chain.db.service_name_str == "BSIDE FM"
 
 
+def test_decoder_1b_programme_item_number():
+    """Version-B programme item number (1B): paging code from block B, PIN
+    day/time from block D (BEYOND the reference, which logs 1B as
+    unsupported, rds_decoder.cpp:128-157)."""
+    chain = RDSDecodingChain()
+    d = (13 << 11) | (21 << 6) | 45  # day 13, 21:45
+    groups = [_mk_group(pi=0x1B1B, gtype=1, version=1,
+                        extra_b=0b00111, c=0x1B1B, d=d)] * 3
+    chain.process(_groups_to_bytes(groups))
+    line = next(ln for ln in chain.log_lines if "Type  1B" in ln)
+    assert "radio_paging_code=7" in line
+    assert "day=13, time=21:45" in line
+    # strict mode still declines it (reference parity)
+    strict = RDSDecodingChain(strict_ref=True)
+    strict.process(_groups_to_bytes(groups))
+    line = next(ln for ln in strict.log_lines if "Type  1B" in ln)
+    assert "Unsupported_Code" in line
+
+
 def test_decoder_2b_radio_text():
     """Version-B RadioText (2B): 2 chars/group from block D, 32-char text."""
     chain = RDSDecodingChain()
