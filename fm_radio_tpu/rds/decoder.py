@@ -113,10 +113,10 @@ class RDSDecoder:
         # Version-B groups (block C' carries the PI code; payload shrinks to
         # block D).  The reference declines ALL of these
         # (``rds_decoder.cpp:128-157`` falls through to "unsupported code");
-        # 0B (programme service name) and 2B (32-char RadioText) are common
-        # in real broadcasts, so this framework decodes them — a strict
-        # superset: version-A-only streams behave identically.  strict_ref
-        # restores exact reference behavior for stdout parity.
+        # this framework decodes the common ones — everything in
+        # ``dispatch_b`` below (0B/1B/2B/14B/15B) — a strict superset:
+        # version-A-only streams behave identically.  strict_ref restores
+        # exact reference behavior for stdout parity.
         if self.strict_ref:
             self._ap("Unsupported_Code")
             return False
