@@ -20,6 +20,25 @@ if os.environ.get("FMTPU_TPU_TESTS") != "1":
 
     jax.config.update("jax_platforms", "cpu")
 
+# Hardware-run artifact trail: when the hardware accuracy gates run on the
+# real chip (FMTPU_TPU_TESTS=1), each gate's outcome is merged into
+# ACCURACY_HW_LAST.json so the accuracy claims carry a timestamped in-repo
+# record the way BENCH_HW_LAST.json does for throughput.
+def pytest_runtest_logreport(report):
+    if (
+        report.when != "call"
+        or "test_tpu_accuracy" not in report.nodeid
+        or os.environ.get("FMTPU_TPU_TESTS") != "1"
+    ):
+        return
+    from fm_radio_tpu.utils.hwrecord import device_kind, record_hw_result
+
+    record_hw_result(
+        "gates", report.nodeid.split("::")[-1],
+        outcome=report.outcome, device=device_kind(),
+    )
+
+
 # NaN-debug lane (SURVEY.md §5.2 — the TPU-side replacement for sanitizers):
 # FMTPU_DEBUG_NANS=1 re-runs the ENTIRE suite with jax_debug_nans on, so any
 # computation returning NaN raises at the producing op instead of corrupting

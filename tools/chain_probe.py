@@ -40,9 +40,22 @@ def _probe(*arrays):
     return sum(a[..., 0, 0].astype(jnp.float32).reshape(()) for a in arrays)
 
 
-def fused_prefix(cfg, coeffs, state, x, upto: int):
-    """Production kernels, stages 0..upto."""
-    from fm_radio_tpu.kernels.extract_pallas import extract_pallas
+def fused_prefix(cfg, coeffs, state, x, upto: int, k3iso: str = ""):
+    """Production kernels, stages 0..upto.
+
+    ``k3iso`` (with upto=3) isolates pieces of the K3 stage delta — the
+    round-3 open question was ~1.7 ms of "inter-kernel packing" charged to
+    K3 in-chain vs its standalone probe (VERDICT r3 item 2):
+      "glue"    pack_ext_tails + state glue only, NO kernel (full-sum probe:
+                XLA would DCE an O(1)-probed pack down to one element)
+      "twice"   extract_pallas twice; (twice - normal) = the marginal cost
+                of a second in-chain K3 whose producers ran 2 dispatches ago
+      "barrier" optimization_barrier on (iq_p, dt) before the kernel —
+                decouples K3 from its producers in XLA's scheduler
+    """
+    from fm_radio_tpu.kernels.extract_pallas import (
+        extract_pallas, pack_ext_tails,
+    )
     from fm_radio_tpu.kernels.frontend_pallas import ds4_disc_pallas
     from fm_radio_tpu.kernels.midend_pallas import midend_pallas
     from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas_theta
@@ -72,9 +85,22 @@ def fused_prefix(cfg, coeffs, state, x, upto: int):
     st["pll"], dt = pilot_pll_pallas_theta(cfg, st["pll"], theta)
     if upto == 2:
         return st, _probe(dt, iq_p[0], iq_p[1])
+    if upto == 3 and k3iso == "glue":
+        c = iq_p[0].shape[0]
+        halo_a = coeffs.taps_audio_lpr.shape[0] - 4
+        halo_r = coeffs.taps_rds.shape[0] - 8
+        tails = pack_ext_tails(st, c, halo_a, halo_r)
+        return st, jnp.sum(tails) + _probe(dt, iq_p[0], iq_p[1])
+    if upto == 3 and k3iso == "barrier":
+        iq_p = jax.lax.optimization_barrier(iq_p)
+        dt = jax.lax.optimization_barrier(dt)
     st3, lpr, lmr, rds = extract_pallas(coeffs, cfg, st, iq_p, dt)
     for k in ("ds_audio_lpr", "ds_audio_lmr", "ds_rds"):
         st[k] = st3[k]
+    if upto == 3 and k3iso == "twice":
+        st4, lpr2, lmr2, rds2 = extract_pallas(coeffs, cfg, st, iq_p, dt)
+        return st, _probe(lpr, lmr[1], rds[0], rds[1],
+                          lpr2, lmr2[1], rds2[0], rds2[1])
     if upto == 3:
         return st, _probe(lpr, lmr[1], rds[0], rds[1])
     # stage 4: the post-extract glue — RDS AGC + BPSK synchroniser kernel
@@ -281,22 +307,45 @@ def main():
 
     stages = UNFUSED_STAGES if unfused else FUSED_STAGES
     prefix = chain_prefix if unfused else fused_prefix
-    prev = 0.0
-    for upto, name in enumerate(stages):
+    k3iso = "--k3iso" in sys.argv
+
+    def timed_prefix(upto, iso=""):
         @jax.jit
-        def run(state, x, _upto=upto):
+        def run(state, x):
             def step(st, _):
                 if unfused:
-                    st, probe = prefix(cfg, coeffs, st, (x[0], x[1]), _upto)
+                    st, probe = prefix(cfg, coeffs, st, (x[0], x[1]), upto)
                 else:
-                    st, probe = prefix(cfg, coeffs, st, x, _upto)
+                    st, probe = prefix(cfg, coeffs, st, x, upto, k3iso=iso)
                 return st, probe
             st, probes = jax.lax.scan(step, state, None, length=n_blocks)
             return jnp.sum(probes)
 
-        dt = timed(run, state, x)
+        return timed(run, state, x)
+
+    prev = 0.0
+    t3 = t2 = 0.0
+    for upto, name in enumerate(stages):
+        dt = timed_prefix(upto)
         print(f"{name:36s} {dt*1e3:9.2f} ms/block   (delta {1e3*(dt-prev):+8.2f} ms)")
+        if upto == 2:
+            t2 = dt
+        if upto == 3:
+            t3 = dt
         prev = dt
+
+    if k3iso and not unfused:
+        # K3-delta isolation (VERDICT r3 item 2): where does the in-chain K3
+        # stage pay over its standalone probe?
+        for iso, expl in (
+            ("glue", "pack_ext_tails + state glue, NO kernel"),
+            ("barrier", "K3 behind an optimization_barrier"),
+            ("twice", "K3 x2 (delta = marginal 2nd in-chain K3)"),
+        ):
+            dt = timed_prefix(3, iso)
+            base = t3 if iso == "twice" else t2
+            print(f"k3iso:{iso:28s} {dt*1e3:9.2f} ms/block   "
+                  f"(delta {1e3*(dt-base):+8.2f} ms)  [{expl}]")
 
     @jax.jit
     def run_full(state, x):

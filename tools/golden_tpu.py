@@ -82,6 +82,19 @@ def main() -> int:
     print(f"hardware golden audio SNR: {snr:.1f} dB   RDS bit-exact: {exact}")
     ok = snr > 75.0 and exact
     print("PASS" if ok else "FAIL")
+
+    # artifact trail (ACCURACY_HW_LAST.json): record the measurement under
+    # its exact config lens so accuracy claims are auditable like the
+    # BENCH_HW_LAST.json throughput ones
+    from fm_radio_tpu.utils.hwrecord import device_kind, record_hw_result
+
+    lens = (f"int8={int(cfg.frontend_int8)},no={cfg.frontend_band_no},"
+            f"i16={int(cfg.interstage_i16)},"
+            f"fmt={os.environ.get('FMTPU_GOLDEN_FMT', 'f32w')}")
+    record_hw_result(
+        "golden", lens, snr_db=round(float(snr), 2), rds_exact=exact,
+        passed=ok, device=device_kind(),
+    )
     return 0 if ok else 1
 
 
