@@ -43,13 +43,17 @@ def _unpack_state(st: jnp.ndarray) -> BPSKState:
 
 
 def _bpsk_kernel(
-    x_re_ref, x_im_ref, st_ref, pred_ref, sym_re_ref, valid_ref, out_st_ref,
-    carry_ref, xr_t_ref, xi_t_ref, pr_t_ref, sy_t_ref, va_t_ref,
-    *, n_steps: int, n_chunks: int, ts: float, pll_ki_ts: float, pll_kp: float, pll_f_gain: float,
+    x_re_ref, x_im_ref, st_ref, *refs,
+    n_steps: int, n_chunks: int, ts: float, pll_ki_ts: float, pll_kp: float, pll_f_gain: float,
     pll_lpf_b0: float, pll_lpf_a1: float, ted_ki_ts: float, ted_kp: float,
     ted_f_center: float, ted_f_gain: float, ted_lpf_b0: float, ted_lpf_a1: float,
     int_dump_kts: float, zcd_cooldown: float, channel_major: bool = False,
+    apply_gain: bool = False,
 ):
+    if apply_gain:
+        gain_ref, *refs = refs
+    (pred_ref, sym_re_ref, valid_ref, out_st_ref,
+     carry_ref, xr_t_ref, xi_t_ref, pr_t_ref, sy_t_ref, va_t_ref) = refs
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
     half_pi = jnp.float32(jnp.pi / 2.0)
@@ -63,15 +67,27 @@ def _bpsk_kernel(
 
     carry0 = tuple(carry_ref[pl.ds(k, 1), :] for k in range(_ROWS))
 
+    # fused RDS AGC ingest: gain [1, ct] per channel, measured by the extract
+    # kernel and updated in XLA — scaling here replaces the agc_process_p HBM
+    # round trip over the rds planes (broadcast_fm_demod.cpp:538-541); the
+    # multiply is the exact same f32 op the separate pass performed, so the
+    # loop's arithmetic is bit-identical.
+    g_row = gain_ref[...] if apply_gain else None
+
     if channel_major:
         # HBM blocks stay [C, nc] (the producers' native layout, same trick
         # as the PLL kernel): the flips to/from the loop's time-major form
         # happen in VMEM instead of costing FOUR full XLA transpose passes
         # over HBM ([C, N] x 2 inputs + 3 outputs at bench scale).
-        xr_t_ref[...] = x_re_ref[...].T
-        xi_t_ref[...] = x_im_ref[...].T
+        if apply_gain:
+            xr_t_ref[...] = x_re_ref[...].T * g_row
+            xi_t_ref[...] = x_im_ref[...].T * g_row
+        else:
+            xr_t_ref[...] = x_re_ref[...].T
+            xi_t_ref[...] = x_im_ref[...].T
         src_re, src_im = xr_t_ref, xi_t_ref
         dst_p, dst_s, dst_v = pr_t_ref, sy_t_ref, va_t_ref
+        g_row = None  # already applied on the whole chunk
     else:
         src_re, src_im = x_re_ref, x_im_ref
         dst_p, dst_s, dst_v = pred_ref, sym_re_ref, valid_ref
@@ -90,6 +106,9 @@ def _bpsk_kernel(
         s = _cheb(t)
         xr = src_re[pl.ds(i, 1), :]
         xi = src_im[pl.ds(i, 1), :]
+        if g_row is not None:   # non-channel-major fused-AGC path
+            xr = xr * g_row
+            xi = xi * g_row
         iq_re = xr * c - xi * s
         iq_im = xr * s + xi * c
 
@@ -179,10 +198,14 @@ def bpsk_consts_from_cfg(cfg) -> dict:
     )
 
 
-def bpsk_sync_pallas(cfg, state: BPSKState, x: jnp.ndarray, interpret: bool = False):
+def bpsk_sync_pallas(cfg, state: BPSKState, x: jnp.ndarray, interpret: bool = False,
+                     gain: jnp.ndarray | None = None):
     """Drop-in for bpsk_sync_scan's production outputs.
 
     x: [C, N] complex64 or a plane tuple (re, im) of f32 [C, N].
+    ``gain`` [C] (optional): per-channel RDS AGC gain applied to x at ingest
+    in-VMEM (the fused replacement for the agc_process_p pass — the f32
+    multiply is identical, so outputs are bit-exact vs pre-scaled input).
     Returns (state', outs) with outs keys sym / pred / valid (the iq debug
     tap is scan-path only).
     """
@@ -202,7 +225,8 @@ def bpsk_sync_pallas(cfg, state: BPSKState, x: jnp.ndarray, interpret: bool = Fa
 
     kern = functools.partial(
         _bpsk_kernel, n_steps=nc, n_chunks=n_chunks,
-        channel_major=channel_major, **bpsk_consts_from_cfg(cfg)
+        channel_major=channel_major, apply_gain=gain is not None,
+        **bpsk_consts_from_cfg(cfg)
     )
     grid = (c // ct, n_chunks)
     if channel_major:
@@ -217,14 +241,21 @@ def bpsk_sync_pallas(cfg, state: BPSKState, x: jnp.ndarray, interpret: bool = Fa
         io_shape = jax.ShapeDtypeStruct((n, c), jnp.float32)
         t_scratch = pltpu.VMEM((8, 128), jnp.float32)
         x_re, x_im = xr.T, xi.T
+    in_specs = [
+        io_spec,
+        io_spec,
+        pl.BlockSpec((_ROWS, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+    ]
+    operands = [x_re, x_im, st]
+    if gain is not None:
+        in_specs.append(
+            pl.BlockSpec((1, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+        )
+        operands.append(gain[None, :])
     pred_t, sym_re_t, valid_t, out_st = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            io_spec,
-            io_spec,
-            pl.BlockSpec((_ROWS, ct), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             io_spec,
             io_spec,
@@ -240,7 +271,7 @@ def bpsk_sync_pallas(cfg, state: BPSKState, x: jnp.ndarray, interpret: bool = Fa
         scratch_shapes=[pltpu.VMEM((_ROWS, ct), jnp.float32)]
         + [t_scratch] * 5,
         interpret=interpret,
-    )(x_re, x_im, st)
+    )(*operands)
 
     if channel_major:
         pred, sym_re, valid = pred_t, sym_re_t, valid_t

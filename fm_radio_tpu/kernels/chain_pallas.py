@@ -272,7 +272,10 @@ def demod_chain_pallas(
     # ---- K1 params (shared helpers: frontend_pallas) ---------------------
     nn1 = coeffs.taps_fm_in.shape[0]
     halo1 = nn1 - 4
-    band1 = _band_matrix(coeffs.taps_fm_in)
+    tbl = getattr(coeffs, "kernel_tables", None) or {}
+    band1 = tbl.get("k1_band")
+    if band1 is None or band1.shape[1] != _NO:
+        band1 = _band_matrix(coeffs.taps_fm_in)
     k1_tail = pack_front_tail(
         (state["ds_fm_in"].real, state["ds_fm_in"].imag), c, halo1
     )
@@ -284,8 +287,12 @@ def demod_chain_pallas(
     k_h = coeffs.taps_hilbert.shape[0]
     hilb_delay = (k_h - 1) // 2
     use_deemph = bool(cfg.use_deemphasis_filter)
-    band2 = _band_m(coeffs.taps_fm_out, 2)
-    band3 = _band_m(coeffs.taps_hilbert, 1)
+    band2 = tbl.get("band_fm_out")
+    if band2 is None:
+        band2 = _band_m(coeffs.taps_fm_out, 2)
+    band3 = tbl.get("band_hilbert")
+    if band3 is None:
+        band3 = _band_m(coeffs.taps_hilbert, 1)
     t1, aux1, tp, auxp = mid_iir_params(coeffs, use_deemph)
     tail2, htail, mid_st0 = pack_mid_state(state, c, halo2, k_h)
 

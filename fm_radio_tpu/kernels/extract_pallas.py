@@ -41,6 +41,7 @@ def _extract_body(
     xr, xi, dt, off, ba_ref, bm_ref, br_ref,
     blpr_ref, blmr_r_ref, blmr_i_ref, brds_r_ref, brds_i_ref,
     *, t_blk: int, n_out: int, h_lmr: float, h_rds: float, interp: bool,
+    rds_acc_ref=None,
 ):
     """One fm_out_iq tile (xr, xi, dt all [c, t_blk]) -> (lpr, lmr_re,
     lmr_im [c, t_blk//4], rds_re, rds_im [c, t_blk//8]) values; updates the
@@ -103,6 +104,16 @@ def _extract_body(
     rds_re = dec(brds_r_ref, br_hi, br_lo, 8, nr)
     rds_im = dec(brds_i_ref, br_hi, br_lo, 8, nr)
 
+    if rds_acc_ref is not None:
+        # RDS AGC power measurement fused into this kernel (the values are
+        # already in VMEM): the gain update happens in XLA on the [C, 1] sum
+        # and the BPSK kernel applies it at ingest — the separate
+        # agc_process_p pass over the rds planes (a pure HBM round trip,
+        # broadcast_fm_demod.cpp:538-541) disappears.
+        rds_acc_ref[...] = rds_acc_ref[...] + jnp.sum(
+            rds_re * rds_re + rds_im * rds_im, axis=-1, keepdims=True
+        )
+
     for buf in (blpr_ref, blmr_r_ref, blmr_i_ref, brds_r_ref, brds_i_ref):
         buf[:, :_TB] = buf[:, t_blk:]
     return lpr, lmr_re, lmr_im, rds_re, rds_im
@@ -111,7 +122,8 @@ def _extract_body(
 def _extract_kernel(
     re_ref, im_ref, dt_ref, off_ref, tails_ref, ba_ref, bm_ref, br_ref,
     lpr_ref, lmr_re_ref, lmr_im_ref, rds_re_ref, rds_im_ref, out_tails_ref,
-    blpr_ref, blmr_r_ref, blmr_i_ref, brds_r_ref, brds_i_ref,
+    out_pow_ref,
+    blpr_ref, blmr_r_ref, blmr_i_ref, brds_r_ref, brds_i_ref, acc_ref,
     *, t_blk: int, n_tt: int, h_lmr: float, h_rds: float, interp: bool,
     iq_i16: bool = False, dt_i16: bool = False,
 ):
@@ -124,6 +136,7 @@ def _extract_kernel(
         blmr_i_ref[:, :_TB] = tails_ref[2]
         brds_r_ref[:, :_TB] = tails_ref[3]
         brds_i_ref[:, :_TB] = tails_ref[4]
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
     # int16 inter-stage inputs (kernels/qformat.py): dequant in-VMEM
     from fm_radio_tpu.kernels.qformat import IQ_SCALE, PH_SCALE, dq_i16
@@ -136,6 +149,7 @@ def _extract_kernel(
         ba_ref, bm_ref, br_ref,
         blpr_ref, blmr_r_ref, blmr_i_ref, brds_r_ref, brds_i_ref,
         t_blk=t_blk, n_out=_NO, h_lmr=h_lmr, h_rds=h_rds, interp=interp,
+        rds_acc_ref=acc_ref,
     )
     lpr_ref[...] = lpr
     lmr_re_ref[...] = lmr_re
@@ -150,6 +164,7 @@ def _extract_kernel(
         out_tails_ref[2] = blmr_i_ref[:, :_TB]
         out_tails_ref[3] = brds_r_ref[:, :_TB]
         out_tails_ref[4] = brds_i_ref[:, :_TB]
+        out_pow_ref[...] = acc_ref[...]
 
 
 def pick_tiles_ext(c: int, b8: int) -> tuple[int, int] | None:
@@ -191,7 +206,9 @@ def extract_pallas(
     lmr_phase_err offset is READ here but updated by the caller from the
     decimated L-R IQ, exactly like the unfused path).
     Returns (state', audio_lpr [C, B/32], (lmr_re, lmr_im) [C, B/32],
-    (rds_re, rds_im) [C, B/64]).
+    (rds_re, rds_im) [C, B/64], rds_pow [C] — the block power sum of the
+    decimated RDS signal, measured in-kernel so the RDS AGC
+    (broadcast_fm_demod.cpp:538-541) needs no separate pass over the planes).
     """
     xr, xi = iq_p
     c, b8 = xr.shape
@@ -207,9 +224,20 @@ def extract_pallas(
     h_lmr = cfg.analog.f_audio_lmr_center / cfg.analog.f_pilot
     h_rds = cfg.analog.f_rds_center / cfg.analog.f_pilot
 
-    ba = _band_m(coeffs.taps_audio_lpr, 4)
-    bm = _band_m(coeffs.taps_audio_lmr, 4)
-    br = _band_m(coeffs.taps_rds, 8)
+    # design-time precomputed tables (see DemodCoeffs.kernel_tables):
+    # building these HERE put their gathers inside the scan body — the
+    # round-3 stage table's entire "in-chain K3 packing" delta (~2 ms/step)
+    # was XLA re-gathering these three matrices every block
+    tbl = getattr(coeffs, "kernel_tables", None) or {}
+    ba = tbl.get("band_audio_lpr")
+    if ba is None:
+        ba = _band_m(coeffs.taps_audio_lpr, 4)
+    bm = tbl.get("band_audio_lmr")
+    if bm is None:
+        bm = _band_m(coeffs.taps_audio_lmr, 4)
+    br = tbl.get("band_rds")
+    if br is None:
+        br = _band_m(coeffs.taps_rds, 8)
 
     tails = pack_ext_tails(state, c, halo_a, halo_r)
 
@@ -225,7 +253,7 @@ def extract_pallas(
     tspec = lambda div: pl.BlockSpec((c_blk, t_blk // div),
                                      lambda ci, ti: (ci, ti),
                                      memory_space=pltpu.VMEM)
-    (lpr, lmr_re, lmr_im, rds_re, rds_im, out_tails) = pl.pallas_call(
+    (lpr, lmr_re, lmr_im, rds_re, rds_im, out_tails, out_pow) = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -244,6 +272,7 @@ def extract_pallas(
             tspec(4), tspec(4), tspec(4), tspec(8), tspec(8),
             pl.BlockSpec((5, c_blk, _TB), lambda ci, ti: (0, ci, 0),
                          memory_space=pltpu.VMEM),
+            rowspec(1),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((c, b8 // 4), jnp.float32),
@@ -252,10 +281,11 @@ def extract_pallas(
             jax.ShapeDtypeStruct((c, b8 // 8), jnp.float32),
             jax.ShapeDtypeStruct((c, b8 // 8), jnp.float32),
             jax.ShapeDtypeStruct((5, c, _TB), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((c_blk, _TB + t_blk), jnp.float32) for _ in range(5)
-        ],
+        ] + [pltpu.VMEM((c_blk, 1), jnp.float32)],
         interpret=interpret,
     )(xr, xi, dt, state["lmr_phase_err"][:, None], tails, ba, bm, br)
 
@@ -274,4 +304,4 @@ def extract_pallas(
     new_state["ds_rds"] = jax.lax.complex(
         out_tails[3, :, _TB - halo_r :], out_tails[4, :, _TB - halo_r :]
     )
-    return new_state, lpr, (lmr_re, lmr_im), (rds_re, rds_im)
+    return new_state, lpr, (lmr_re, lmr_im), (rds_re, rds_im), out_pow[:, 0]

@@ -374,7 +374,8 @@ def _ds4_disc_i8_direct_kernel(
 
 
 def _ds4_disc_i8_direct(taps, tail_p, prev_theta, x8, fd, fs_out,
-                        interpret: bool, no: int, out_i16: bool = False):
+                        interpret: bool, no: int, out_i16: bool = False,
+                        band_tables=None):
     """pallas_call wrapper for the int8-direct kernel (i8 planes ingest +
     int8 band dots).  Carried tails cross as the f32 state the rest of the
     chain uses; the [C, halo] <-> int8 conversions here are negligible."""
@@ -387,7 +388,11 @@ def _ds4_disc_i8_direct(taps, tail_p, prev_theta, x8, fd, fs_out,
     nn = taps.shape[0]
     halo = nn - _M
 
-    b1, b2, s_row = quantize_band_int8(_band_matrix(taps, no))
+    pre = (band_tables or {}).get("k1_i8")
+    if pre is not None and pre[0].shape == (_w, no):
+        b1, b2, s_row = pre  # design-time table (DemodCoeffs.kernel_tables)
+    else:
+        b1, b2, s_row = quantize_band_int8(_band_matrix(taps, no))
     # f32 tail state holds u8-127 baseband values in [-127, 128]; the
     # kernel's int8 domain is (u8-128) = value - 1 in [-128, 127]
     tail8 = (pack_front_tail(tail_p, c, halo) - 1.0).astype(jnp.int8)
@@ -497,6 +502,7 @@ def ds4_disc_pallas(
     int8_dots: bool = False,
     n_out_sub: int = _NO,
     out_i16: bool = False,
+    band_tables=None,
 ):
     """Fused polyphase-ds4 + FM discriminator.
 
@@ -548,7 +554,7 @@ def ds4_disc_pallas(
                 # measured (docs/PERF.md round 3)
                 return _ds4_disc_i8_direct(
                     taps, tail_p, prev_theta, xp, fd, fs_out, interpret, no,
-                    out_i16=out_i16,
+                    out_i16=out_i16, band_tables=band_tables,
                 )
             i8 = True
             c, b = xp.shape[1:]
@@ -568,11 +574,17 @@ def ds4_disc_pallas(
     nn = taps.shape[0]
     halo = nn - _M
     # band stays f32 on the wire (the tunneled backend only transfers f32);
-    # the bf16 hi/lo split happens in-kernel (tiny VPU cost on [640, 128])
-    band = _band_matrix(taps, no)
+    # the bf16 hi/lo split happens in-kernel (tiny VPU cost on [640, 128]).
+    # Prefer the design-time table (DemodCoeffs.kernel_tables) — in-trace
+    # construction lands the gathers inside the caller's scan body.
+    band = (band_tables or {}).get("k1_band")
+    if band is None or band.shape != (_w, no):
+        band = _band_matrix(taps, no)
     if int8_dots:
         assert int_input, "int8 dots require integer-valued input"
-        band_in = quantize_band_int8(band)
+        pre = (band_tables or {}).get("k1_i8")
+        band_in = (pre if pre is not None and pre[0].shape == (_w, no)
+                   else quantize_band_int8(band))
         band_specs = [
             pl.BlockSpec((_w, no), lambda ci, ti: (0, 0),
                          memory_space=pltpu.VMEM),

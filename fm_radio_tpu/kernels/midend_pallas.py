@@ -271,10 +271,19 @@ def pick_tiles_mid(c: int, b4: int) -> tuple[int, int] | None:
     return c_blk, t_blk
 
 
-def mid_iir_params(coeffs, use_deemph: bool):
+def mid_iir_params(coeffs, use_deemph: bool, _from_tables: bool = True):
     """IIR Toeplitz tile matrices (t1, aux1, tp, auxp) for the de-emphasis
     and pilot-peak stages — shared with the chain megakernel so the state
-    layout has exactly one author."""
+    layout has exactly one author.
+
+    Prefers the DESIGN-TIME precomputed coeffs.kernel_tables["mid_iir"]
+    (make_coeffs builds it with ``_from_tables=False``): computing these
+    inside a traced demod_block put their gathers in the scan body at
+    ~0.1 ms/step on TPU (see DemodCoeffs.kernel_tables)."""
+    if _from_tables:
+        tbl = getattr(coeffs, "kernel_tables", None)
+        if tbl and "mid_iir" in tbl:
+            return tbl["mid_iir"]
     if use_deemph:
         t1, hm1, pm1 = _iir_tile_mats(coeffs.deemph_b, coeffs.deemph_a, _LI)
         aux1 = jnp.concatenate([hm1, pm1], axis=0)  # [2, LI]
@@ -362,8 +371,15 @@ def midend_pallas(
     hilb_delay = (k_h - 1) // 2
     use_deemph = bool(cfg.use_deemphasis_filter)
 
-    band2 = _band_m(coeffs.taps_fm_out, 2)
-    band3 = _band_m(coeffs.taps_hilbert, 1)
+    # design-time precomputed tables (see DemodCoeffs.kernel_tables);
+    # fallback construction only for callers with hand-built coeffs
+    tbl = getattr(coeffs, "kernel_tables", None) or {}
+    band2 = tbl.get("band_fm_out")
+    if band2 is None:
+        band2 = _band_m(coeffs.taps_fm_out, 2)
+    band3 = tbl.get("band_hilbert")
+    if band3 is None:
+        band3 = _band_m(coeffs.taps_hilbert, 1)
     t1, aux1, tp, auxp = mid_iir_params(coeffs, use_deemph)
     tail2, htail, st0 = pack_mid_state(state, c, halo2, k_h)
 

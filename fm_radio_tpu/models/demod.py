@@ -78,6 +78,16 @@ class DemodCoeffs(NamedTuple):
     deemph_a: jnp.ndarray
     pll: PilotPLLParams
     bpsk: BPSKParams
+    # Precomputed Pallas kernel tables (banded-matmul matrices, IIR Toeplitz
+    # tiles, int8-quantized K1 band) keyed by name — built ONCE here at
+    # design time.  Building them inside the traced demod_block instead put
+    # their jnp.take gathers in the jaxpr, and XLA does NOT hoist those
+    # kCustom gather fusions out of a lax.scan body: the tables were being
+    # rebuilt EVERY scan step at ~2.2 ms/step on TPU (the round-3 "K3
+    # inter-kernel packing" mystery, docs/PERF.md round 4).  None for
+    # configs whose filter orders exceed the kernels' carried-tail bounds
+    # (those run the unfused XLA path anyway).
+    kernel_tables: Any = None
 
 
 def make_coeffs(cfg: DemodConfig) -> DemodCoeffs:
@@ -121,7 +131,7 @@ def make_coeffs(cfg: DemodConfig) -> DemodCoeffs:
     bpsk = make_bpsk_params(cfg.bpsk)
 
     as_j = lambda x: jnp.asarray(x)
-    return DemodCoeffs(
+    coeffs = DemodCoeffs(
         taps_fm_in=as_j(taps_fm_in),
         taps_fm_out=as_j(taps_fm_out),
         taps_hilbert=as_j(taps_hilbert),
@@ -135,6 +145,45 @@ def make_coeffs(cfg: DemodConfig) -> DemodCoeffs:
         pll=pll,
         bpsk=bpsk,
     )
+    return coeffs._replace(kernel_tables=_make_kernel_tables(cfg, coeffs))
+
+
+def _make_kernel_tables(cfg: DemodConfig, coeffs: DemodCoeffs):
+    """Precompute the Pallas kernels' constant tables at DESIGN time.
+
+    Each table is a pure function of the (host-computed) taps; building
+    them here keeps their gather-heavy construction out of the traced
+    demod_block (see DemodCoeffs.kernel_tables).  A table is only built
+    when its kernel's fuse-gate shape condition holds — other configs take
+    the unfused XLA ops path and never read it.
+    """
+    from fm_radio_tpu.kernels.frontend_pallas import (
+        _band_matrix,
+        quantize_band_int8,
+    )
+    from fm_radio_tpu.kernels.midend_pallas import _TB, _band_m, mid_iir_params
+
+    r = cfg.rates
+    tables: dict[str, Any] = {}
+    if r.ds_fm_in == 4 and coeffs.taps_fm_in.shape[0] - 4 <= _TB:
+        band_k1 = _band_matrix(coeffs.taps_fm_in, cfg.frontend_band_no)
+        tables["k1_band"] = band_k1
+        if cfg.frontend_int8:
+            tables["k1_i8"] = quantize_band_int8(band_k1)
+    if r.ds_fm_out == 2 and coeffs.taps_fm_out.shape[0] - 2 <= _TB:
+        tables["band_fm_out"] = _band_m(coeffs.taps_fm_out, 2)
+    if coeffs.taps_hilbert.shape[0] - 1 <= _TB:
+        tables["band_hilbert"] = _band_m(coeffs.taps_hilbert, 1)
+    tables["mid_iir"] = mid_iir_params(
+        coeffs, bool(cfg.use_deemphasis_filter), _from_tables=False
+    )
+    if r.ds_audio == 4 and coeffs.taps_audio_lpr.shape[0] - 4 <= _TB:
+        tables["band_audio_lpr"] = _band_m(coeffs.taps_audio_lpr, 4)
+    if r.ds_audio == 4 and coeffs.taps_audio_lmr.shape[0] - 4 <= _TB:
+        tables["band_audio_lmr"] = _band_m(coeffs.taps_audio_lmr, 4)
+    if r.ds_rds == 8 and coeffs.taps_rds.shape[0] - 8 <= _TB:
+        tables["band_rds"] = _band_m(coeffs.taps_rds, 8)
+    return tables
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "channels"))
@@ -261,6 +310,7 @@ def demod_block(
         and not i8  # chain megakernel doesn't take the i8 form (opt-in path)
         and pick_tiles_chain(c, b, packed) is not None
     )
+    rds_pow = None  # extract-kernel-measured RDS power sum (fused AGC)
     if fuse_chain:
         st, audio_lpr, tmp_lmr_p, rds_p = demod_chain_pallas(
             coeffs, cfg, st, x if packed else xp,
@@ -307,6 +357,7 @@ def demod_block(
                 and (direct or cfg.assume_integer_input),
                 n_out_sub=cfg.frontend_band_no,
                 out_i16=i16x,
+                band_tables=coeffs.kernel_tables,
             )
             st["ds_fm_in"] = jax.lax.complex(*tail)
             st["disc_prev_theta"] = prev
@@ -426,8 +477,10 @@ def demod_block(
             and pick_tiles_ext(c, b8) is not None
         )
         if fuse_ext:
-            # one HBM pass: L+R ds + harmonic-2 mix/ds + harmonic-3 mix/ds fused
-            st2, audio_lpr, tmp_lmr_p, rds_p = extract_pallas(
+            # one HBM pass: L+R ds + harmonic-2 mix/ds + harmonic-3 mix/ds
+            # fused; the kernel also measures the RDS block power (rds_pow)
+            # so the RDS AGC needs no separate pass below
+            st2, audio_lpr, tmp_lmr_p, rds_p, rds_pow = extract_pallas(
                 coeffs, cfg, st, fm_out_iq_p, dt,
                 interpret=jax.default_backend() != "tpu",
             )
@@ -468,20 +521,41 @@ def demod_block(
         )
 
     # ---- 4. RDS synchronisation ----------------------------------------
-    st["agc_rds"], rds_agc_p = agc_process_p(
-        st["agc_rds"], rds_p, target_power=cfg.bpsk.agc_target_power
-    )
-    if use_pallas:
+    if rds_pow is not None and use_pallas:
+        # fused RDS AGC: power measured inside the extract kernel, gain
+        # update in XLA on the [C] sum, scaling applied at the BPSK kernel's
+        # ingest in-VMEM — the agc_process_p pass over the rds planes (two
+        # full HBM round trips at the 16k rate) disappears.  The scaling
+        # multiply is the identical f32 op, so BPSK outputs are bit-exact
+        # vs the unfused order (broadcast_fm_demod.cpp:538-547).
         from fm_radio_tpu.kernels.bpsk_pallas import bpsk_sync_pallas
+        from fm_radio_tpu.ops.agc import _agc_gain
 
+        n_rds = rds_p[0].shape[-1]
+        st["agc_rds"] = _agc_gain(
+            st["agc_rds"], rds_pow / jnp.float32(n_rds),
+            cfg.bpsk.agc_target_power, 0.2,
+        )
         st["bpsk"], bpsk_outs = bpsk_sync_pallas(
-            cfg, st["bpsk"], rds_agc_p, interpret=jax.default_backend() != "tpu"
+            cfg, st["bpsk"], rds_p, gain=st["agc_rds"],
+            interpret=jax.default_backend() != "tpu",
         )
     else:
-        st["bpsk"], bpsk_outs = bpsk_sync_scan(
-            coeffs.bpsk, st["bpsk"], jax.lax.complex(*rds_agc_p),
-            debug_taps=include_taps,
+        st["agc_rds"], rds_agc_p = agc_process_p(
+            st["agc_rds"], rds_p, target_power=cfg.bpsk.agc_target_power
         )
+        if use_pallas:
+            from fm_radio_tpu.kernels.bpsk_pallas import bpsk_sync_pallas
+
+            st["bpsk"], bpsk_outs = bpsk_sync_pallas(
+                cfg, st["bpsk"], rds_agc_p,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            st["bpsk"], bpsk_outs = bpsk_sync_scan(
+                coeffs.bpsk, st["bpsk"], jax.lax.complex(*rds_agc_p),
+                debug_taps=include_taps,
+            )
 
     # ---- 5. Audio mixing (cpp:549-585) ---------------------------------
     if cfg.audio_out == AudioOut.STEREO:

@@ -20,6 +20,25 @@ if os.environ.get("FMTPU_TPU_TESTS") != "1":
 
     jax.config.update("jax_platforms", "cpu")
 
+# Two-lane suite: the default lane (`python -m pytest tests -q`) skips
+# @pytest.mark.slow tests so it stays a fast (<~6 min) pre-commit gate; the
+# FULL lane — every test, nothing deleted — is
+#     FMTPU_FULL_SUITE=1 python -m pytest tests -q
+# Explicit -m selections (e.g. `-m slow`) bypass the default skip too.
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("FMTPU_FULL_SUITE") == "1" or config.option.markexpr:
+        return
+    skip = pytest.mark.skip(
+        reason="slow lane — run with FMTPU_FULL_SUITE=1 (full suite)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 # Hardware-run artifact trail: when the hardware accuracy gates run on the
 # real chip (FMTPU_TPU_TESTS=1), each gate's outcome is merged into
 # ACCURACY_HW_LAST.json so the accuracy claims carry a timestamped in-repo

@@ -142,6 +142,7 @@ def test_lazy_i8_pcm_matches_eager(tmp_path):
     assert len(LazyI8Pcm(str(p), max_samples=100)) == 100
 
 
+@pytest.mark.slow
 def test_scan_finds_and_identifies_stations(tmp_path):
     """`fmtpu scan`: power-detect the active channels in a wideband capture,
     demodulate only those, and identify them (stereo pilot + RDS PI/PS) —
@@ -180,6 +181,7 @@ def test_scan_finds_and_identifies_stations(tmp_path):
     assert summary[0]["pi_code"] == "CAFE"
 
 
+@pytest.mark.slow
 def test_demod_checkpoint_resume(pcm_file, tmp_path):
     """Split a stream at a block boundary, checkpoint, resume in a new
     process: concatenated audio == single-pass audio (bit-identical)."""
@@ -258,6 +260,7 @@ def test_demod_control_flags(pcm_file, tmp_path):
     np.testing.assert_array_equal(audio[:, 0], audio[:, 1])
 
 
+@pytest.mark.slow
 def test_demod_crash_restart_with_periodic_checkpoint(pcm_file, tmp_path):
     """Periodic checkpointing + crash restart on the SAME file: interrupt a
     run (simulated by truncating the input), then resume with --resume-seek
@@ -351,6 +354,7 @@ def test_synth_single_station_roundtrip(tmp_path):
     assert db["alt_freqs_mhz"] == [87.6, 90.3]
 
 
+@pytest.mark.slow
 def test_synth_wideband_stations_roundtrip(tmp_path):
     """`synth --stations` -> `stations`: each station in the generated
     wideband capture decodes its own PI/name."""
@@ -392,6 +396,7 @@ def test_selftest_passes():
     assert verdict["checks"]["stereo_separation_db"]["value"] > 20.0
 
 
+@pytest.mark.slow
 def test_selftest_wideband():
     """`fmtpu selftest --stations 2` gates the channelize -> batched-demod
     pipeline: each station's PI + service name must decode."""

@@ -160,6 +160,7 @@ def test_input_chunking_invariance():
     np.testing.assert_array_equal(app1.audio, app2.audio)
 
 
+@pytest.mark.slow
 def test_block_size_rds_robustness():
     """Audio depends (slightly) on block_size because AGC gains and the L-R
     phase offset update once per *block* — exactly like the reference
@@ -194,6 +195,7 @@ def test_block_size_rds_robustness():
     np.testing.assert_array_equal(np.sign(p1[v1]), np.sign(p2[v2]))
 
 
+@pytest.mark.slow
 def test_plane_input_matches_complex_input():
     """demod_block([2, C, B] f32 planes) == demod_block([C, B] complex64)."""
     import jax.numpy as jnp
@@ -213,6 +215,7 @@ def test_plane_input_matches_complex_input():
     np.testing.assert_array_equal(np.asarray(outs_c["rds_pred"]), np.asarray(outs_p["rds_pred"]))
 
 
+@pytest.mark.slow
 def test_deemphasis_path():
     """De-emphasis IIR engages and attenuates high audio frequencies more
     than low ones (broadcast_fm_demod.cpp:403-406)."""
@@ -245,6 +248,7 @@ def test_deemphasis_path():
     assert hi_ratio < 0.5 * lo_ratio, (lo_ratio, hi_ratio)
 
 
+@pytest.mark.slow
 def test_process_all_matches_process():
     """App.process_all (one-dispatch lax.scan) == App.process (block loop),
     bitwise, including RDS chain state."""
@@ -267,6 +271,7 @@ def test_process_all_matches_process():
     assert a1.rds_bytes(0).tobytes() == a2.rds_bytes(0).tobytes()
 
 
+@pytest.mark.slow
 def test_app_i8_planes_ingest_matches_packed():
     """App fed [2, C, N] int8 planes (split_iq_i8) == App fed packed f32
     words, bitwise, through re-blocking (process) AND the one-dispatch scan
@@ -303,6 +308,7 @@ def test_app_i8_planes_ingest_matches_packed():
         assert a_i8._pending.shape[-1] == a_pk._pending.shape[-1]
 
 
+@pytest.mark.slow
 def test_interstage_i16_lens():
     """cfg.interstage_i16 (int16 inter-kernel HBM format, kernels/qformat.py)
     stays within its quantization budget end to end: audio within ~-55 dB of
@@ -362,6 +368,7 @@ def test_interstage_i16_lens():
     assert g_f and g_q == g_f
 
 
+@pytest.mark.slow
 def test_update_controls_midstream():
     """Runtime control changes (the reference's GUI dirty-flag redesign,
     broadcast_fm_demod.cpp:330-389): flip to LPR-only and enable de-emphasis
@@ -400,6 +407,7 @@ def test_config_rejects_invalid_band_no():
     DemodConfig(frontend_band_no=256)  # supported opt-in
 
 
+@pytest.mark.slow
 def test_process_all_respects_runtime_controls():
     """`process_all` (the one-dispatch scan path) must honor controls applied
     via demod.update_controls — it once re-designed coefficients from a stale

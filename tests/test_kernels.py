@@ -88,6 +88,7 @@ def test_bpsk_pallas_matches_scan():
         np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
 
 
+@pytest.mark.slow
 def test_demod_block_pallas_path_matches_scan_path():
     """Full pipeline with loop_impl=pallas (interpret) vs scan."""
     from dataclasses import replace
@@ -118,6 +119,7 @@ def test_demod_block_pallas_path_matches_scan_path():
     )
 
 
+@pytest.mark.slow
 def test_demod_block_chain_fusion_matches_split():
     """Full-chain megakernel (kernels/chain_pallas.py) vs the split 4-kernel
     pipeline through demod_block (interpret mode): same audio/RDS outputs
@@ -321,6 +323,7 @@ def test_ds4_disc_pallas_int8_dots():
     np.testing.assert_array_equal(y_dir, y_i8)
 
 
+@pytest.mark.slow
 def test_ds4_disc_pallas_i8_planes_ingest():
     """Raw int8-plane ingest ([2, C, B] of I-128/Q-128, transfer.split_iq_i8)
     must be BIT-identical to the centered f32-planes integer fast path and to
@@ -385,6 +388,7 @@ def test_ds4_disc_pallas_i8_planes_ingest():
 
 
 @pytest.mark.parametrize("use_deemph", [False, True])
+@pytest.mark.slow
 def test_midend_pallas_matches_ops(use_deemph):
     """Fused ds2+deemph+hilbert+peak+theta kernel (kernels/midend_pallas.py)
     vs the unfused ops, streaming split included."""
@@ -484,9 +488,14 @@ def test_extract_pallas_matches_ops():
             co.taps_rds, st_r["ds_rds"], mix3, 8
         )
 
-        st_k, lpr_k, lmr_k, rds_k = extract_pallas(
+        st_k, lpr_k, lmr_k, rds_k, pow_k = extract_pallas(
             co, cfg, st_k, iq, dtb, interpret=True
         )
+
+        # the in-kernel RDS AGC power sum must match the ops-path reduction
+        pow_r = np.sum(np.asarray(rds_r[0]) ** 2 + np.asarray(rds_r[1]) ** 2,
+                       axis=-1)
+        np.testing.assert_allclose(np.asarray(pow_k), pow_r, rtol=2e-4)
 
         np.testing.assert_allclose(np.asarray(lpr_k), np.asarray(lpr_r), atol=5e-5)
         np.testing.assert_allclose(np.asarray(lmr_k[0]), np.asarray(lmr_r[0]), atol=5e-5)

@@ -6,6 +6,7 @@ from a stream — asserted here on a synthetic station.
 """
 
 import numpy as np
+import pytest
 
 from fm_radio_tpu.apps.monitor import FrameStats, render_frame, scatter, spark
 
@@ -235,6 +236,7 @@ def test_wideband_source_extracts_and_retunes(tmp_path):
         assert monitor_station(2, 38) == 0x2222
 
 
+@pytest.mark.slow
 def test_monitor_cli_smoke(tmp_path):
     """End-to-end: monitor a synthetic station, expect pilot lock + PI."""
     import os

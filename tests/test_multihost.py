@@ -12,6 +12,10 @@ import sys
 
 import pytest
 
+# multi-process subprocess meshes: the slowest coverage in the suite
+# (~5 min total) — full lane only
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TOOL = os.path.join(REPO, "tools", "multihost.py")
 

@@ -50,6 +50,7 @@ def test_channel_sharded_matches_single(iq):
     )
 
 
+@pytest.mark.slow
 def test_time_parallel_i8_planes_matches_packed(iq):
     """[2, C, T] int8-plane ingest through the time-sharded path (halo
     ppermute on int8 — HALF the ICI bytes) is BIT-identical to the packed
@@ -79,6 +80,7 @@ def test_time_parallel_i8_planes_matches_packed(iq):
         )
 
 
+@pytest.mark.slow
 def test_time_parallel_matches_sequential(iq):
     """Halo warm-up reproduces the sequential stream away from cold-start:
     compare the payload of shard 1.. against the exact sequential output."""
@@ -131,6 +133,7 @@ def test_time_parallel_2d_mesh(iq):
     np.testing.assert_allclose(audio[0], audio[1], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_time_parallel_rds_groups_match_sequential():
     """RDS-level acceptance of the time-sharded path: groups decoded from
     the ``demod_time_parallel`` symbol stream must be word-identical to the
@@ -213,6 +216,7 @@ def test_rds_warmup_blocks_sizing():
     assert rds_warmup_blocks(1 << 22) == 1     # never zero
 
 
+@pytest.mark.slow
 def test_superblock_stream_matches_sequential():
     """Super-block streaming: a 96-block capture in three time-sharded
     super-blocks, each seeded with the previous chunk's real-IQ tail as
@@ -349,6 +353,7 @@ def test_channelizer_streaming():
     )
 
 
+@pytest.mark.slow
 def test_pod_scale_channel_count():
     """Config-5 shape scaled for CI: 1024 channels sharded over 8 devices
     (on a pod this mesh extends over hosts via DCN; the program is
@@ -367,6 +372,7 @@ def test_pod_scale_channel_count():
     assert np.isfinite(audio).all()
 
 
+@pytest.mark.slow
 def test_wideband_stations_to_audio_and_rds():
     """Config-4 pipeline in miniature: synthesize TWO complete FM stations
     (different audio tones + different RDS PI codes) at different carriers in

@@ -3,6 +3,7 @@ channelizer -> batched-demod -> drain loop on CPU must pass every stability
 gate (throughput, bounded RSS, per-station RDS continuity, finite audio).
 Also pins the App.drain bounded-memory contract."""
 
+import pytest
 import json
 import os
 import subprocess
@@ -13,6 +14,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_soak_three_windows():
     env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
     env.update({"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"})

@@ -32,6 +32,33 @@ from fm_radio_tpu.ops.iir import iir_filter_planes
 from fm_radio_tpu.ops.mixer import apply_harmonic_pll_p
 
 
+def _stream3_pallas(xr, xi, dt):
+    """Stream-only stand-in for K3: reads the 3 planes in K3's exact tiling
+    ((128, 1024) blocks, channel grid major), emits a tiny (c, 128) result."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c, b8 = xr.shape
+    c_blk, t_blk = (c if c <= 128 else 128), 1024
+
+    def kern(xr_ref, xi_ref, dt_ref, y_ref):
+        acc = (jnp.sum(xr_ref[...], -1, keepdims=True)
+               + jnp.sum(xi_ref[...], -1, keepdims=True)
+               + jnp.sum(dt_ref[...], -1, keepdims=True))
+        y_ref[...] = acc[:, :1] * jnp.ones((1, 128), jnp.float32)
+
+    tspec = pl.BlockSpec((c_blk, t_blk), lambda ci, ti: (ci, ti),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern, grid=(c // c_blk, b8 // t_blk),
+        in_specs=[tspec, tspec, tspec],
+        out_specs=pl.BlockSpec((c_blk, 128), lambda ci, ti: (ci, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, 128), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(xr, xi, dt)
+
+
 def _probe(*arrays):
     """O(1) completion probe: pallas_call is opaque to XLA, so consuming ONE
     element of each output forces the whole kernel without adding the full-
@@ -52,6 +79,10 @@ def fused_prefix(cfg, coeffs, state, x, upto: int, k3iso: str = ""):
                 of a second in-chain K3 whose producers ran 2 dispatches ago
       "barrier" optimization_barrier on (iq_p, dt) before the kernel —
                 decouples K3 from its producers in XLA's scheduler
+      "stream3" replace K3 with a stream-only kernel (same inputs, same
+                tiling, tiny output): is the premium in the READ path?
+      "preread" stream3 THEN the real K3 (order forced by a barrier): does
+                pre-touching the planes move the premium off K3?
     """
     from fm_radio_tpu.kernels.extract_pallas import (
         extract_pallas, pack_ext_tails,
@@ -72,7 +103,8 @@ def fused_prefix(cfg, coeffs, state, x, upto: int, k3iso: str = ""):
         st["disc_prev_theta"], xin,
         cfg.analog.f_wbfm_deviation, float(cfg.rates.fs_fm_in),
         int_input=bool(cfg.assume_integer_input),
-        int8_dots=bool(cfg.frontend_int8))
+        int8_dots=bool(cfg.frontend_int8),
+        band_tables=getattr(coeffs, "kernel_tables", None))
     st["ds_fm_in"] = jax.lax.complex(*tail)
     st["disc_prev_theta"] = prev
     if upto == 0:
@@ -91,28 +123,37 @@ def fused_prefix(cfg, coeffs, state, x, upto: int, k3iso: str = ""):
         halo_r = coeffs.taps_rds.shape[0] - 8
         tails = pack_ext_tails(st, c, halo_a, halo_r)
         return st, jnp.sum(tails) + _probe(dt, iq_p[0], iq_p[1])
+    if upto == 3 and k3iso in ("stream3", "preread"):
+        y = _stream3_pallas(iq_p[0], iq_p[1], dt)
+        if k3iso == "stream3":
+            return st, _probe(y, dt, iq_p[0], iq_p[1])
+        iq0, iq1, dtb, yb = jax.lax.optimization_barrier(
+            (iq_p[0], iq_p[1], dt, y))  # forces stream3 BEFORE the real K3
+        iq_p, dt = (iq0, iq1), dtb
     if upto == 3 and k3iso == "barrier":
         iq_p = jax.lax.optimization_barrier(iq_p)
         dt = jax.lax.optimization_barrier(dt)
-    st3, lpr, lmr, rds = extract_pallas(coeffs, cfg, st, iq_p, dt)
+    st3, lpr, lmr, rds, rds_pow = extract_pallas(coeffs, cfg, st, iq_p, dt)
     for k in ("ds_audio_lpr", "ds_audio_lmr", "ds_rds"):
         st[k] = st3[k]
     if upto == 3 and k3iso == "twice":
-        st4, lpr2, lmr2, rds2 = extract_pallas(coeffs, cfg, st, iq_p, dt)
+        st4, lpr2, lmr2, rds2, _pow2 = extract_pallas(coeffs, cfg, st, iq_p, dt)
         return st, _probe(lpr, lmr[1], rds[0], rds[1],
                           lpr2, lmr2[1], rds2[0], rds2[1])
     if upto == 3:
         return st, _probe(lpr, lmr[1], rds[0], rds[1])
-    # stage 4: the post-extract glue — RDS AGC + BPSK synchroniser kernel
-    # (the remaining chain pieces outside the four big kernels)
+    # stage 4: the post-extract glue — fused RDS AGC (gain from the extract
+    # kernel's in-kernel power sum, applied at BPSK ingest) + BPSK kernel,
+    # exactly the production path in models/demod.py
     from fm_radio_tpu.kernels.bpsk_pallas import bpsk_sync_pallas
-    from fm_radio_tpu.ops.agc import agc_process_p
+    from fm_radio_tpu.ops.agc import _agc_gain
 
-    st["agc_rds"], rds_agc_p = agc_process_p(
-        st["agc_rds"], rds, target_power=cfg.bpsk.agc_target_power
+    st["agc_rds"] = _agc_gain(
+        st["agc_rds"], rds_pow / jnp.float32(rds[0].shape[-1]),
+        cfg.bpsk.agc_target_power, 0.2,
     )
     st["bpsk"], bpsk_outs = bpsk_sync_pallas(
-        cfg, st["bpsk"], rds_agc_p,
+        cfg, st["bpsk"], rds, gain=st["agc_rds"],
         interpret=jax.default_backend() != "tpu")
     return st, _probe(lpr, lmr[1], bpsk_outs["pred"],
                       bpsk_outs["valid"].astype(jnp.float32))
@@ -323,9 +364,12 @@ def main():
 
         return timed(run, state, x)
 
+    k3only = "--k3only" in sys.argv  # just stages 2, 3 + iso variants
     prev = 0.0
     t3 = t2 = 0.0
     for upto, name in enumerate(stages):
+        if k3only and upto not in (2, 3):
+            continue
         dt = timed_prefix(upto)
         print(f"{name:36s} {dt*1e3:9.2f} ms/block   (delta {1e3*(dt-prev):+8.2f} ms)")
         if upto == 2:
@@ -341,11 +385,16 @@ def main():
             ("glue", "pack_ext_tails + state glue, NO kernel"),
             ("barrier", "K3 behind an optimization_barrier"),
             ("twice", "K3 x2 (delta = marginal 2nd in-chain K3)"),
+            ("stream3", "stream-only K3 stand-in (read path only)"),
+            ("preread", "stream3 THEN K3 (premium mobility test)"),
         ):
             dt = timed_prefix(3, iso)
             base = t3 if iso == "twice" else t2
             print(f"k3iso:{iso:28s} {dt*1e3:9.2f} ms/block   "
                   f"(delta {1e3*(dt-base):+8.2f} ms)  [{expl}]")
+
+    if k3only:
+        return
 
     @jax.jit
     def run_full(state, x):

@@ -250,6 +250,7 @@ def main():
     print(f"# K2 [C={c}, B4={b4}] input={gb_in:.2f} GB/pass iters={iters} "
           f"(+3x output at B4/2)")
     for mode in ("stream", "ds2", "hilb", "full",
+                 "restruct:64", "restruct:64:stk",
                  "restruct:128", "restruct:128:stk",
                  "restruct:256", "restruct:256:stk",
                  "restruct:512", "restruct:512:stk"):
