@@ -213,10 +213,16 @@ def bpsk_sync_pallas(cfg, state: BPSKState, x: jnp.ndarray, interpret: bool = Fa
 
     xr, xi = x if isinstance(x, tuple) else (x.real, x.imag)
     c, n = xr.shape
-    # channel tile: whole array up to 512 lanes, else the largest power-of-2
-    # divisor (gcd with 512) — any c works; narrow gcds are slow but correct
-    # (the auto gate in models/demod.py keeps such shapes on the scan path)
-    ct = c if c <= 512 else math.gcd(c, 512)
+    # channel tile: whole array up to the cap, else the largest power-of-2
+    # divisor (gcd with the cap) — any c works; narrow gcds are slow but
+    # correct (the auto gate in models/demod.py keeps such shapes on the
+    # scan path).  FMTPU_BPSK_CT is an A/B lens on the cap: the serial time
+    # is (c/ct) * n * step-latency, so if the step is lane-flat (as the PLL
+    # kernel's is, docs/PERF.md chip facts), wider tiles divide it.
+    import os
+
+    cap = int(os.environ.get("FMTPU_BPSK_CT", "512"))
+    ct = c if c <= cap else math.gcd(c, cap)
     nc = pick_time_chunk(n, ct)
     n_chunks = n // nc
 
