@@ -284,7 +284,13 @@ def _supervise() -> None:
         The child is killed only when its CPU clock stalls for
         ``stall_s`` while producing no result, or at the hard ``timeout``.
         """
-        stall_s = float(os.environ.get("FMTPU_BENCH_STALL", "240"))
+        # Remote (Mosaic service) compiles are CPU-IDLE on the child —
+        # indistinguishable from a tunnel hang by this detector; 240 s
+        # killed four cold 2048ch compiles in a row on 2026-08-20 (each
+        # retry made cache progress, so it converged, but slowly).  420 s
+        # covers the longest observed single-kernel remote compile while
+        # still bounding a true mid-measurement hang.
+        stall_s = float(os.environ.get("FMTPU_BENCH_STALL", "420"))
         cmd = [sys.executable, "-c", code] if code is not None else argv
         try:
             p = subprocess.Popen(

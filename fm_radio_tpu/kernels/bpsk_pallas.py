@@ -216,12 +216,13 @@ def bpsk_sync_pallas(cfg, state: BPSKState, x: jnp.ndarray, interpret: bool = Fa
     # channel tile: whole array up to the cap, else the largest power-of-2
     # divisor (gcd with the cap) — any c works; narrow gcds are slow but
     # correct (the auto gate in models/demod.py keeps such shapes on the
-    # scan path).  FMTPU_BPSK_CT is an A/B lens on the cap: the serial time
-    # is (c/ct) * n * step-latency, so if the step is lane-flat (as the PLL
-    # kernel's is, docs/PERF.md chip facts), wider tiles divide it.
+    # scan path).  Cap 2048 (= the PLL kernel's): the serial time is
+    # (c/ct) * n * step-latency and the step is lane-FLAT to 2048 (measured
+    # round 4: full-chain 39,536 vs 35,757 Msps at the old 512 cap, +10.6%
+    # — docs/PERF.md).  FMTPU_BPSK_CT is the A/B lens on the cap.
     import os
 
-    cap = int(os.environ.get("FMTPU_BPSK_CT", "512"))
+    cap = int(os.environ.get("FMTPU_BPSK_CT", "2048"))
     ct = c if c <= cap else math.gcd(c, cap)
     nc = pick_time_chunk(n, ct)
     n_chunks = n // nc
