@@ -710,3 +710,86 @@ def test_channelizer_tile_fits_vmem():
     assert n_t_256 is not None and n_t_256 < 2048   # shrunk for m=256
     assert _chan_vmem_bytes(n_t_256, 256) <= 12 << 20
     assert pick_tile_chan(1 << 16, 1024) is None    # DFT matrices alone ~8MB
+
+
+def test_kernel_tables_match_in_trace_construction():
+    """DemodCoeffs.kernel_tables (design-time) must equal what the kernels
+    would build in-trace — guards the round-4 perf fix (docs/PERF.md: XLA
+    re-gathered the in-trace tables EVERY scan step) against staleness if a
+    band constructor changes without _make_kernel_tables following."""
+    from fm_radio_tpu.kernels.frontend_pallas import (
+        _band_matrix, quantize_band_int8,
+    )
+    from fm_radio_tpu.kernels.midend_pallas import _band_m, mid_iir_params
+
+    cfg = DemodConfig(frontend_int8=True)
+    co = make_coeffs(cfg)
+    tbl = co.kernel_tables
+    assert set(tbl) == {
+        "k1_band", "k1_i8", "band_fm_out", "band_hilbert", "mid_iir",
+        "band_audio_lpr", "band_audio_lmr", "band_rds",
+    }
+    np.testing.assert_array_equal(
+        np.asarray(tbl["k1_band"]),
+        np.asarray(_band_matrix(co.taps_fm_in, cfg.frontend_band_no)))
+    for got, want in zip(tbl["k1_i8"],
+                         quantize_band_int8(tbl["k1_band"])):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(
+        np.asarray(tbl["band_fm_out"]), np.asarray(_band_m(co.taps_fm_out, 2)))
+    np.testing.assert_array_equal(
+        np.asarray(tbl["band_hilbert"]), np.asarray(_band_m(co.taps_hilbert, 1)))
+    np.testing.assert_array_equal(
+        np.asarray(tbl["band_audio_lpr"]),
+        np.asarray(_band_m(co.taps_audio_lpr, 4)))
+    np.testing.assert_array_equal(
+        np.asarray(tbl["band_audio_lmr"]),
+        np.asarray(_band_m(co.taps_audio_lmr, 4)))
+    np.testing.assert_array_equal(
+        np.asarray(tbl["band_rds"]), np.asarray(_band_m(co.taps_rds, 8)))
+    for got, want in zip(
+            tbl["mid_iir"],
+            mid_iir_params(co, bool(cfg.use_deemphasis_filter),
+                           _from_tables=False)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_no_table_gathers_inside_scan_body():
+    """The perf property itself: a lax.scan over the fused demod_block must
+    contain NO large gather (band-table construction) in its body jaxpr —
+    the exact regression that cost ~2.2 ms/block before round 4."""
+    from dataclasses import replace
+
+    from fm_radio_tpu.models.demod import demod_block, demod_init_state
+
+    cfg = replace(DemodConfig(frontend_int8=True), loop_impl="pallas")
+    co = make_coeffs(cfg)
+    c, b = 8, 16384
+    st0 = demod_init_state(cfg, c)
+    x = jnp.zeros((2, c, b), jnp.int8)
+
+    def scanned(state, x):
+        def step(st, _):
+            st, outs = demod_block(cfg, co, st, x)
+            return st, jnp.sum(outs["audio"])
+
+        return jax.lax.scan(step, state, None, length=2)
+
+    jaxpr = jax.make_jaxpr(scanned)(st0, x)
+
+    big_gathers = []
+
+    def walk(jx, in_scan):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "gather" and in_scan:
+                n = int(np.prod(eqn.outvars[0].aval.shape))
+                if n >= 16384:  # the smallest band table is [256, 128]
+                    big_gathers.append((eqn.outvars[0].aval.shape, n))
+            for v in eqn.params.values():
+                inner = getattr(v, "jaxpr", None)
+                if inner is not None:
+                    walk(inner, in_scan or eqn.primitive.name == "scan")
+
+    walk(jaxpr.jaxpr, False)
+    assert not big_gathers, (
+        f"band-table gathers re-entered the scan body: {big_gathers}")
