@@ -197,6 +197,14 @@ class DemodConfig:
     # tiles cost more than the traffic saves (16.8 vs 14.2 ms per 2^28).
     chain_fusion: str = "split"
 
+    # K1+K2 fusion (kernels/k12_pallas.py): int8-direct front end + mid-end
+    # in ONE kernel — removes the fm_demod HBM round trip (0.54 GB per
+    # 2^28-sample block) with IDENTICAL tile boundaries, so outputs are
+    # bit-identical to the split kernels.  "auto" fuses whenever the int8
+    # production path is active and the shape fits (pick_tiles_k12);
+    # "off" keeps the split K1/K2 kernels (A/B lens).
+    k12_fusion: str = "auto"
+
     # Runtime-controllable (GUI controls in the reference; jit-static here).
     audio_out: str = AudioOut.STEREO
     audio_stereo_mix_factor: float = 1.0

@@ -284,38 +284,20 @@ def _ds4_disc_i8_kernel(
     )
 
 
-def _ds4_disc_i8_direct_kernel(
-    x8_ref, tail_ref, prev_ref, b1_ref, b2_ref, srow_ref,
-    y_ref, out_tail_ref, out_prev_ref,
+def _i8_direct_tile_body(
+    x8_ref, b1_ref, b2_ref, srow_ref,
     w0r, w0i, tailr, taili, carry_ref,
-    *, t_blk: int, n_tt: int, scale: float, no: int = _NO,
-    out_i16: bool = False,
+    *, t_blk: int, scale: float, no: int = _NO,
 ):
-    """int8-DIRECT front end: band dots read the [2, C, B] int8 input ref's
-    aligned windows straight off VMEM — no full-tile unpack/copy at all.
-
-    Round-3 probe finding (tools/frontend_probe.py, i8d/i8x sections, real
-    chip): the packed-f32 kernel's critical path is the full-tile VPU
-    unpack->scratch copy (~2.8 us/tile, serial with the MXU dots via a WAR
-    hazard on the single scratch); this variant measured 3.16 ms vs the
-    production kernel's 4.28 ms at 1024ch x 256k (-26%).  Only window 0 of
-    each tile needs assembly (carried tail | first no*_M input columns);
-    windows s>=1 start at lane offset s*no*_M - _TB, 128-aligned by
-    construction.  The +1 recenter of the (I-128, Q-128) planes folds into
-    the band's column-sum correction (quantize_band_int8's s_row), so the
-    per-input-sample VPU cost is ZERO.  Output values are bit-identical to
-    the int8_dots scratch path (same operands, same dot order).
-    """
-    ti = pl.program_id(1)
+    """One int8-direct ds4+discriminator tile -> the fm_demod VALUE
+    [c, t_blk//4] (f32, still in VMEM/registers).  Updates the carried
+    tailr/taili (int8 input tails) and carry_ref (discriminator phase) —
+    callers init them at ti==0 and emit them at ti==n_tt-1.  Shared between
+    the standalone K1 kernel and the fused K1+K2 kernel
+    (kernels/k12_pallas.py)."""
     _w = no * _M + _TB
     n_sub = t_blk // (no * _M)
     n_out = t_blk // _M
-
-    @pl.when(ti == 0)
-    def _init():
-        tailr[...] = tail_ref[0]
-        taili[...] = tail_ref[1]
-        carry_ref[...] = prev_ref[...]
 
     # window-0 assembly: [carried tail (_TB) | first no*_M input columns]
     w0r[:, :_TB] = tailr[...]
@@ -358,13 +340,50 @@ def _ds4_disc_i8_direct_kernel(
     two_pi = jnp.float32(2.0 * np.pi)
     d = jnp.where(d >= pi, d - two_pi, d)
     d = jnp.where(d <= -pi, d + two_pi, d)
+    carry_ref[...] = theta[:, n_out - 1 :]
+    return d * jnp.float32(scale)
+
+
+def _ds4_disc_i8_direct_kernel(
+    x8_ref, tail_ref, prev_ref, b1_ref, b2_ref, srow_ref,
+    y_ref, out_tail_ref, out_prev_ref,
+    w0r, w0i, tailr, taili, carry_ref,
+    *, t_blk: int, n_tt: int, scale: float, no: int = _NO,
+    out_i16: bool = False,
+):
+    """int8-DIRECT front end: band dots read the [2, C, B] int8 input ref's
+    aligned windows straight off VMEM — no full-tile unpack/copy at all.
+
+    Round-3 probe finding (tools/frontend_probe.py, i8d/i8x sections, real
+    chip): the packed-f32 kernel's critical path is the full-tile VPU
+    unpack->scratch copy (~2.8 us/tile, serial with the MXU dots via a WAR
+    hazard on the single scratch); this variant measured 3.16 ms vs the
+    production kernel's 4.28 ms at 1024ch x 256k (-26%).  Only window 0 of
+    each tile needs assembly (carried tail | first no*_M input columns);
+    windows s>=1 start at lane offset s*no*_M - _TB, 128-aligned by
+    construction.  The +1 recenter of the (I-128, Q-128) planes folds into
+    the band's column-sum correction (quantize_band_int8's s_row), so the
+    per-input-sample VPU cost is ZERO.  Output values are bit-identical to
+    the int8_dots scratch path (same operands, same dot order).
+    """
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _init():
+        tailr[...] = tail_ref[0]
+        taili[...] = tail_ref[1]
+        carry_ref[...] = prev_ref[...]
+
+    fm = _i8_direct_tile_body(
+        x8_ref, b1_ref, b2_ref, srow_ref, w0r, w0i, tailr, taili, carry_ref,
+        t_blk=t_blk, scale=scale, no=no,
+    )
     if out_i16:
         from fm_radio_tpu.kernels.qformat import FM_SCALE, q_i16
 
-        y_ref[...] = q_i16(d * jnp.float32(scale), FM_SCALE)
+        y_ref[...] = q_i16(fm, FM_SCALE)
     else:
-        y_ref[...] = d * jnp.float32(scale)
-    carry_ref[...] = theta[:, n_out - 1 :]
+        y_ref[...] = fm
 
     @pl.when(ti == n_tt - 1)
     def _finish():

@@ -319,145 +319,180 @@ def demod_block(
         )
         fuse_ext = True  # rds_p already extracted (guards the re-mix below)
     else:
-        # ---- 1. FM demodulation --------------------------------------------
-        from fm_radio_tpu.kernels.frontend_pallas import ds4_disc_pallas, pick_tiles
+        # ---- K1+K2 fusion (kernels/k12_pallas.py): int8-direct front end
+        # + mid-end in ONE kernel — removes the fm_demod HBM round trip
+        # with identical tile boundaries (bit-identical outputs); the
+        # serial PLL follows exactly as on the split path.
+        from fm_radio_tpu.kernels.k12_pallas import k12_pallas, pick_tiles_k12
 
-        fuse_front = (
+        fuse_k12 = (
             use_pallas
             and not include_taps
+            and cfg.k12_fusion != "off"
+            and i8
+            and cfg.frontend_int8
+            and not cfg.interstage_i16
             and r.ds_fm_in == 4
-            and coeffs.taps_fm_in.shape[0] - 4 <= 128
-            and pick_tiles(c, b, cfg.frontend_band_no) is not None
-        )
-        # int16 inter-stage format (cfg.interstage_i16, kernels/qformat.py):
-        # the front end emits fm_demod as FM_SCALE int16 and the mid-end
-        # dequants it in-VMEM — each consumer self-detects by dtype, with
-        # XLA dequant fallbacks wherever a later fuse gate fails, so the
-        # flag can never produce wrong results on odd shapes.
-        i16x = bool(cfg.interstage_i16) and fuse_front
-        if direct and not fuse_front:
-            # exact XLA unpack/cast fallback (CPU / odd shapes / taps mode)
-            from fm_radio_tpu.utils.transfer import (
-                i8_planes_to_f32, unpack_iq_words,
-            )
-
-            xp = i8_planes_to_f32(x) if i8 else unpack_iq_words(x)
-        if fuse_front:
-            # one HBM pass: ds x4 + discriminator fused (kernels/frontend_pallas)
-            tail, prev, fm_demod = ds4_disc_pallas(
-                coeffs.taps_fm_in,
-                (st["ds_fm_in"].real, st["ds_fm_in"].imag),
-                st["disc_prev_theta"],
-                x if direct else xp,
-                cfg.analog.f_wbfm_deviation,
-                float(r.fs_fm_in),
-                interpret=jax.default_backend() != "tpu",
-                int_input=direct or cfg.assume_integer_input,
-                int8_dots=cfg.frontend_int8
-                and (direct or cfg.assume_integer_input),
-                n_out_sub=cfg.frontend_band_no,
-                out_i16=i16x,
-                band_tables=coeffs.kernel_tables,
-            )
-            st["ds_fm_in"] = jax.lax.complex(*tail)
-            st["disc_prev_theta"] = prev
-        else:
-            st["ds_fm_in"], fm_in_p = polyphase_decimate_p(
-                coeffs.taps_fm_in, st["ds_fm_in"], xp, r.ds_fm_in
-            )
-            st["disc_prev_theta"], fm_demod = fm_discriminate_p(
-                st["disc_prev_theta"], fm_in_p,
-                cfg.analog.f_wbfm_deviation, float(r.fs_fm_in),
-            )
-        from fm_radio_tpu.kernels.midend_pallas import midend_pallas, pick_tiles_mid
-
-        b4 = fm_demod.shape[-1]
-        fuse_mid = (
-            use_pallas
-            and not include_taps
             and r.ds_fm_out == 2
+            and coeffs.taps_fm_in.shape[0] - 4 <= 128
             and coeffs.taps_fm_out.shape[0] - 2 <= 128
             and coeffs.taps_hilbert.shape[0] - 1 <= 128
-            and pick_tiles_mid(c, b4) is not None
+            and pick_tiles_k12(c, b, cfg.frontend_band_no) is not None
         )
-        if fm_demod.dtype == jnp.int16 and not fuse_mid:
-            # i16 front-end output but the mid-end fuse gate failed: dequant
-            # in XLA (correctness fallback; only reachable on odd shapes)
-            from fm_radio_tpu.kernels.qformat import FM_SCALE, dq_i16
-
-            fm_demod = dq_i16(fm_demod, FM_SCALE)
-        if fuse_mid:
-            # one HBM pass: ds x2 + de-emphasis + Hilbert + peak IIR + pilot
-            # phase fused (kernels/midend_pallas.py); the AGC gain state updates
-            # from the in-kernel power sum (scaling skipped — phase detector is
-            # amplitude-invariant), and the PLL consumes theta directly.
-            from fm_radio_tpu.kernels.extract_pallas import pick_tiles_ext as _pte
+        if fuse_k12:
             from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas_theta
 
             interp = jax.default_backend() != "tpu"
-            # predict the extract fuse gate (b8 = b4 // 2 under fuse_mid) so
-            # the mid-end only emits i16 when extract will dequant in-VMEM
-            fuse_ext_pred = (
-                r.ds_audio == 4
-                and r.ds_rds == 8
-                and coeffs.taps_audio_lpr.shape[0] - 4 <= 128
-                and coeffs.taps_audio_lmr.shape[0]
-                == coeffs.taps_audio_lpr.shape[0]
-                and coeffs.taps_rds.shape[0] - 8 <= 128
-                and _pte(c, b4 // 2) is not None
+            st2, fm_out_iq_p, theta_cn = k12_pallas(
+                coeffs, cfg, st, x, interpret=interp
             )
-            st2, fm_out_iq_p, theta_cn = midend_pallas(
-                coeffs, cfg, st, fm_demod, interpret=interp,
-                out_i16=bool(cfg.interstage_i16) and fuse_ext_pred,
-            )
-            for k in ("ds_fm_out", "deemph", "hilbert", "peak_pilot", "agc_pilot"):
+            for k in ("ds_fm_in", "disc_prev_theta", "ds_fm_out", "deemph",
+                      "hilbert", "peak_pilot", "agc_pilot"):
                 st[k] = st2[k]
             st["pll"], dt = pilot_pll_pallas_theta(
                 cfg, st["pll"], theta_cn, interpret=interp
             )
             pll_taps = {"dt": dt}
         else:
-            st["ds_fm_out"], fm_out = polyphase_decimate(
-                coeffs.taps_fm_out, st["ds_fm_out"], fm_demod, r.ds_fm_out
-            )
-            if cfg.use_deemphasis_filter:
-                st["deemph"], fm_out = iir_filter(
-                    coeffs.deemph_b, coeffs.deemph_a, st["deemph"], fm_out
-                )
-            st["hilbert"], fm_out_iq_p = hilbert_fir_p(
-                coeffs.taps_hilbert, st["hilbert"], fm_out
-            )
+            # ---- 1. FM demodulation --------------------------------------------
+            from fm_radio_tpu.kernels.frontend_pallas import ds4_disc_pallas, pick_tiles
 
-            # ---- 2. Lock onto pilot ----------------------------------------
-            st["peak_pilot"], pilot_p = iir_filter_planes(
-                coeffs.peak_b, coeffs.peak_a, st["peak_pilot"], fm_out_iq_p
+            fuse_front = (
+                use_pallas
+                and not include_taps
+                and r.ds_fm_in == 4
+                and coeffs.taps_fm_in.shape[0] - 4 <= 128
+                and pick_tiles(c, b, cfg.frontend_band_no) is not None
             )
-            if include_taps:
-                st["agc_pilot"], pilot_p = agc_process_p(
-                    st["agc_pilot"], pilot_p, target_power=1.0
+            # int16 inter-stage format (cfg.interstage_i16, kernels/qformat.py):
+            # the front end emits fm_demod as FM_SCALE int16 and the mid-end
+            # dequants it in-VMEM — each consumer self-detects by dtype, with
+            # XLA dequant fallbacks wherever a later fuse gate fails, so the
+            # flag can never produce wrong results on odd shapes.
+            i16x = bool(cfg.interstage_i16) and fuse_front
+            if direct and not fuse_front:
+                # exact XLA unpack/cast fallback (CPU / odd shapes / taps mode)
+                from fm_radio_tpu.utils.transfer import (
+                    i8_planes_to_f32, unpack_iq_words,
                 )
+
+                xp = i8_planes_to_f32(x) if i8 else unpack_iq_words(x)
+            if fuse_front:
+                # one HBM pass: ds x4 + discriminator fused (kernels/frontend_pallas)
+                tail, prev, fm_demod = ds4_disc_pallas(
+                    coeffs.taps_fm_in,
+                    (st["ds_fm_in"].real, st["ds_fm_in"].imag),
+                    st["disc_prev_theta"],
+                    x if direct else xp,
+                    cfg.analog.f_wbfm_deviation,
+                    float(r.fs_fm_in),
+                    interpret=jax.default_backend() != "tpu",
+                    int_input=direct or cfg.assume_integer_input,
+                    int8_dots=cfg.frontend_int8
+                    and (direct or cfg.assume_integer_input),
+                    n_out_sub=cfg.frontend_band_no,
+                    out_i16=i16x,
+                    band_tables=coeffs.kernel_tables,
+                )
+                st["ds_fm_in"] = jax.lax.complex(*tail)
+                st["disc_prev_theta"] = prev
             else:
-                # The PLL phase detector is amplitude-invariant (atan2(g*im,
-                # g*re) == atan2(im, re), g > 0), so on the fast path the AGC
-                # gain state is tracked (exact parity for checkpoints) but the
-                # scaling pass over the pilot — a pure HBM round trip — is
-                # skipped.
-                from fm_radio_tpu.ops.agc import agc_update_gain
+                st["ds_fm_in"], fm_in_p = polyphase_decimate_p(
+                    coeffs.taps_fm_in, st["ds_fm_in"], xp, r.ds_fm_in
+                )
+                st["disc_prev_theta"], fm_demod = fm_discriminate_p(
+                    st["disc_prev_theta"], fm_in_p,
+                    cfg.analog.f_wbfm_deviation, float(r.fs_fm_in),
+                )
+            from fm_radio_tpu.kernels.midend_pallas import midend_pallas, pick_tiles_mid
 
-                st["agc_pilot"] = agc_update_gain(st["agc_pilot"], pilot_p, 1.0)
+            b4 = fm_demod.shape[-1]
+            fuse_mid = (
+                use_pallas
+                and not include_taps
+                and r.ds_fm_out == 2
+                and coeffs.taps_fm_out.shape[0] - 2 <= 128
+                and coeffs.taps_hilbert.shape[0] - 1 <= 128
+                and pick_tiles_mid(c, b4) is not None
+            )
+            if fm_demod.dtype == jnp.int16 and not fuse_mid:
+                # i16 front-end output but the mid-end fuse gate failed: dequant
+                # in XLA (correctness fallback; only reachable on odd shapes)
+                from fm_radio_tpu.kernels.qformat import FM_SCALE, dq_i16
 
-            if use_pallas:
-                from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas
+                fm_demod = dq_i16(fm_demod, FM_SCALE)
+            if fuse_mid:
+                # one HBM pass: ds x2 + de-emphasis + Hilbert + peak IIR + pilot
+                # phase fused (kernels/midend_pallas.py); the AGC gain state updates
+                # from the in-kernel power sum (scaling skipped — phase detector is
+                # amplitude-invariant), and the PLL consumes theta directly.
+                from fm_radio_tpu.kernels.extract_pallas import pick_tiles_ext as _pte
+                from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas_theta
 
                 interp = jax.default_backend() != "tpu"
-                st["pll"], dt = pilot_pll_pallas(
-                    cfg, st["pll"], pilot_p, interpret=interp
+                # predict the extract fuse gate (b8 = b4 // 2 under fuse_mid) so
+                # the mid-end only emits i16 when extract will dequant in-VMEM
+                fuse_ext_pred = (
+                    r.ds_audio == 4
+                    and r.ds_rds == 8
+                    and coeffs.taps_audio_lpr.shape[0] - 4 <= 128
+                    and coeffs.taps_audio_lmr.shape[0]
+                    == coeffs.taps_audio_lpr.shape[0]
+                    and coeffs.taps_rds.shape[0] - 8 <= 128
+                    and _pte(c, b4 // 2) is not None
+                )
+                st2, fm_out_iq_p, theta_cn = midend_pallas(
+                    coeffs, cfg, st, fm_demod, interpret=interp,
+                    out_i16=bool(cfg.interstage_i16) and fuse_ext_pred,
+                )
+                for k in ("ds_fm_out", "deemph", "hilbert", "peak_pilot", "agc_pilot"):
+                    st[k] = st2[k]
+                st["pll"], dt = pilot_pll_pallas_theta(
+                    cfg, st["pll"], theta_cn, interpret=interp
                 )
                 pll_taps = {"dt": dt}
             else:
-                pilot_c = jax.lax.complex(*pilot_p)
-                st["pll"], pll_taps = pilot_pll_scan(coeffs.pll, st["pll"], pilot_c)
-                dt = pll_taps["dt"]
+                st["ds_fm_out"], fm_out = polyphase_decimate(
+                    coeffs.taps_fm_out, st["ds_fm_out"], fm_demod, r.ds_fm_out
+                )
+                if cfg.use_deemphasis_filter:
+                    st["deemph"], fm_out = iir_filter(
+                        coeffs.deemph_b, coeffs.deemph_a, st["deemph"], fm_out
+                    )
+                st["hilbert"], fm_out_iq_p = hilbert_fir_p(
+                    coeffs.taps_hilbert, st["hilbert"], fm_out
+                )
+
+                # ---- 2. Lock onto pilot ----------------------------------------
+                st["peak_pilot"], pilot_p = iir_filter_planes(
+                    coeffs.peak_b, coeffs.peak_a, st["peak_pilot"], fm_out_iq_p
+                )
+                if include_taps:
+                    st["agc_pilot"], pilot_p = agc_process_p(
+                        st["agc_pilot"], pilot_p, target_power=1.0
+                    )
+                else:
+                    # The PLL phase detector is amplitude-invariant (atan2(g*im,
+                    # g*re) == atan2(im, re), g > 0), so on the fast path the AGC
+                    # gain state is tracked (exact parity for checkpoints) but the
+                    # scaling pass over the pilot — a pure HBM round trip — is
+                    # skipped.
+                    from fm_radio_tpu.ops.agc import agc_update_gain
+
+                    st["agc_pilot"] = agc_update_gain(st["agc_pilot"], pilot_p, 1.0)
+
+                if use_pallas:
+                    from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas
+
+                    interp = jax.default_backend() != "tpu"
+                    st["pll"], dt = pilot_pll_pallas(
+                        cfg, st["pll"], pilot_p, interpret=interp
+                    )
+                    pll_taps = {"dt": dt}
+                else:
+                    pilot_c = jax.lax.complex(*pilot_p)
+                    st["pll"], pll_taps = pilot_pll_scan(coeffs.pll, st["pll"], pilot_c)
+                    dt = pll_taps["dt"]
 
         # ---- 3. Extract components -----------------------------------------
         h_lmr = cfg.analog.f_audio_lmr_center / cfg.analog.f_pilot  # 2.0

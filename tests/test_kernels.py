@@ -793,3 +793,57 @@ def test_no_table_gathers_inside_scan_body():
     walk(jaxpr.jaxpr, False)
     assert not big_gathers, (
         f"band-table gathers re-entered the scan body: {big_gathers}")
+
+
+def test_k12_fused_matches_split_kernels():
+    """Fused K1+K2 kernel (kernels/k12_pallas.py) vs the split
+    ds4_disc_pallas + midend_pallas kernels: BIT-identical outputs and
+    state (same tile boundaries, same op order), streaming across blocks."""
+    from fm_radio_tpu.kernels.frontend_pallas import ds4_disc_pallas
+    from fm_radio_tpu.kernels.k12_pallas import k12_pallas
+    from fm_radio_tpu.kernels.midend_pallas import midend_pallas
+    from fm_radio_tpu.models.demod import demod_init_state
+    from fm_radio_tpu.utils.transfer import split_iq_i8
+
+    cfg = DemodConfig(frontend_int8=True)
+    co = make_coeffs(cfg)
+    c, b = 8, 16384
+    rng = np.random.default_rng(7)
+    iq_u8 = rng.integers(0, 256, size=(c, 2 * b, 2), dtype=np.uint8)
+    x = jnp.asarray(split_iq_i8(iq_u8))
+
+    st_f = demod_init_state(cfg, c)
+    st_s = demod_init_state(cfg, c)
+    for blk in range(2):
+        xb = x[:, :, blk * b : (blk + 1) * b]
+
+        st_f2, iq_f, th_f = k12_pallas(co, cfg, st_f, xb, interpret=True)
+
+        st_s = dict(st_s)
+        tail, prev, fm_demod = ds4_disc_pallas(
+            co.taps_fm_in, (st_s["ds_fm_in"].real, st_s["ds_fm_in"].imag),
+            st_s["disc_prev_theta"], xb,
+            cfg.analog.f_wbfm_deviation, float(cfg.rates.fs_fm_in),
+            interpret=True, int_input=True, int8_dots=True,
+            band_tables=co.kernel_tables,
+        )
+        st_s["ds_fm_in"] = jax.lax.complex(*tail)
+        st_s["disc_prev_theta"] = prev
+        st_s2, iq_s, th_s = midend_pallas(co, cfg, st_s, fm_demod,
+                                          interpret=True)
+
+        np.testing.assert_array_equal(np.asarray(iq_f[0]), np.asarray(iq_s[0]))
+        np.testing.assert_array_equal(np.asarray(iq_f[1]), np.asarray(iq_s[1]))
+        np.testing.assert_array_equal(np.asarray(th_f), np.asarray(th_s))
+        for key in ("ds_fm_in", "disc_prev_theta"):
+            np.testing.assert_array_equal(
+                np.asarray(st_f2[key]), np.asarray(st_s[key]), err_msg=key)
+        for key in ("ds_fm_out", "hilbert", "agc_pilot"):
+            np.testing.assert_array_equal(
+                np.asarray(st_f2[key]), np.asarray(st_s2[key]), err_msg=key)
+        for key in ("deemph", "peak_pilot"):
+            for a, bb in zip(jax.tree.leaves(st_f2[key]),
+                             jax.tree.leaves(st_s2[key])):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(bb), err_msg=key)
+        st_f, st_s = st_f2, st_s2
