@@ -191,6 +191,7 @@ def main() -> None:
         and fmt == "i8"
         and not os.environ.get("FMTPU_FE_TILES")  # tile-geometry A/B lens
         and not os.environ.get("FMTPU_BPSK_CT")   # BPSK channel-tile A/B lens
+        and not os.environ.get("FMTPU_K12_T")     # K1+K2 time-tile A/B lens
     ):
         try:
             # keep the BEST measurement: channel-count sweeps at the default

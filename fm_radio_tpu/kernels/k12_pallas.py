@@ -111,11 +111,18 @@ def pick_tiles_k12(c: int, b: int, no: int = _NO) -> tuple[int, int] | None:
 
     t_blk must give the K2 part at least one full ds2 sub-matmul
     (t_blk/4 >= _NO*2 -> t_blk >= 1024); 4096 is the production tile
-    (identical to the split kernels', so outputs stay bit-identical)."""
+    (identical to the split kernels', so outputs stay bit-identical).
+    FMTPU_K12_T caps it differently (A/B lens; NOTE a different tile
+    changes the IIR sub-chunk boundaries only across tiles, never within
+    — outputs stay identical because the Toeplitz state handoff is exact
+    at any tile width)."""
+    import os
+
+    max_t = int(os.environ.get("FMTPU_K12_T", "4096"))
     if b % (no * _M) != 0:
         return None
     t_blk = no * _M * 2  # 1024 at no=128: the minimum fusable input tile
-    while t_blk * 2 <= 4096 and b % (t_blk * 2) == 0:
+    while t_blk * 2 <= max_t and b % (t_blk * 2) == 0:
         t_blk *= 2
     if b % t_blk != 0 or (t_blk // _M) % (_NO * 2) != 0:
         return None
