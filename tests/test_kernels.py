@@ -807,7 +807,7 @@ def test_k12_fused_matches_split_kernels():
 
     cfg = DemodConfig(frontend_int8=True)
     co = make_coeffs(cfg)
-    c, b = 8, 8192  # b=8192 -> t_blk=4096, 2 tiles: smallest multi-tile shape
+    c, b = 4, 8192  # b=8192 -> t_blk=4096, 2 tiles: smallest multi-tile shape
     rng = np.random.default_rng(7)
     iq_u8 = rng.integers(0, 256, size=(c, 2 * b, 2), dtype=np.uint8)
     x = jnp.asarray(split_iq_i8(iq_u8))
