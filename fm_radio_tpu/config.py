@@ -190,11 +190,15 @@ class DemodConfig:
 
     # Full-chain megakernel (kernels/chain_pallas.py): front end + mid-end +
     # pilot PLL + extraction in ONE Pallas kernel / one HBM pass.  "auto"
-    # uses it whenever the shape fits (pick_tiles_chain).  Default "split"
-    # (the 4-kernel pipeline): measured at production scale (1024ch x 256k,
-    # large dispatches) the split pipeline's double-buffering already hides
-    # the inter-kernel HBM round trips, and the megakernel's smaller time
-    # tiles cost more than the traffic saves (16.8 vs 14.2 ms per 2^28).
+    # uses it whenever the shape fits (pick_tiles_chain).  Default "split":
+    # the round-1 A/B measured 16.8 vs 14.2 ms per 2^28, and the round-4
+    # analysis (docs/PERF.md, K1+K2 fusion section) explains why the gap is
+    # structural — inter-kernel producer->consumer HBM traffic is largely
+    # hidden on this chip, so the megakernel's only real effects are its
+    # handicaps: time tiles shrunk by the in-kernel PLL/extract geometry,
+    # and the serial PLL forced onto 128-lane channel tiles (16x the serial
+    # steps of the standalone 2048-lane PLL kernel).  The production path
+    # instead fuses where tiles agree: K1+K2 (cfg.k12_fusion).
     chain_fusion: str = "split"
 
     # K1+K2 fusion (kernels/k12_pallas.py): int8-direct front end + mid-end

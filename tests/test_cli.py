@@ -71,6 +71,7 @@ def test_demod_writes_wav(pcm_file, tmp_path):
     assert fs == 32000 and len(audio) == BLOCK * 32 // 32
 
 
+@pytest.mark.slow
 def test_bench_runs_tiny():
     out = run_cli("bench", "-b", "8192", "-c", "2")
     assert out.returncode == 0, out.stderr.decode()
@@ -78,6 +79,7 @@ def test_bench_runs_tiny():
     assert info["aggregate_msps"] > 0
 
 
+@pytest.mark.slow
 def test_stations_pipeline(tmp_path):
     """Wideband capture -> `fmtpu stations`: channelize + batched demod of
     every station in one command (the framework's headline path)."""
@@ -211,6 +213,7 @@ def test_demod_checkpoint_resume(pcm_file, tmp_path):
     np.testing.assert_array_equal(full, np.concatenate([a, b]))
 
 
+@pytest.mark.slow
 def test_tune_wideband_station(tmp_path):
     """`tune` (fm_demod_tuner for recorded captures): a full station placed
     at +1.024 MHz inside a 4.096 MHz wideband capture must demodulate to its
@@ -245,6 +248,7 @@ def test_tune_wideband_station(tmp_path):
     assert abs(freqs[np.argmax(spec)] - 1500.0) < 20.0
 
 
+@pytest.mark.slow
 def test_demod_control_flags(pcm_file, tmp_path):
     """GUI-control parity at the CLI: mono L+R mode with de-emphasis and a
     narrower cutoff produces a valid WAV whose two channels are identical."""
@@ -306,6 +310,7 @@ def test_demod_output_rate_resample(pcm_file, tmp_path):
     assert abs(audio.shape[0] - BLOCK * 32 // 32 * 48000 // 32000) <= 2
 
 
+@pytest.mark.slow
 def test_scrape_stream_matches_batch(pcm_file, tmp_path):
     """--stream (native prefetching reader + incremental WAV sink) must
     produce byte-identical artifacts to the default batch path."""

@@ -261,6 +261,7 @@ def test_ds4_disc_pallas_matches_ops():
     np.testing.assert_allclose(np.asarray(ptk), np.asarray(pt), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ds4_disc_pallas_int8_dots():
     """int8-MXU front-end variant (quantize_band_int8 + shifted int8 input)
     vs the bf16 integer fast path: only the ~-89 dB two-plane tap
