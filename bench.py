@@ -71,6 +71,10 @@ def main() -> None:
         # A/B lens on the int16 inter-stage HBM format (kernels/qformat.py):
         # halves the K1->K2, K2->K3 and PLL stream bytes
         interstage_i16=os.environ.get("FMTPU_BENCH_I16") == "1",
+        # A/B lens on the fused K1+K2 kernel (round-4 default; "off"
+        # restores the split front/mid kernels — bit-identical outputs)
+        k12_fusion="off" if os.environ.get("FMTPU_BENCH_K12") == "0"
+        else "auto",
     )
     coeffs = make_coeffs(cfg)
 
@@ -192,6 +196,7 @@ def main() -> None:
         and not os.environ.get("FMTPU_FE_TILES")  # tile-geometry A/B lens
         and not os.environ.get("FMTPU_BPSK_CT")   # BPSK channel-tile A/B lens
         and not os.environ.get("FMTPU_K12_T")     # K1+K2 time-tile A/B lens
+        and cfg.k12_fusion == "auto"              # K1+K2 fusion A/B lens
     ):
         try:
             # keep the BEST measurement: channel-count sweeps at the default

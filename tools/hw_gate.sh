@@ -53,6 +53,12 @@ FMTPU_BENCH_NO=256 timeout 5700 python bench.py 2048 2>&1 | tail -2 | tee -a "$L
 note "bench int8 + wide-band composed (2048ch)"
 FMTPU_BENCH_INT8=1 FMTPU_BENCH_NO=256 timeout 5700 python bench.py 2048 2>&1 | tail -2 | tee -a "$LOG"
 
+note "bench split-K1/K2 A/B (2048ch, round-4 fusion OFF)"
+FMTPU_BENCH_K12=0 timeout 5700 python bench.py 2048 2>&1 | tail -2 | tee -a "$LOG"
+
+note "bench narrow BPSK channel tile A/B (2048ch, pre-round-4 512 cap)"
+FMTPU_BPSK_CT=512 timeout 5700 python bench.py 2048 2>&1 | tail -2 | tee -a "$LOG"
+
 note "serving soak on the chip (6 windows x 2 s, 4 stations)"
 timeout 2400 python tools/soak.py --passes 6 --json "$LOG.soak.jsonl" \
     2>&1 | tail -8 | tee -a "$LOG"
