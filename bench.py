@@ -75,6 +75,10 @@ def main() -> None:
         # restores the split front/mid kernels — bit-identical outputs)
         k12_fusion="off" if os.environ.get("FMTPU_BENCH_K12") == "0"
         else "auto",
+        # A/B lens on the full-chain megakernel (opt-in, packed/plane
+        # ingest only — compose with FMTPU_BENCH_FMT=f32w)
+        chain_fusion="auto" if os.environ.get("FMTPU_BENCH_CHAIN") == "1"
+        else "split",
     )
     coeffs = make_coeffs(cfg)
 
@@ -197,6 +201,7 @@ def main() -> None:
         and not os.environ.get("FMTPU_BPSK_CT")   # BPSK channel-tile A/B lens
         and not os.environ.get("FMTPU_K12_T")     # K1+K2 time-tile A/B lens
         and cfg.k12_fusion == "auto"              # K1+K2 fusion A/B lens
+        and cfg.chain_fusion == "split"           # megakernel A/B lens
     ):
         try:
             # keep the BEST measurement: channel-count sweeps at the default
