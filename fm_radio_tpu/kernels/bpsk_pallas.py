@@ -69,9 +69,12 @@ def _bpsk_kernel(
 
     # fused RDS AGC ingest: gain [1, ct] per channel, measured by the extract
     # kernel and updated in XLA — scaling here replaces the agc_process_p HBM
-    # round trip over the rds planes (broadcast_fm_demod.cpp:538-541); the
+    # round trip over the rds planes (broadcast_fm_demod.cpp:538-541).  The
     # multiply is the exact same f32 op the separate pass performed, so the
-    # loop's arithmetic is bit-identical.
+    # loop's arithmetic is bit-identical GIVEN the same gain; the gain itself
+    # comes from the extract kernel's per-tile power reduction, whose
+    # summation order differs from the unfused XLA mean (numerically equal
+    # at ~2e-4, not last-ulp identical — docs/PERF.md caveat).
     g_row = gain_ref[...] if apply_gain else None
 
     if channel_major:
@@ -220,6 +223,10 @@ def bpsk_sync_pallas(cfg, state: BPSKState, x: jnp.ndarray, interpret: bool = Fa
     # (c/ct) * n * step-latency and the step is lane-FLAT to 2048 (measured
     # round 4: full-chain 39,536 vs 35,757 Msps at the old 512 cap, +10.6%
     # — docs/PERF.md).  FMTPU_BPSK_CT is the A/B lens on the cap.
+    # Process-scoped: read at trace time inside a jit-cached path, so it
+    # must be set before the first compile in the process (bench.py runs
+    # each lens in a fresh subprocess for exactly this reason); flipping it
+    # mid-process silently measures the stale configuration.
     import os
 
     cap = int(os.environ.get("FMTPU_BPSK_CT", "2048"))

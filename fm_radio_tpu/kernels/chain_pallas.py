@@ -26,6 +26,25 @@ predicates — full-width DMA with no strided writes.
 
 The split kernels remain both the fallback (odd shapes, taps mode, c % 8
 != 0) and the parity oracles (tests/test_kernels.py).
+
+STATUS (round 5): RETIRED from perf consideration — kept only as the
+measured A/B witness.  Measured -44% vs the split path with round-4
+kernels (18.7 vs 33.5 Gsps at the f32w lens, docs/PERF.md), and the
+round-4 K12 fusion finding removed this kernel's entire motivation: the
+inter-kernel producer->consumer HBM traffic it eliminates is largely
+HIDDEN on this chip (overlapped with the next kernel's ramp), so the
+~2.7 GB/step "saving" in the paragraph above prices at roughly nothing,
+while the structural handicaps are real and permanent (the in-kernel
+serial PLL pins tiles to 128 lanes vs the split PLL kernel's 2048, and
+the 16 MB VMEM budget forces small time tiles).  The verdict would flip
+only if BOTH (a) an EXACT lane-parallel PLL formulation existed (the
+approximate block-parallel one measured -14% at production channel
+counts and changes outputs) and (b) the target chip did not hide
+inter-kernel traffic (e.g. a much lower HBM:compute ratio than v5e).
+Neither holds; do not invest further here.  The kernel stays compilable
+and output-identical (slow-lane parity test) purely so the -44% A/B
+remains reproducible; treat any future maintenance burden as a cue to
+delete it outright.
 """
 
 from __future__ import annotations

@@ -113,9 +113,13 @@ def pick_tiles_k12(c: int, b: int, no: int = _NO) -> tuple[int, int] | None:
     (t_blk/4 >= _NO*2 -> t_blk >= 1024); 4096 is the production tile
     (identical to the split kernels', so outputs stay bit-identical).
     FMTPU_K12_T caps it differently (A/B lens; NOTE a different tile
-    changes the IIR sub-chunk boundaries only across tiles, never within
-    — outputs stay identical because the Toeplitz state handoff is exact
-    at any tile width)."""
+    width changes the in-kernel pilot-AGC power accumulation ORDER across
+    tiles — the IIR Toeplitz state handoff itself is exact at any width,
+    but agc_pilot becomes only numerically equal, not bit-identical, to
+    the split path; that is why the lens is excluded from the hardware
+    bench record — docs/PERF.md, commit 455649d.  Process-scoped: the
+    env var is read at trace time, so it must be set before the first
+    jit compile in the process, as bench.py's subprocess model does)."""
     import os
 
     max_t = int(os.environ.get("FMTPU_K12_T", "4096"))

@@ -562,7 +562,11 @@ def demod_block(
         # ingest in-VMEM — the agc_process_p pass over the rds planes (two
         # full HBM round trips at the 16k rate) disappears.  The scaling
         # multiply is the identical f32 op, so BPSK outputs are bit-exact
-        # vs the unfused order (broadcast_fm_demod.cpp:538-547).
+        # vs the unfused order GIVEN the same gain; the gain's power
+        # reduction runs in a different (in-kernel per-tile) summation
+        # order than the unfused XLA mean, so it is numerically equal,
+        # not last-ulp identical (broadcast_fm_demod.cpp:538-547;
+        # docs/PERF.md caveat).
         from fm_radio_tpu.kernels.bpsk_pallas import bpsk_sync_pallas
         from fm_radio_tpu.ops.agc import _agc_gain
 

@@ -39,6 +39,43 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
+# Fast-lane duration check (README's "<6 min" bound): the default lane is
+# the pre-commit gate, so a creeping runtime is a regression worth flagging.
+# Non-fatal (machines differ) but loud — a test that pushes the lane over
+# the bound should be moved to the slow lane.
+_FAST_LANE_BOUND_S = 360.0
+_t_session_start = None
+
+
+def pytest_sessionstart(session):
+    global _t_session_start
+    import time
+
+    _t_session_start = time.monotonic()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    import time
+
+    if (
+        _t_session_start is None
+        or os.environ.get("FMTPU_FULL_SUITE") == "1"
+        or session.config.option.markexpr
+    ):
+        return
+    # partial selections (single file / -k) finish well under the bound and
+    # never trigger; no need to detect them explicitly
+    dur = time.monotonic() - _t_session_start
+    if dur > _FAST_LANE_BOUND_S:
+        import warnings
+
+        warnings.warn(
+            f"fast lane took {dur:.0f}s > {_FAST_LANE_BOUND_S:.0f}s bound "
+            "(README): move the offending tests to @pytest.mark.slow",
+            stacklevel=1,
+        )
+
+
 # Hardware-run artifact trail: when the hardware accuracy gates run on the
 # real chip (FMTPU_TPU_TESTS=1), each gate's outcome is merged into
 # ACCURACY_HW_LAST.json so the accuracy claims carry a timestamped in-repo
