@@ -34,7 +34,10 @@ def _chan_core(
     bufr_ref, bufi_ref,
     *, n_t: int, n_tt: int, k: int, interp: bool,
 ):
-    ti = pl.program_id(0)
+    # grid is (W, n_tt): time tiles iterate fastest, so the VMEM tail
+    # scratch hands off correctly within one capture and is re-seeded from
+    # tail_ref at ti == 0 when the grid steps to the next capture
+    ti = pl.program_id(1)
 
     # z[n, p] = sum_r w[r, p] * frames[n + r, p]; window rows start at
     # _TBF - (k-1) + r (static sublane offsets)
@@ -73,7 +76,7 @@ def _chan_kernel(
     bufr_ref, bufi_ref,
     *, n_t: int, n_tt: int, k: int, interp: bool,
 ):
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _init():
         bufr_ref[: _TBF] = tail_ref[0]
         bufi_ref[: _TBF] = tail_ref[1]
@@ -95,7 +98,7 @@ def _chan_kernel_packed(
     # packed u8 IQ words (utils/transfer.pack_iq_u8): w = I*256 + Q, exact
     # integers < 2^16; unpack + recenter in-VMEM (wideband captures are the
     # channelizer's largest stream — half the HBM read of planes)
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _init():
         bufr_ref[: _TBF] = tail_ref[0]
         bufi_ref[: _TBF] = tail_ref[1]
@@ -144,28 +147,37 @@ def channelize_pallas(taps, state_p, xp, num_channels: int,
 
     ``xp`` may be a SINGLE [T] f32 array of packed u8 IQ words
     (utils/transfer.pack_iq_u8) — unpacked + recentered in-VMEM, halving
-    the wideband HBM read."""
+    the wideband HBM read.
+
+    BATCHED form (the ``fmtpu stations``-at-scale / wideband-bench path): a
+    leading capture axis W on both the input ([W, T] packed, or (re, im)
+    each [W, T]) and the state ([W, (K-1)*M] planes) runs W independent
+    wideband streams through ONE kernel — grid (W, time tiles), the VMEM
+    tail scratch re-seeded per capture — and returns [W, M, T/M] outputs
+    with [W, (K-1)*M] carried tails."""
     m = num_channels
     taps = jnp.asarray(taps, jnp.float32)
     nn = taps.shape[0]
     k = nn // m
     assert k - 1 <= _TBF, "taps_per_phase too large for the carried tail"
     packed = not isinstance(xp, (tuple, list))
+    x0 = xp if packed else xp[0]
+    batched = x0.ndim == 2
     if packed:
-        xw = xp
-        t = xw.shape[-1]
+        xw = xp if batched else xp[None]
     else:
-        xr, xi = xp
-        t = xr.shape[-1]
+        xr, xi = (xp if batched else (xp[0][None], xp[1][None]))
+    nw = (xw if packed else xr).shape[0]
+    t = (xw if packed else xr).shape[-1]
     n_frames = t // m
     n_t = pick_tile_chan(n_frames, m)
     assert n_t is not None
     n_tt = n_frames // n_t
 
     if packed:
-        x_in = (xw.reshape(n_frames, m),)
+        x_in = (xw.reshape(nw, n_frames, m),)
     else:
-        x_in = (xr.reshape(n_frames, m), xi.reshape(n_frames, m))
+        x_in = (xr.reshape(nw, n_frames, m), xi.reshape(nw, n_frames, m))
     w = taps[::-1].reshape(k, m)
     w16 = jnp.zeros((_TBF, m), jnp.float32).at[:k].set(w)
 
@@ -174,36 +186,46 @@ def channelize_pallas(taps, state_p, xp, num_channels: int,
     w_re = jnp.asarray(np.cos(ang).astype(np.float32))
     w_im = jnp.asarray(np.sin(ang).astype(np.float32))
 
-    sr, si = state_p  # [(K-1)*M] each
-    tail = jnp.zeros((2, _TBF, m), jnp.float32)
-    tail = tail.at[0, _TBF - (k - 1) :].set(sr.reshape(k - 1, m))
-    tail = tail.at[1, _TBF - (k - 1) :].set(si.reshape(k - 1, m))
+    sr, si = state_p  # [(K-1)*M] each (or [W, (K-1)*M] batched)
+    sr = sr.reshape(nw, k - 1, m)
+    si = si.reshape(nw, k - 1, m)
+    tail = jnp.zeros((nw, 2, _TBF, m), jnp.float32)
+    tail = tail.at[:, 0, _TBF - (k - 1) :].set(sr)
+    tail = tail.at[:, 1, _TBF - (k - 1) :].set(si)
 
     kern = functools.partial(
         _chan_kernel_packed if packed else _chan_kernel,
         n_t=n_t, n_tt=n_tt, k=k, interp=interpret,
     )
-    cspec = lambda shape: pl.BlockSpec(shape, lambda ti: tuple(0 for _ in shape),
-                                       memory_space=pltpu.VMEM)
-    f_spec = pl.BlockSpec((n_t, m), lambda ti: (ti, 0), memory_space=pltpu.VMEM)
+    # per-capture constants/tails: None squeezes the capture axis so the
+    # kernel body is identical to the single-capture form
+    cspec = lambda shape: pl.BlockSpec(
+        shape, lambda wi, ti: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec((None, n_t, m), lambda wi, ti: (wi, ti, 0),
+                          memory_space=pltpu.VMEM)
+    tail_spec = pl.BlockSpec((None, 2, _TBF, m), lambda wi, ti: (wi, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    y_spec = pl.BlockSpec((None, m, n_t), lambda wi, ti: (wi, 0, ti),
+                          memory_space=pltpu.VMEM)
     y_re, y_im, out_tail = pl.pallas_call(
         kern,
-        grid=(n_tt,),
+        grid=(nw, n_tt),
         in_specs=[f_spec] * len(x_in) + [
-            cspec((2, _TBF, m)),
+            tail_spec,
             cspec((_TBF, m)),
             cspec((m, m)),
             cspec((m, m)),
         ],
         out_specs=[
-            pl.BlockSpec((m, n_t), lambda ti: (0, ti), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, n_t), lambda ti: (0, ti), memory_space=pltpu.VMEM),
-            cspec((2, _TBF, m)),
+            y_spec,
+            y_spec,
+            tail_spec,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((m, n_frames), jnp.float32),
-            jax.ShapeDtypeStruct((m, n_frames), jnp.float32),
-            jax.ShapeDtypeStruct((2, _TBF, m), jnp.float32),
+            jax.ShapeDtypeStruct((nw, m, n_frames), jnp.float32),
+            jax.ShapeDtypeStruct((nw, m, n_frames), jnp.float32),
+            jax.ShapeDtypeStruct((nw, 2, _TBF, m), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((_TBF + n_t, m), jnp.float32),
@@ -213,7 +235,10 @@ def channelize_pallas(taps, state_p, xp, num_channels: int,
     )(*x_in, tail, w16, w_re, w_im)
 
     new_state = (
-        out_tail[0, _TBF - (k - 1) :].reshape(-1),
-        out_tail[1, _TBF - (k - 1) :].reshape(-1),
+        out_tail[:, 0, _TBF - (k - 1) :].reshape(nw, -1),
+        out_tail[:, 1, _TBF - (k - 1) :].reshape(nw, -1),
     )
+    if not batched:
+        return ((new_state[0][0], new_state[1][0]),
+                (y_re[0], y_im[0]))
     return new_state, (y_re, y_im)

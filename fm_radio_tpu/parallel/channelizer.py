@@ -73,7 +73,6 @@ def channelize_p(taps, state_p, xp, num_channels: int):
         xr, xi = xp
         t_len = xr.shape[-1]
     assert nn == m * k and t_len % m == 0
-    sr, si = state_p
 
     # fused Pallas path (kernels/channelizer_pallas.py): ~5x the XLA form
     if jax.default_backend() == "tpu" and k - 1 <= 16:
@@ -85,11 +84,24 @@ def channelize_p(taps, state_p, xp, num_channels: int):
         if pick_tile_chan(t_len // m, m) is not None:
             return channelize_pallas(taps, state_p, xp, m)
 
+    return _channelize_xla_p(taps, state_p, xp, m)
+
+
+def _channelize_xla_p(taps, state_p, xp, num_channels: int):
+    """The pure-jnp filterbank math (vmap-safe: no Pallas dispatch inside) —
+    the fallback and oracle for :func:`channelize_pallas`."""
+    m = num_channels
+    k = taps.shape[0] // m
+    packed = not isinstance(xp, (tuple, list))
+    sr, si = state_p
+
     if packed:
         # exact XLA unpack fallback
         from fm_radio_tpu.utils.transfer import unpack_iq_words
 
         xr, xi = unpack_iq_words(xp)
+    else:
+        xr, xi = xp
 
     xr_pad = jnp.concatenate([sr, xr], axis=-1)
     xi_pad = jnp.concatenate([si, xi], axis=-1)
@@ -115,6 +127,42 @@ def channelize_p(taps, state_p, xp, num_channels: int):
     y_re = (jnp.dot(zr, w_re, precision=hi) - jnp.dot(zi, w_im, precision=hi)).T
     y_im = (jnp.dot(zr, w_im, precision=hi) + jnp.dot(zi, w_re, precision=hi)).T
     return new_state, (y_re, y_im)
+
+
+def channelize_batch_p(taps, state_p, xp, num_channels: int):
+    """W independent wideband captures through ONE filterbank program.
+
+    state_p: (sr, si) each [W, (K-1)*M]; xp: [W, T] packed f32 words or
+    (re, im) planes each [W, T].  Returns (state_p', (y_re, y_im)
+    [W, M, T/M]).  On TPU this is the batched-grid Pallas kernel (one
+    dispatch for all W captures); elsewhere a vmap of the XLA form.
+
+    This is the wideband front door of the stations-at-scale path: W
+    captures x M channels fill the demodulator's channel axis with
+    C = W*M stations (the reference consumes ONE wideband capture per
+    process, app.cpp:39-64)."""
+    m = num_channels
+    taps = jnp.asarray(taps, jnp.float32)
+    k = taps.shape[0] // m
+    packed = not isinstance(xp, (tuple, list))
+    t_len = (xp if packed else xp[0]).shape[-1]
+
+    if jax.default_backend() == "tpu" and k - 1 <= 16:
+        from fm_radio_tpu.kernels.channelizer_pallas import (
+            channelize_pallas,
+            pick_tile_chan,
+        )
+
+        if pick_tile_chan(t_len // m, m) is not None:
+            return channelize_pallas(taps, state_p, xp, m)
+
+    if packed:
+        return jax.vmap(
+            lambda s0, s1, xw: _channelize_xla_p(taps, (s0, s1), xw, m)
+        )(state_p[0], state_p[1], xp)
+    return jax.vmap(
+        lambda s0, s1, x0, x1: _channelize_xla_p(taps, (s0, s1), (x0, x1), m)
+    )(state_p[0], state_p[1], xp[0], xp[1])
 
 
 def channelize(taps, state: jnp.ndarray, x: jnp.ndarray, num_channels: int):
