@@ -203,9 +203,18 @@ def _midend_body(
 
     # data-parallel half of the PLL phase detector: angle(pilot) in cycles
     theta = _atan2(pk_im, pk_re) * jnp.float32(1.0 / (2.0 * np.pi))
-    acc_ref[...] = acc_ref[...] + jnp.sum(
-        pk_re * pk_re + pk_im * pk_im, axis=-1, keepdims=True
-    )
+    # pilot-AGC power accumulation, chunked at the PRODUCTION tile's pilot
+    # width (512 = 4096-input-tile / 8) so the accumulation ORDER is
+    # tile-width-invariant: a wider tile (FMTPU_K12_T lens) sums the same
+    # 512-wide partials in the same stream sequence and agc_pilot stays
+    # BIT-identical to the split/4096 path (round-4's 8192 lens was
+    # rejected for exactly this order change — docs/PERF.md)
+    p = pk_re * pk_re + pk_im * pk_im
+    w = p.shape[-1]
+    for s0 in range(0, w, 512):
+        acc_ref[...] = acc_ref[...] + jnp.sum(
+            p[:, s0 : min(s0 + 512, w)], axis=-1, keepdims=True
+        )
 
     # carry the tails forward
     buf2_ref[:, :_TB] = buf2_ref[:, t_blk:]

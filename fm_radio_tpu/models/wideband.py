@@ -64,24 +64,21 @@ def wideband_demod_block(cfg, coeffs, ch_taps, state: dict, w_words,
 
         ch_taps = make_channelizer_taps(m)
     st = dict(state)
-    st["chan"], (y_re, y_im) = channelize_batch_p(
-        ch_taps, st["chan"], w_words, m)
-    nw = y_re.shape[0]
-    c = nw * m
-    y_re = y_re.reshape(c, -1)
-    y_im = y_im.reshape(c, -1)
-    inv_m = jnp.float32(1.0 / m)  # undo the filterbank's DFT scaling
     if bridge == "i8":
-        # back to the capture's own u8 grid: round to integers, store as
-        # (v - 1) int8 because the demod's i8 ingest convention is
-        # (u8 - 128) + in-kernel +1 recenter (utils/transfer.split_iq_i8)
-        def q(p):
-            v = jnp.round(p * inv_m)
-            return jnp.clip(v - 1.0, -128.0, 127.0).astype(jnp.int8)
-
-        x = jnp.stack([q(y_re), q(y_im)])
+        # in-kernel bridge: channelizer emits 1/m-descaled u8-grid int8
+        # planes directly ([2, W, M, B] -> [2, C, B] is a free reshape) —
+        # the (v - 1) int8 storage matches the demod's i8 ingest convention
+        # ((u8 - 128) + in-kernel +1 recenter, utils/transfer.split_iq_i8)
+        st["chan"], y8 = channelize_batch_p(ch_taps, st["chan"], w_words, m,
+                                            out="i8")
+        x = y8.reshape(2, y8.shape[1] * m, -1)
     else:
         assert bridge == "f32", bridge
-        x = jnp.stack([y_re * inv_m, y_im * inv_m])
+        st["chan"], (y_re, y_im) = channelize_batch_p(
+            ch_taps, st["chan"], w_words, m)
+        c = y_re.shape[0] * m
+        inv_m = jnp.float32(1.0 / m)  # undo the filterbank's DFT scaling
+        x = jnp.stack([y_re.reshape(c, -1) * inv_m,
+                       y_im.reshape(c, -1) * inv_m])
     st["demod"], outs = demod_block(cfg, coeffs, st["demod"], x)
     return st, outs

@@ -129,13 +129,18 @@ def _channelize_xla_p(taps, state_p, xp, num_channels: int):
     return new_state, (y_re, y_im)
 
 
-def channelize_batch_p(taps, state_p, xp, num_channels: int):
+def channelize_batch_p(taps, state_p, xp, num_channels: int,
+                       out: str = "f32"):
     """W independent wideband captures through ONE filterbank program.
 
     state_p: (sr, si) each [W, (K-1)*M]; xp: [W, T] packed f32 words or
     (re, im) planes each [W, T].  Returns (state_p', (y_re, y_im)
-    [W, M, T/M]).  On TPU this is the batched-grid Pallas kernel (one
-    dispatch for all W captures); elsewhere a vmap of the XLA form.
+    [W, M, T/M]) — or, with ``out="i8"``, (state_p', y_i8 [2, W, M, T/M]
+    int8): the 1/m-descaled planes re-quantized to the u8 grid in the
+    demod's i8 ingest convention, produced IN-kernel on TPU (1/4 the
+    output HBM bytes; models/wideband.py's production bridge).  On TPU
+    this is the capture-packed Pallas kernel (one dispatch for all W
+    captures); elsewhere a vmap of the XLA form.
 
     This is the wideband front door of the stations-at-scale path: W
     captures x M channels fill the demodulator's channel axis with
@@ -153,16 +158,29 @@ def channelize_batch_p(taps, state_p, xp, num_channels: int):
             pick_tile_chan,
         )
 
-        if pick_tile_chan(t_len // m, m) is not None:
-            return channelize_pallas(taps, state_p, xp, m)
+        nw = (xp if packed else xp[0]).shape[0]
+        if pick_tile_chan(t_len // m, m, nw) is not None:
+            return channelize_pallas(taps, state_p, xp, m, out=out)
 
     if packed:
-        return jax.vmap(
+        st, y = jax.vmap(
             lambda s0, s1, xw: _channelize_xla_p(taps, (s0, s1), xw, m)
         )(state_p[0], state_p[1], xp)
-    return jax.vmap(
-        lambda s0, s1, x0, x1: _channelize_xla_p(taps, (s0, s1), (x0, x1), m)
-    )(state_p[0], state_p[1], xp[0], xp[1])
+    else:
+        st, y = jax.vmap(
+            lambda s0, s1, x0, x1: _channelize_xla_p(taps, (s0, s1),
+                                                     (x0, x1), m)
+        )(state_p[0], state_p[1], xp[0], xp[1])
+    if out == "i8":
+        # exact XLA mirror of the kernel's in-VMEM bridge
+        inv_m = jnp.float32(1.0 / m)
+
+        def q8(p):
+            v = jnp.clip(jnp.round(p * inv_m) - 1.0, -128.0, 127.0)
+            return v.astype(jnp.int8)
+
+        return st, jnp.stack([q8(y[0]), q8(y[1])])
+    return st, y
 
 
 def channelize(taps, state: jnp.ndarray, x: jnp.ndarray, num_channels: int):

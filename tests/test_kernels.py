@@ -709,8 +709,12 @@ def test_channelizer_tile_fits_vmem():
     assert pick_tile_chan(1 << 16, 8) == 2048       # small m: full tile
     n_t_256 = pick_tile_chan(1 << 16, 256)
     assert n_t_256 is not None and n_t_256 < 2048   # shrunk for m=256
-    assert _chan_vmem_bytes(n_t_256, 256) <= 12 << 20
+    assert _chan_vmem_bytes(n_t_256, 256, 1) <= 12 << 20
     assert pick_tile_chan(1 << 16, 1024) is None    # DFT matrices alone ~8MB
+    # capture packing (q = 128/m) must stay inside the budget too
+    n_t_q = pick_tile_chan(1 << 16, 32, n_captures=64)
+    assert n_t_q is not None
+    assert _chan_vmem_bytes(n_t_q, 32, 4) <= 12 << 20
 
 
 def test_kernel_tables_match_in_trace_construction():

@@ -87,6 +87,56 @@ def test_channelizer_pallas_batched_matches_xla(packed):
                                    atol=1e-5)
 
 
+def test_channelizer_pallas_capture_packed_matches_xla():
+    """q-packed lanes (m=32, W=4 -> q=4: one dense block-diag DFT matmul
+    for all four captures) vs the vmapped XLA oracle, two streamed blocks."""
+    from fm_radio_tpu.kernels.channelizer_pallas import (
+        _pack_q,
+        channelize_pallas,
+    )
+
+    m, k, w = 32, 8, 4
+    assert _pack_q(w, m) == 4
+    t = 256 * m  # 256 frames/block: minimum tile
+    taps = jnp.asarray(make_channelizer_taps(m, k))
+    rng = np.random.default_rng(5)
+    u8 = rng.integers(0, 256, (w, 2 * t, 2)).astype(np.uint8)
+    xs = jnp.asarray(pack_iq_u8(u8))
+    z = jnp.zeros((w, (k - 1) * m))
+    st_a = st_b = (z, z)
+    for xb in (xs[:, :t], xs[:, t:]):
+        st_a, ya = channelize_pallas(taps, st_a, xb, m, interpret=True)
+        st_b, yb = channelize_batch_p(taps, st_b, xb, m)
+        np.testing.assert_allclose(np.asarray(ya[0]), np.asarray(yb[0]),
+                                   atol=5e-2)
+        np.testing.assert_allclose(np.asarray(ya[1]), np.asarray(yb[1]),
+                                   atol=5e-2)
+        np.testing.assert_allclose(np.asarray(st_a[0]), np.asarray(st_b[0]),
+                                   atol=1e-5)
+
+
+def test_channelizer_pallas_i8_out_matches_xla_bridge():
+    """In-kernel i8 bridge (1/m descale folded into the DFT matrices,
+    round/-1/clip in VMEM) vs the XLA-fallback quantizer: within 1 LSB
+    everywhere (bf16-split rounding may flip exact .5 boundaries)."""
+    from fm_radio_tpu.kernels.channelizer_pallas import channelize_pallas
+
+    m, k, w = 32, 8, 4
+    t = 256 * m
+    taps = jnp.asarray(make_channelizer_taps(m, k))
+    rng = np.random.default_rng(6)
+    u8 = rng.integers(0, 256, (w, t, 2)).astype(np.uint8)
+    xs = jnp.asarray(pack_iq_u8(u8))
+    z = jnp.zeros((w, (k - 1) * m))
+    _, ya = channelize_pallas(taps, (z, z), xs, m, interpret=True, out="i8")
+    _, yb = channelize_batch_p(taps, (z, z), xs, m, out="i8")
+    assert ya.dtype == jnp.int8 and ya.shape == (2, w, m, t // m)
+    d = np.abs(np.asarray(ya).astype(np.int32) -
+               np.asarray(yb).astype(np.int32))
+    assert d.max() <= 1
+    assert (d > 0).mean() < 0.02  # only rounding-boundary disagreements
+
+
 def _station_wideband(m: int, n_ch: int, channel: int):
     from fm_radio_tpu.io.synth import FMModulator, ModulatorConfig, make_wideband
 
