@@ -280,6 +280,16 @@ def _main_wideband(m: int, cpu_fallback: bool) -> None:
     from fm_radio_tpu.parallel.channelizer import make_channelizer_taps
 
     bridge = os.environ.get("FMTPU_BENCH_WB_BRIDGE", "i8")
+    # bf16 split count of the fused channelizer matrices.  PRODUCTION
+    # DEFAULT 2 (single-bf16 fused matrices): the tap+twiddle quantization
+    # sits below the u8 capture's own floor — hardware-gated by
+    # test_wideband_i8_bridge_golden_on_hardware (station + PI decode at
+    # m=32, splits 2 vs 3 within a few dB).  3 = near-exact A/B lens.
+    wb_splits = int(os.environ.get("FMTPU_WB_SPLITS", "2"))
+    # prototype quality knob: taps per polyphase phase (the fused kernel's
+    # dot count is ceil((K-1)*m/128)+1 shifts — K=8 cuts it ~40% at m=32;
+    # channel isolation drops with K, gated by the wideband accuracy tests)
+    wb_k = int(os.environ.get("FMTPU_BENCH_WB_K", "16"))
     channels = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     if cpu_fallback:
         channels, block, n_blocks = min(channels, m), 1 << 14, 2
@@ -294,7 +304,7 @@ def _main_wideband(m: int, cpu_fallback: bool) -> None:
         assume_integer_input=(bridge == "i8"),
     )
     coeffs = make_coeffs(cfg)
-    taps = make_channelizer_taps(m)
+    taps = make_channelizer_taps(m, wb_k)
 
     # synthetic wideband: per-channel FM phase walks synthesized DIRECTLY in
     # the polyphase frame domain — with zero-order-hold channel upsampling,
@@ -316,13 +326,16 @@ def _main_wideband(m: int, cpu_fallback: bool) -> None:
                        np.round(np.clip(wide.imag, -127, 127) + 127.0)],
                       axis=-1).astype(np.uint8)
         words[w] = pack_iq_u8(u8)
-    x = jnp.asarray(words)
+    # pre-flattened [W, T/128, 128] ingest: the scan-invariant flat view is
+    # built ONCE here — inside the scan body XLA re-copies ~1 GB/step
+    # (kernels/channelizer_pallas.py flat3 note)
+    x = jnp.asarray(words.reshape(nw, -1, 128))
 
     @jax.jit
     def run(state, x):
         def step(st, _):
             st, outs = wideband_demod_block(cfg, coeffs, taps, st, x, m,
-                                            bridge=bridge)
+                                            bridge=bridge, splits=wb_splits)
             return st, (
                 jnp.sum(outs["audio"]),
                 jnp.sum(outs["rds_pred"]),
@@ -332,7 +345,7 @@ def _main_wideband(m: int, cpu_fallback: bool) -> None:
         state, probes = jax.lax.scan(step, state, None, length=n_blocks)
         return state, sum(jnp.sum(p) for p in probes)
 
-    state = wideband_init_state(cfg, m, nw)
+    state = wideband_init_state(cfg, m, nw, taps_per_phase=wb_k)
     _, probe = run(state, x)
     float(np.asarray(probe))
 
@@ -350,7 +363,7 @@ def _main_wideband(m: int, cpu_fallback: bool) -> None:
               "stereo+RDS demod), aggregate per chip")
     if cpu_fallback:
         metric += " [DEGRADED: TPU backend unavailable, CPU-backend fallback]"
-    elif platform != "cpu" and bridge == "i8":
+    elif platform != "cpu" and bridge == "i8" and wb_k == 16:
         # the wideband lens has its OWN hardware record (it must never
         # overwrite the pre-split chain's BENCH_HW_LAST.json)
         here = os.path.dirname(os.path.abspath(__file__))

@@ -1,43 +1,57 @@
 """Pallas polyphase-FFT channelizer: wideband IQ -> M station channels.
 
 One HBM pass for the whole filterbank (parallel/channelizer.py documents the
-math).  The XLA form costs ~13 ms per 16M samples because the K shifted
-multiply-adds of the phase filter do not fuse (K full passes over the
-signal); here they run over VMEM-resident frame tiles (sublane shifts), and
-the cross-phase DFT runs on the MXU.
+math).  The layout is the product of three on-chip decompositions
+(tools/wb_probe, round 5):
 
-Round-5 structure (the first on-chip wideband measurement showed the naive
-per-capture DFT costing ~7x the whole demod chain at m=32):
+v1 (frames on sublanes, phases on m lanes): every buffer and VPU op is
+  128/m-fold lane-PADDED and the phase filter's K=16 SUBLANE-shifted slice
+  reads dominate — 35 ms per 2^28-sample block at 2048 stations, 7x the
+  whole demod chain.
+v2 (flat [rows, 128] frame-packed): full lane density, but the phase
+  filter's flat shifts r*m land at sublane offsets 1..4 — sublane-MISALIGNED
+  vector ops run ~4x slow on this chip, and 30 of them/tile kept the kernel
+  at 34 ms while streams+DFT+output measured 2.3 ms (the k1 probe variant).
+v3 (THIS FILE — TRANSPOSED flat): the stream lives as B[s, c] =
+  x_flat[128*c + s], i.e. [128 sublanes, cols].  A tap shift of r*m flat
+  samples becomes a sublane offset (r*m) % 128 — a MULTIPLE OF m >= 8, so
+  every slice is sublane-ALIGNED — plus a lane offset of at most
+  _TBF*m/128 + 1 small columns.  The phase filter accumulates in 128-column
+  register chunks; the DFT is y_T = C_T @ z_T against transposed block-diag
+  twiddle matrices (full MXU density at any m <= 128); and the channel-major
+  epilogue needs NO transposes at all: y_T's sublane blocks q'*m..+m ARE the
+  per-frame-phase channel rows.
 
-- CAPTURE PACKING: the DFT matmul of one capture is [n_t, m] x [m, m],
-  which pads to 128 lanes on the MXU — at m=32 that wastes 4x the MXU time.
-  The kernel therefore stacks q = 128/m INDEPENDENT captures along the lane
-  axis and applies ONE dense block-diag(DFT_m x q) [q*m, q*m] matmul: full
-  MXU density at any m <= 128, with the batched-capture grid supplying the
-  q captures per grid block.
-- KARATSUBA complex product: y = z @ (C_re + j C_im) as 3 real dot groups
-  (P1 = zr@C_re, P2 = zi@C_im, P3 = (zr+zi)@(C_re+C_im); y_re = P1-P2,
-  y_im = P3-P1-P2) instead of 4.
-- bf16 SPLIT COUNT: f32 operands split into bf16 (hi, lo) pairs; splits=3
-  is the exact-leaning x3 form (hi.hi + hi.lo + lo.hi), splits=2 keeps the
-  z split but a single-bf16 DFT matrix — its twiddle quantization adds
-  leakage ~-54 dB, BELOW the u8 capture's own quantization floor
-  (accuracy-gated; FMTPU_WB_SPLITS lens, process-scoped like the other
-  kernel env lenses).
-- IN-KERNEL i8 BRIDGE: the production wideband->stations path re-quantizes
-  channel planes to the u8 grid for the int8-direct demod front end
-  (models/wideband.py).  out="i8" folds the 1/m DFT descale into the DFT
-  matrices and writes int8 planes straight from VMEM — 1/4 the output HBM
-  bytes and no separate XLA quantize pass over the f32 planes.
+DFT details: Karatsuba 3-group complex product (P1 = C_re^T z_r, P2 =
+C_im^T z_i, P3 = (C_re+C_im)^T (z_r+z_i)); bf16 split count per
+FMTPU_WB_SPLITS (splits=2 leaves a single-bf16 twiddle whose ~-54 dB
+leakage sits below the u8 capture's own quantization floor; process-scoped
+env lens, read at import).
 
-Grid: (W/q capture groups, time tiles); the (K-1)-frame overlap-save tails
-carry per capture in VMEM scratch, re-seeded at ti==0 per capture group.
+Output interleave (channel k's time series interleaves the q = 128/m
+frame-phase blocks): Mosaic supports neither strided lane stores nor
+stack+minor-reshape (both crash the compiler — measured), so:
+  q == 1: direct stores.
+  i8 out (production): the interleave IS byte packing — 2/4 consecutive
+    output bytes make one i16/i32 word, packed with integer shifts in
+    registers and bitcast back to i8 OUTSIDE the kernel (free: same memory
+    layout).  For q > 4, groups of 4 -> q/4 word planes, lane-interleaved
+    cheaply in XLA by the wrapper.
+  f32 out (the oracle path): phase-split planes, one XLA de-interleave
+    pass in the wrapper.
+The i8 bridge also folds the 1/m DFT descale into the twiddle matrices and
+writes int8-convention planes straight from VMEM — 1/4 the output HBM
+bytes, no separate XLA quantize pass (models/wideband.py's production
+wideband->stations bridge).
+
+Grid: (W captures, time tiles); the 16-frame overlap-save tail carries per
+capture in VMEM scratch (transposed: _TBF*m/128 = m/8 columns), re-seeded
+at ti == 0.
 """
 
 from __future__ import annotations
 
 import functools
-import math
 import os
 
 import jax
@@ -48,165 +62,184 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fm_radio_tpu.kernels.frontend_pallas import _split_bf16
 
-_TBF = 16  # carried tail rows (frames); requires K-1 <= _TBF
+_TBF = 16  # carried tail FRAMES; requires K-1 <= _TBF and m % 8 == 0
 
-# bf16 split count for the DFT matmuls (see module docstring).  Read ONCE at
-# import: the lens is process-scoped — set it before the first jit compile
-# (bench.py's subprocess model), flipping it mid-process has no effect.
+# bf16 split count for the DFT matmuls (module docstring).  Read ONCE at
+# import: process-scoped — set before the first jit compile (bench.py's
+# subprocess model); flipping it mid-process has no effect.
 _SPLITS = int(os.environ.get("FMTPU_WB_SPLITS", "3"))
 
 
-def _dotk(z_hi, z_lo, c_hi, c_lo, splits: int, interp: bool):
-    """bf16-split matmul z @ C at the chosen split count, f32 accumulation."""
+def _chan_core_t(
+    mh_ref, ml_ref,
+    y_ref, out_tail_ref,
+    btr_ref, bti_ref, bs_ref,
+    *, n_rows: int, n_tt: int, k: int, m: int, interp: bool,
+    out_i8: bool, splits: int, int_input: bool,
+):
+    ti = pl.program_id(1)
+    q = 128 // m
+    tl = btr_ref.shape[1] - n_rows  # tail columns (k-adaptive)
+    n_c = mh_ref.shape[1]
     pref = jax.lax.Precision.HIGHEST if interp else jax.lax.Precision.DEFAULT
     dot = functools.partial(jnp.dot, precision=pref,
                             preferred_element_type=jnp.float32)
-    if splits >= 3:
-        return (dot(z_hi, c_hi) + dot(z_hi, c_lo)) + dot(z_lo, c_hi)
-    return dot(z_hi, c_hi) + dot(z_lo, c_hi)
 
-
-def _chan_core_q(
-    w_ref, cre_ref, crelo_ref, cim_ref, cimlo_ref, csum_ref, csumlo_ref,
-    y_ref, out_tail_ref,
-    bufr_ref, bufi_ref, zr_ref, zi_ref,
-    *, n_t: int, n_tt: int, k: int, m: int, q: int, interp: bool,
-    out_i8: bool, splits: int,
-):
-    ti = pl.program_id(1)
-
-    # phase filter per capture: z[n, p] = sum_r w[r, p] * frames[n + r, p];
-    # window rows start at _TBF - (k-1) + r (static sublane offsets on the
-    # middle axis of the [q, _TBF + n_t, m] scratch ring); results land
-    # lane-STACKED in the [n_t, q*m] z scratch for the dense DFT
-    w = w_ref[...]
-    base = _TBF - (k - 1)
-    for qi in range(q):
-        zr = bufr_ref[qi, base : base + n_t, :] * w[0:1, :]
-        zi = bufi_ref[qi, base : base + n_t, :] * w[0:1, :]
-        for r in range(1, k):
-            zr = zr + bufr_ref[qi, base + r : base + r + n_t, :] * w[r : r + 1, :]
-            zi = zi + bufi_ref[qi, base + r : base + r + n_t, :] * w[r : r + 1, :]
-        zr_ref[:, qi * m : (qi + 1) * m] = zr
-        zi_ref[:, qi * m : (qi + 1) * m] = zi
-
-    # DFT across phases, all q captures in one dense matmul per term
-    # (block-diag DFT), Karatsuba 3-group complex product
-    zr = zr_ref[...]
-    zi = zi_ref[...]
-    zr_hi, zr_lo = _split_bf16(zr, interp)
-    zi_hi, zi_lo = _split_bf16(zi, interp)
-    zs_hi, zs_lo = _split_bf16(zr + zi, interp)
-    p1 = _dotk(zr_hi, zr_lo, cre_ref[...], crelo_ref[...], splits, interp)
-    p2 = _dotk(zi_hi, zi_lo, cim_ref[...], cimlo_ref[...], splits, interp)
-    p3 = _dotk(zs_hi, zs_lo, csum_ref[...], csumlo_ref[...], splits, interp)
+    # ---- FUSED phase filter + DFT on the MXU.  The combined operator
+    # y_flat[128j + o] = sum_{p,r} Wdft[p, ch] w[r, p] x_flat[128j + o' ...]
+    # is exactly n_c = tl + 1 dense [128, 128] matrices applied to COLUMN-
+    # SHIFTED slices of the raw transposed stream:
+    #     y_T = sum_c M_c^T @ B[:, c : c + n_rows]
+    # (tools/wb_probe history: the separate VPU phase filter cost 31-44 ms
+    # at 2048 stations — both sublane-shift layouts are VMEM-pass-bound at
+    # ~1 ms per tap pass — while MXU dots of this shape hide almost fully
+    # under the input stream).  The u8-derived stream is integer-valued, so
+    # the x side is EXACT in a single bf16 (no hi/lo split; the Br+Bi
+    # Karatsuba plane is <= 254, still exact); splits only controls the
+    # M-side terms (2 = single bf16 M: tap+twiddle quantization ~-54 dB,
+    # below the u8 capture floor; 3 = M hi+lo, near-exact).  Non-integer
+    # plane inputs (the oracle/test path) force the full x hi/lo form.
+    bs_ref[...] = btr_ref[...] + bti_ref[...]
+    planes = (btr_ref, bti_ref, bs_ref)
+    acc = [None, None, None]
+    for c in range(n_c):
+        for g in range(3):
+            xb = planes[g][:, c : c + n_rows]
+            if int_input:
+                terms = dot(mh_ref[g, c], xb.astype(jnp.bfloat16))
+                if splits >= 3:
+                    terms = terms + dot(ml_ref[g, c],
+                                        xb.astype(jnp.bfloat16))
+            else:
+                x_hi, x_lo = _split_bf16(xb, interp)
+                terms = (dot(mh_ref[g, c], x_hi) + dot(mh_ref[g, c], x_lo)
+                         + dot(ml_ref[g, c], x_hi))
+            acc[g] = terms if acc[g] is None else acc[g] + terms
+    p1, p2, p3 = acc
     y_re = p1 - p2
     y_im = (p3 - p1) - p2
 
-    # channel-major output: transpose in VMEM, not as an XLA pass.  i8 out:
-    # the DFT matrices carry the 1/m descale, so y is already on the u8
-    # grid; round and shift by the demod's i8 ingest convention
-    # (split_iq_i8: stored value +1 == centered sample)
-    for qi in range(q):
-        yre_t = y_re[:, qi * m : (qi + 1) * m].T
-        yim_t = y_im[:, qi * m : (qi + 1) * m].T
-        if out_i8:
-            def q8(v):
-                v = jnp.clip(jnp.round(v) - 1.0, -128.0, 127.0)
-                return v.astype(jnp.int32).astype(jnp.int8)
+    # ---- channel-major epilogue (module docstring): y_T sublane block q'
+    # IS [m channels, n_rows] for frame phase q' — aligned slices only
+    def q8w(v):
+        # u8-grid quantize to the demod's i8 convention, as an int32 byte
+        v = jnp.clip(jnp.round(v) - 1.0, -128.0, 127.0)
+        return v.astype(jnp.int32) & 255
 
-            y_ref[0, qi] = q8(yre_t)
-            y_ref[1, qi] = q8(yim_t)
+    for pi, y in enumerate((y_re, y_im)):
+        if q == 1:
+            if out_i8:
+                b = q8w(y)
+                y_ref[pi, 0] = (b - ((b & 128) << 1)).astype(jnp.int8)
+            else:
+                y_ref[pi, 0] = y
+        elif out_i8:
+            step = min(q, 4)  # bytes per packed word (i32: 4; i16 at q=2)
+            for g in range(q // step):
+                wv = q8w(y[g * step * m : (g * step + 1) * m])
+                for b in range(1, step):
+                    qb = (g * step + b) * m
+                    wv = wv | (q8w(y[qb : qb + m]) << (8 * b))
+                if step == 2:
+                    # wrap the sign bit back into a signed i16 word
+                    wv = wv - ((wv & 0x8000) << 1)
+                    y_ref[pi, g] = wv.astype(jnp.int16)
+                else:
+                    y_ref[pi, g] = wv
         else:
-            y_ref[0, qi] = yre_t
-            y_ref[1, qi] = yim_t
+            for qq in range(q):
+                y_ref[pi, qq] = y[qq * m : (qq + 1) * m]
 
-    bufr_ref[:, : _TBF] = bufr_ref[:, n_t :]
-    bufi_ref[:, : _TBF] = bufi_ref[:, n_t :]
+    btr_ref[:, :tl] = btr_ref[:, n_rows:]
+    bti_ref[:, :tl] = bti_ref[:, n_rows:]
 
     @pl.when(ti == n_tt - 1)
     def _finish():
-        out_tail_ref[:, 0] = bufr_ref[:, : _TBF]
-        out_tail_ref[:, 1] = bufi_ref[:, : _TBF]
+        out_tail_ref[0] = btr_ref[:, :tl]
+        out_tail_ref[1] = bti_ref[:, :tl]
 
 
-def _chan_kernel(
-    fr_ref, fi_ref, tail_ref, w_ref,
-    cre_ref, crelo_ref, cim_ref, cimlo_ref, csum_ref, csumlo_ref,
+def _chan_kernel_t(
+    fr_ref, fi_ref, tail_ref, mh_ref, ml_ref,
     y_ref, out_tail_ref,
-    bufr_ref, bufi_ref, zr_ref, zi_ref,
-    **kw,
+    btr_ref, bti_ref, bs_ref,
+    *, n_rows: int, **kw,
 ):
+    tl = btr_ref.shape[1] - n_rows
+
     @pl.when(pl.program_id(1) == 0)
     def _init():
-        bufr_ref[:, : _TBF] = tail_ref[:, 0]
-        bufi_ref[:, : _TBF] = tail_ref[:, 1]
+        btr_ref[:, :tl] = tail_ref[0]
+        bti_ref[:, :tl] = tail_ref[1]
 
-    bufr_ref[:, _TBF:] = fr_ref[...]
-    bufi_ref[:, _TBF:] = fi_ref[...]
-    _chan_core_q(
-        w_ref, cre_ref, crelo_ref, cim_ref, cimlo_ref, csum_ref, csumlo_ref,
-        y_ref, out_tail_ref, bufr_ref, bufi_ref, zr_ref, zi_ref, **kw,
+    btr_ref[:, tl:] = fr_ref[...].T
+    bti_ref[:, tl:] = fi_ref[...].T
+    _chan_core_t(
+        mh_ref, ml_ref, y_ref, out_tail_ref, btr_ref, bti_ref, bs_ref,
+        n_rows=n_rows, **kw,
     )
 
 
-def _chan_kernel_packed(
-    fw_ref, tail_ref, w_ref,
-    cre_ref, crelo_ref, cim_ref, cimlo_ref, csum_ref, csumlo_ref,
+def _chan_kernel_t_packed(
+    fw_ref, tail_ref, mh_ref, ml_ref,
     y_ref, out_tail_ref,
-    bufr_ref, bufi_ref, zr_ref, zi_ref,
-    **kw,
+    btr_ref, bti_ref, bs_ref,
+    *, n_rows: int, **kw,
 ):
     # packed u8 IQ words (utils/transfer.pack_iq_u8): w = I*256 + Q, exact
     # integers < 2^16; unpack + recenter in-VMEM (wideband captures are the
     # channelizer's largest stream — half the HBM read of planes)
+    tl = btr_ref.shape[1] - n_rows
+
     @pl.when(pl.program_id(1) == 0)
     def _init():
-        bufr_ref[:, : _TBF] = tail_ref[:, 0]
-        bufi_ref[:, : _TBF] = tail_ref[:, 1]
+        btr_ref[:, :tl] = tail_ref[0]
+        bti_ref[:, :tl] = tail_ref[1]
 
     from fm_radio_tpu.utils.transfer import unpack_iq_words
 
-    bufr_ref[:, _TBF:], bufi_ref[:, _TBF:] = unpack_iq_words(fw_ref[...])
-    _chan_core_q(
-        w_ref, cre_ref, crelo_ref, cim_ref, cimlo_ref, csum_ref, csumlo_ref,
-        y_ref, out_tail_ref, bufr_ref, bufi_ref, zr_ref, zi_ref, **kw,
+    wr, wi = unpack_iq_words(fw_ref[...])
+    btr_ref[:, tl:] = wr.T
+    bti_ref[:, tl:] = wi.T
+    _chan_core_t(
+        mh_ref, ml_ref, y_ref, out_tail_ref, btr_ref, bti_ref, bs_ref,
+        n_rows=n_rows, **kw,
     )
 
 
-def _pack_q(n_captures: int, m: int) -> int:
-    """Captures stacked per lane row: the largest divisor of W that keeps
-    q*m <= 128 (full-density DFT for m <= 128; q=1 beyond)."""
-    q = math.gcd(n_captures, max(1, 128 // m))
-    return max(q, 1)
+def _chan_vmem_bytes(n_t: int, m: int, k: int = _TBF) -> int:
+    """Scoped-VMEM words of one grid step (f32): double-buffered flat input
+    + double-buffered output planes + 2 transposed ring buffers + z stacks
+    + the 6 DFT matrices + tails."""
+    n_rows = n_t * m // 128
+    tl = max(-(-((k - 1) * m) // 128), 1)
+    stream = 2 * n_rows * 128 + 2 * 2 * 128 * max(n_rows, n_t // 4)
+    rings = 3 * 128 * (tl + n_rows)  # Br, Bi, Br+Bi
+    # live value temporaries on the Mosaic stack: 3 Karatsuba accumulators
+    # + 2 outputs + bf16 casts — measured: the compiler charges these
+    # against the 16 MB scoped budget
+    # live value temporaries on the Mosaic stack grow with the shift count
+    # (per-(c, group) bf16 operand casts + 3 f32 accumulators + outputs) —
+    # sized empirically: the m=128/n_c=17 case measured ~19 MB of stack
+    vals = (6 + 2 * (tl + 1)) * 128 * n_rows
+    # bf16 M matrices: (hi, lo) x 3 Karatsuba groups x (tl + 1) shifts
+    consts_bytes = 2 * 3 * (tl + 1) * 128 * 128 * 2
+    return 4 * (stream + rings + vals) + consts_bytes
 
 
-def _chan_vmem_bytes(n_t: int, m: int, q: int) -> int:
-    """Scoped-VMEM footprint of one grid step (f32 words): double-buffered
-    packed input + one double-buffered [2, q, m, n_t] output + two scratch
-    rings + z stacks + the DFT matrices (single-buffered: constant index
-    map) + tails.  Lane axis budgeted at its VMEM-padded width."""
-    m_pad = -(-m // 128) * 128
-    qm_pad = -(-(q * m) // 128) * 128
-    stream = 2 * n_t * q * m_pad + 2 * 2 * q * n_t * m_pad
-    scratch = 2 * q * (_TBF + n_t) * m_pad + 2 * n_t * qm_pad
-    consts = 6 * qm_pad * qm_pad + (5 * _TBF) * q * m_pad
-    return 4 * (stream + scratch + consts)
-
-
-def pick_tile_chan(n_frames: int, m: int, n_captures: int = 1) -> int | None:
-    """Largest power-of-2 time tile in [256, 2048] dividing n_frames whose
-    footprint fits the 16 MB scoped-VMEM budget (with margin); None demotes
-    to the XLA path — e.g. m=1024, whose DFT matrices alone are ~8 MB."""
-    if m % 8 != 0 or m > 1024:
+def pick_tile_chan(n_frames: int, m: int, n_captures: int = 1,
+                   k: int = _TBF) -> int | None:
+    """Largest frame tile (power-of-2 multiple of 16384/m so the column
+    count is a 128 multiple) dividing n_frames within the VMEM budget; None
+    demotes to the XLA path (flat kernel: m % 8 == 0 and m <= 128)."""
+    if m % 8 != 0 or m > 128:
         return None
-    q = _pack_q(n_captures, m)
     budget = 12 << 20
-    n_t = 256
-    if n_frames % n_t != 0 or _chan_vmem_bytes(n_t, m, q) > budget:
+    n_t = max(256, 16384 // m)
+    if n_frames % n_t != 0 or _chan_vmem_bytes(n_t, m, k) > budget:
         return None
-    while (n_t * 2 <= 2048 and n_frames % (n_t * 2) == 0
-           and _chan_vmem_bytes(n_t * 2, m, q) <= budget):
+    while (n_t * 2 <= 8192 and n_frames % (n_t * 2) == 0
+           and _chan_vmem_bytes(n_t * 2, m, k) <= budget):
         n_t *= 2
     return n_t
 
@@ -224,8 +257,7 @@ def channelize_pallas(taps, state_p, xp, num_channels: int,
     BATCHED form (the ``fmtpu stations``-at-scale / wideband-bench path): a
     leading capture axis W on both the input ([W, T] packed, or (re, im)
     each [W, T]) and the state ([W, (K-1)*M] planes) runs W independent
-    wideband streams through ONE kernel, with q = 128/m captures packed per
-    lane row for MXU density (module docstring).
+    wideband streams through ONE kernel (grid (W, time tiles)).
 
     ``out="f32"`` returns (state', (y_re, y_im)) [..., M, T/M] f32 planes
     (unscaled, like the XLA form).  ``out="i8"`` (batched only) returns
@@ -234,7 +266,10 @@ def channelize_pallas(taps, state_p, xp, num_channels: int,
     T/M)`` straight to the int8-direct demod (models/wideband.py).
     """
     m = num_channels
-    taps = jnp.asarray(taps, jnp.float32)
+    # taps must be CONCRETE (the fused M_c matrices are host-precomputed);
+    # np.asarray fails loudly on a traced value — callers keep taps as
+    # numpy/design-time arrays, never as traced jit arguments
+    taps = np.asarray(taps, np.float32)
     nn = taps.shape[0]
     k = nn // m
     assert k - 1 <= _TBF, "taps_per_phase too large for the carried tail"
@@ -242,89 +277,142 @@ def channelize_pallas(taps, state_p, xp, num_channels: int,
         splits = _SPLITS
     packed = not isinstance(xp, (tuple, list))
     x0 = xp if packed else xp[0]
-    batched = x0.ndim == 2
+    # packed input may arrive PRE-FLATTENED as [W, T/128, 128] (flat3): the
+    # scan-invariant reshape then lives OUTSIDE the jitted loop — XLA does
+    # not hoist the [W, T] -> flat view out of a scan body and re-copies
+    # ~1 GB per step (measured round 5; same lesson as the round-4 kernel
+    # tables)
+    flat3 = packed and x0.ndim == 3
+    batched = x0.ndim == 2 or flat3
     if packed:
         xw = xp if batched else xp[None]
-        nw, t = xw.shape
+        nw = xw.shape[0]
+        t = (xw.shape[1] * 128) if flat3 else xw.shape[1]
     else:
         xr, xi = (xp if batched else (xp[0][None], xp[1][None]))
         nw, t = xr.shape
     assert out == "f32" or (batched and out == "i8"), out
     n_frames = t // m
-    n_t = pick_tile_chan(n_frames, m, nw)
+    n_t = pick_tile_chan(n_frames, m, nw, k)
     assert n_t is not None
     n_tt = n_frames // n_t
-    q = _pack_q(nw, m)
+    q = 128 // m
+    n_rows = n_t * m // 128
+    tl = max(-(-((k - 1) * m) // 128), 1)  # ceil tail columns, k-adaptive
 
+    # flat-128 views of the input (free reshapes of contiguous data; the
+    # flat3 form arrives pre-reshaped — see above)
     if packed:
-        x_in = (xw.reshape(nw, n_frames, m),)
+        x_in = (xw if flat3 else xw.reshape(nw, n_frames * m // 128, 128),)
     else:
-        x_in = (xr.reshape(nw, n_frames, m), xi.reshape(nw, n_frames, m))
+        x_in = (xr.reshape(nw, n_frames * m // 128, 128),
+                xi.reshape(nw, n_frames * m // 128, 128))
+    # fused (phase filter o DFT) operator matrices M_c (kernel comment):
+    # M_c[s', o] = sum over taps r with (q'*m + p + u_r) == 128*c + s' of
+    # w_rev[r, p] * Wdft[p, ch], where o = q'*m + ch and u_r =
+    # (_TBF - (k-1) + r) * m; stored TRANSPOSED ([o, s']) for y_T = M^T B.
+    # i8 out folds in the 1/m descale; shipped as bf16 (hi, lo) pairs.
     w = taps[::-1].reshape(k, m)
-    w16 = jnp.zeros((_TBF, m), jnp.float32).at[:k].set(w)
-
-    # block-diag(DFT_m x q) Karatsuba matrices, i8 out folds in the 1/m
-    # descale (f32 host-side, split to bf16 (hi, lo) pairs on device)
     p_idx = np.arange(m)
     ang = -2.0 * np.pi * np.outer(p_idx, p_idx) / m
     scale = (1.0 / m) if out == "i8" else 1.0
-    eye_q = np.eye(q, dtype=np.float32)
-    c_re = np.kron(eye_q, np.cos(ang) * scale).astype(np.float32)
-    c_im = np.kron(eye_q, np.sin(ang) * scale).astype(np.float32)
-    mats = []
-    for c in (c_re, c_im, c_re + c_im):
-        hi, lo = _split_bf16(jnp.asarray(c), True)
-        mats += [hi, lo]
+    wd_re = (np.cos(ang) * scale).astype(np.float64)  # [p, ch]
+    wd_im = (np.sin(ang) * scale).astype(np.float64)
+    n_c = tl + 1
+    m_re = np.zeros((n_c, 128, 128))
+    m_im = np.zeros((n_c, 128, 128))
+    base = tl * 128 - (k - 1) * m  # left-pad to whole columns
+    for r in range(k):
+        for qp in range(q):
+            for p in range(m):
+                sf = qp * m + p + base + r * m
+                c_ix, s_ix = sf // 128, sf % 128
+                o0 = qp * m
+                m_re[c_ix, s_ix, o0 : o0 + m] += w[r, p] * wd_re[p]
+                m_im[c_ix, s_ix, o0 : o0 + m] += w[r, p] * wd_im[p]
+    mats_np = np.stack([m_re, m_im, m_re + m_im])  # [3, n_c, 128, 128]
+    mats_np = np.swapaxes(mats_np, 2, 3).astype(np.float32)  # transposed
+    m_hi, m_lo = _split_bf16(jnp.asarray(mats_np), True)
+    mats = [m_hi, m_lo]
 
+    # carried tail, transposed: B[s, c] = tail_flat[128*c + s]
     sr, si = state_p  # [(K-1)*M] each (or [W, (K-1)*M] batched)
-    sr = sr.reshape(nw, k - 1, m)
-    si = si.reshape(nw, k - 1, m)
-    tail = jnp.zeros((nw, 2, _TBF, m), jnp.float32)
-    tail = tail.at[:, 0, _TBF - (k - 1) :].set(sr)
-    tail = tail.at[:, 1, _TBF - (k - 1) :].set(si)
+    sr = sr.reshape(nw, -1)
+    si = si.reshape(nw, -1)
+    tail = jnp.zeros((nw, 2, tl * 128), jnp.float32)
+    tail = tail.at[:, 0, tl * 128 - (k - 1) * m :].set(sr)
+    tail = tail.at[:, 1, tl * 128 - (k - 1) * m :].set(si)
+    tail = jnp.swapaxes(tail.reshape(nw, 2, tl, 128), 2, 3)
 
     kern = functools.partial(
-        _chan_kernel_packed if packed else _chan_kernel,
-        n_t=n_t, n_tt=n_tt, k=k, m=m, q=q, interp=interpret,
-        out_i8=(out == "i8"), splits=splits,
+        _chan_kernel_t_packed if packed else _chan_kernel_t,
+        n_rows=n_rows, n_tt=n_tt, k=k, m=m, interp=interpret,
+        out_i8=(out == "i8"), splits=splits, int_input=packed,
     )
-    qm = q * m
+    # output plane structure (module docstring)
+    if q == 1:
+        n_planes, n_cols = 1, n_frames
+        out_dt = jnp.int8 if out == "i8" else jnp.float32
+    elif out == "i8":
+        step = min(q, 4)
+        n_planes, n_cols = q // step, n_frames // q
+        out_dt = jnp.int16 if step == 2 else jnp.int32
+    else:
+        n_planes, n_cols = q, n_frames // q
+        out_dt = jnp.float32
+
     cspec = lambda shape: pl.BlockSpec(
         shape, lambda wi, ti: tuple(0 for _ in shape),
         memory_space=pltpu.VMEM)
-    f_spec = pl.BlockSpec((q, n_t, m), lambda wi, ti: (wi, ti, 0),
+    f_spec = pl.BlockSpec((None, n_rows, 128), lambda wi, ti: (wi, ti, 0),
                           memory_space=pltpu.VMEM)
-    tail_spec = pl.BlockSpec((q, 2, _TBF, m), lambda wi, ti: (wi, 0, 0, 0),
+    tail_spec = pl.BlockSpec((None, 2, 128, tl), lambda wi, ti: (wi, 0, 0, 0),
                              memory_space=pltpu.VMEM)
-    y_spec = pl.BlockSpec((2, q, m, n_t), lambda wi, ti: (0, wi, 0, ti),
+    # output rows are CHANNEL-MAJOR across captures ([2, P, W*m, cols]):
+    # block row-index wi selects rows [wi*m, (wi+1)*m) — the demod's
+    # [2, C, B] feed needs no W-axis movement at all
+    y_spec = pl.BlockSpec((2, n_planes, m, n_rows),
+                          lambda wi, ti: (0, 0, wi, ti),
                           memory_space=pltpu.VMEM)
     y, out_tail = pl.pallas_call(
         kern,
-        grid=(nw // q, n_tt),
+        grid=(nw, n_tt),
         in_specs=[f_spec] * len(x_in) + [
             tail_spec,
-            cspec((_TBF, m)),
-        ] + [cspec((qm, qm))] * 6,
+        ] + [cspec(c.shape) for c in mats],
         out_specs=[y_spec, tail_spec],
         out_shape=[
-            jax.ShapeDtypeStruct(
-                (2, nw, m, n_frames),
-                jnp.int8 if out == "i8" else jnp.float32),
-            jax.ShapeDtypeStruct((nw, 2, _TBF, m), jnp.float32),
+            jax.ShapeDtypeStruct((2, n_planes, nw * m, n_cols), out_dt),
+            jax.ShapeDtypeStruct((nw, 2, 128, tl), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((q, _TBF + n_t, m), jnp.float32),
-            pltpu.VMEM((q, _TBF + n_t, m), jnp.float32),
-            pltpu.VMEM((n_t, qm), jnp.float32),
-            pltpu.VMEM((n_t, qm), jnp.float32),
+            pltpu.VMEM((128, tl + n_rows), jnp.float32),
+            pltpu.VMEM((128, tl + n_rows), jnp.float32),
+            pltpu.VMEM((128, tl + n_rows), jnp.float32),
         ],
         interpret=interpret,
-    )(*x_in, tail, w16, *mats)
+    )(*x_in, tail, *mats)
 
+    ot = jnp.swapaxes(out_tail, 2, 3).reshape(nw, 2, -1)
     new_state = (
-        out_tail[:, 0, _TBF - (k - 1) :].reshape(nw, -1),
-        out_tail[:, 1, _TBF - (k - 1) :].reshape(nw, -1),
+        ot[:, 0, tl * 128 - (k - 1) * m :],
+        ot[:, 1, tl * 128 - (k - 1) * m :],
     )
+    # un-pack the output plane structure (XLA side); rows are C = W*m
+    if q == 1:
+        y = y[:, 0].reshape(2, nw, m, n_frames)
+    elif out == "i8":
+        # words -> bytes: [2, P, C, J] -> [..., step]; byte b of word
+        # (g, j) is output sample n = q*j + 4*g + b, so move the plane
+        # axis next to the byte axis and merge (j, g, b) -> n.  P == 1
+        # (m=32/64): only the minor (J, step) byte-merge remains.
+        yb = jax.lax.bitcast_convert_type(y, jnp.int8)
+        yb = jnp.moveaxis(yb, 1, 3)  # [2, C, J, P, step]
+        y = yb.reshape(2, nw, m, n_frames)
+    else:
+        # phase-split -> interleave: one XLA pass (oracle path only)
+        y = jnp.moveaxis(y, 1, -1).reshape(2, nw, m, n_frames)
+
     if out == "i8":
         return new_state, y
     y_re, y_im = y[0], y[1]

@@ -50,7 +50,8 @@ def wideband_init_state(cfg, num_channels: int, n_captures: int,
 
 
 def wideband_demod_block(cfg, coeffs, ch_taps, state: dict, w_words,
-                         num_channels: int, bridge: str = "i8"):
+                         num_channels: int, bridge: str = "i8",
+                         splits: int | None = None):
     """One wideband block: [W, T] packed u8 IQ words -> channelize ->
     bridge -> demod_block over all C = W*M stations.
 
@@ -70,7 +71,7 @@ def wideband_demod_block(cfg, coeffs, ch_taps, state: dict, w_words,
         # the (v - 1) int8 storage matches the demod's i8 ingest convention
         # ((u8 - 128) + in-kernel +1 recenter, utils/transfer.split_iq_i8)
         st["chan"], y8 = channelize_batch_p(ch_taps, st["chan"], w_words, m,
-                                            out="i8")
+                                            out="i8", splits=splits)
         x = y8.reshape(2, y8.shape[1] * m, -1)
     else:
         assert bridge == "f32", bridge

@@ -62,7 +62,7 @@ def channelize_p(taps, state_p, xp, num_channels: int):
       product) — no length-M FFT kernels.
     """
     m = num_channels
-    taps = jnp.asarray(taps, jnp.float32)
+    taps = np.asarray(taps, np.float32)  # concrete: see channelize_batch_p
     nn = taps.shape[0]
     k = nn // m
     packed = not isinstance(xp, (tuple, list))
@@ -81,7 +81,7 @@ def channelize_p(taps, state_p, xp, num_channels: int):
             pick_tile_chan,
         )
 
-        if pick_tile_chan(t_len // m, m) is not None:
+        if pick_tile_chan(t_len // m, m, 1, k) is not None:
             return channelize_pallas(taps, state_p, xp, m)
 
     return _channelize_xla_p(taps, state_p, xp, m)
@@ -130,7 +130,7 @@ def _channelize_xla_p(taps, state_p, xp, num_channels: int):
 
 
 def channelize_batch_p(taps, state_p, xp, num_channels: int,
-                       out: str = "f32"):
+                       out: str = "f32", splits: int | None = None):
     """W independent wideband captures through ONE filterbank program.
 
     state_p: (sr, si) each [W, (K-1)*M]; xp: [W, T] packed f32 words or
@@ -147,10 +147,15 @@ def channelize_batch_p(taps, state_p, xp, num_channels: int,
     C = W*M stations (the reference consumes ONE wideband capture per
     process, app.cpp:39-64)."""
     m = num_channels
-    taps = jnp.asarray(taps, jnp.float32)
+    # numpy, not jnp: the Pallas kernel precomputes its fused matrices on
+    # the host from the taps, which must therefore stay concrete even when
+    # this function is traced inside jit/scan
+    taps = np.asarray(taps, np.float32)
     k = taps.shape[0] // m
     packed = not isinstance(xp, (tuple, list))
-    t_len = (xp if packed else xp[0]).shape[-1]
+    flat3 = packed and xp.ndim == 3  # pre-flattened [W, T/128, 128]
+    t_len = (xp.shape[1] * 128 if flat3
+             else (xp if packed else xp[0]).shape[-1])
 
     if jax.default_backend() == "tpu" and k - 1 <= 16:
         from fm_radio_tpu.kernels.channelizer_pallas import (
@@ -159,8 +164,12 @@ def channelize_batch_p(taps, state_p, xp, num_channels: int,
         )
 
         nw = (xp if packed else xp[0]).shape[0]
-        if pick_tile_chan(t_len // m, m, nw) is not None:
-            return channelize_pallas(taps, state_p, xp, m, out=out)
+        if pick_tile_chan(t_len // m, m, nw, k) is not None:
+            return channelize_pallas(taps, state_p, xp, m, out=out,
+                                     splits=splits)
+
+    if flat3:
+        xp = xp.reshape(xp.shape[0], -1)  # XLA fallback wants [W, T]
 
     if packed:
         st, y = jax.vmap(

@@ -706,15 +706,15 @@ def test_channelizer_tile_fits_vmem():
         _chan_vmem_bytes, pick_tile_chan,
     )
 
-    assert pick_tile_chan(1 << 16, 8) == 2048       # small m: full tile
-    n_t_256 = pick_tile_chan(1 << 16, 256)
-    assert n_t_256 is not None and n_t_256 < 2048   # shrunk for m=256
-    assert _chan_vmem_bytes(n_t_256, 256, 1) <= 12 << 20
-    assert pick_tile_chan(1 << 16, 1024) is None    # DFT matrices alone ~8MB
-    # capture packing (q = 128/m) must stay inside the budget too
-    n_t_q = pick_tile_chan(1 << 16, 32, n_captures=64)
+    n_t_8 = pick_tile_chan(1 << 16, 8)              # q=16: rotation scratch
+    assert n_t_8 is not None
+    assert _chan_vmem_bytes(n_t_8, 8) <= 12 << 20
+    assert pick_tile_chan(1 << 16, 256) is None     # flat kernel: m <= 128
+    assert pick_tile_chan(1 << 16, 1024) is None
+    # the production wideband shapes tile at full VMEM density
+    n_t_q = pick_tile_chan(1 << 17, 32, n_captures=64)
     assert n_t_q is not None
-    assert _chan_vmem_bytes(n_t_q, 32, 4) <= 12 << 20
+    assert _chan_vmem_bytes(n_t_q, 32) <= 12 << 20
 
 
 def test_kernel_tables_match_in_trace_construction():
@@ -852,3 +852,30 @@ def test_k12_fused_matches_split_kernels():
                 np.testing.assert_array_equal(
                     np.asarray(a), np.asarray(bb), err_msg=key)
         st_f, st_s = st_f2, st_s2
+
+
+@pytest.mark.slow
+def test_k12_wide_tile_bit_exact(monkeypatch):
+    """FMTPU_K12_T=8192 (double-width fused tile) is now BIT-identical to
+    the default 4096 tiling: the pilot-AGC power accumulation is chunked at
+    the production width inside _midend_body (round-5; the round-4 lens was
+    rejected precisely because the wider tile changed this sum's order).
+    The IIR/tail handoffs were already width-exact."""
+    from fm_radio_tpu.kernels.k12_pallas import k12_pallas, pick_tiles_k12
+    from fm_radio_tpu.models.demod import demod_init_state
+    from fm_radio_tpu.utils.transfer import split_iq_i8
+
+    cfg = DemodConfig(frontend_int8=True)
+    co = make_coeffs(cfg)
+    c, b = 4, 16384
+    rng = np.random.default_rng(8)
+    iq_u8 = rng.integers(0, 256, size=(c, b, 2), dtype=np.uint8)
+    x = jnp.asarray(split_iq_i8(iq_u8))
+
+    st4 = k12_pallas(co, cfg, demod_init_state(cfg, c), x, interpret=True)
+    monkeypatch.setenv("FMTPU_K12_T", "8192")
+    assert pick_tiles_k12(c, b) == (c, 8192)
+    st8 = k12_pallas(co, cfg, demod_init_state(cfg, c), x, interpret=True)
+
+    for a, bb in zip(jax.tree.leaves(st4), jax.tree.leaves(st8)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))

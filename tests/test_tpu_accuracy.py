@@ -195,3 +195,77 @@ def test_kernel_path_matches_scan_path_on_hardware():
     sig_rms = float(np.sqrt((outs["scan"][:, 2048:] ** 2).mean()))
     snr = 20 * np.log10(sig_rms / (rms + 1e-12))
     assert snr > 45.0, f"kernel vs scan path only {snr:.1f} dB on hardware"
+
+
+def test_wideband_i8_bridge_golden_on_hardware():
+    """Round-5 wideband gate: a real stereo+RDS station through the FULL
+    device-resident wideband path (fused M_c channelizer, in-kernel i8
+    bridge, int8-direct demod) at the production m=32 grid, at BOTH bf16
+    split settings.  Gates: the station's tones recover, PI decodes, and
+    the splits=2 lens (single-bf16 fused matrices — the bench default
+    candidate: its tap+twiddle quantization sits below the u8 capture
+    floor) agrees with splits=3 to within a few dB."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from fm_radio_tpu.config import DemodConfig
+    from fm_radio_tpu.io.synth import FMModulator, ModulatorConfig, make_wideband
+    from fm_radio_tpu.kernels.channelizer_pallas import channelize_pallas
+    from fm_radio_tpu.models.demod import demod_block, demod_init_state, make_coeffs
+    from fm_radio_tpu.parallel.channelizer import make_channelizer_taps
+    from fm_radio_tpu.rds.chain import RDSFullChain
+    from fm_radio_tpu.utils.transfer import pack_iq_u8
+
+    m, channel, b, n_blocks = 32, 3, 1 << 15, 24
+    mod = FMModulator(ModulatorConfig())
+    groups = [(0x5005, (0 << 12) | (1 << 10), 0xE101, 0x4242)]
+    iq = mod.generate(b * n_blocks, left_hz=1000.0, right_hz=3000.0,
+                      rds_groups=groups)
+    wide = make_wideband({channel: iq}, m)
+    wide *= 100.0 / np.abs(wide).max()
+    u8 = np.clip(np.stack([np.round(wide.real + 127.0),
+                           np.round(wide.imag + 127.0)], axis=-1),
+                 0, 255).astype(np.uint8)
+    words = pack_iq_u8(u8)
+
+    cfg = DemodConfig(frontend_int8=True, assume_integer_input=True)
+    coeffs = make_coeffs(cfg)
+    taps = make_channelizer_taps(m)
+
+    outs = {}
+    for splits in (3, 2):
+        st = demod_init_state(cfg, m)
+        ch_st = (jnp.zeros((1, 15 * m)),) * 2
+        audio, pred, valid = [], [], []
+        for blk in range(n_blocks):
+            wb = jnp.asarray(words[blk * b * m : (blk + 1) * b * m])[None]
+            ch_st, y8 = channelize_pallas(taps, ch_st, wb, m,
+                                          out="i8", splits=splits)
+            st, o = demod_block(cfg, coeffs, st, y8.reshape(2, m, -1))
+            audio.append(np.asarray(o["audio"])[channel])
+            pred.append(np.asarray(o["rds_pred"])[channel])
+            valid.append(np.asarray(o["rds_valid"])[channel])
+        outs[splits] = {
+            "audio": np.concatenate(audio),
+            "pred": np.concatenate(pred),
+            "valid": np.concatenate(valid),
+        }
+
+    for splits, o in outs.items():
+        audio = o["audio"]
+        n = audio.shape[0]
+        tail = audio[n // 4 :]
+        assert np.isfinite(tail).all()
+        assert float(np.sqrt((tail**2).mean())) > 1e-3, f"splits={splits}"
+        chain = RDSFullChain()
+        chain.process_symbols(o["pred"][o["valid"].astype(bool)])
+        assert chain.db.pi_code == 0x5005, (
+            f"splits={splits}: PI {chain.db.pi_code:04X}")
+
+    a3 = outs[3]["audio"][outs[3]["audio"].shape[0] // 4 :]
+    a2 = outs[2]["audio"][outs[2]["audio"].shape[0] // 4 :]
+    err = a3 - a2
+    snr = 10.0 * np.log10(float((a3**2).sum())
+                          / max(float((err**2).sum()), 1e-30))
+    assert snr > 30.0, f"splits=2 diverges from splits=3: {snr:.1f} dB"

@@ -60,7 +60,7 @@ def test_channelizer_pallas_batched_matches_xla(packed):
     from fm_radio_tpu.kernels.channelizer_pallas import channelize_pallas
 
     m, k, w = 8, 4, 3
-    t = 256 * m * 2  # n_frames = 512 per block: tiles at 256/512
+    t = 2048 * m  # n_frames = 2048 per block: the flat kernel's m=8 minimum
     taps = jnp.asarray(make_channelizer_taps(m, k))
     rng = np.random.default_rng(1)
     if packed:
@@ -87,17 +87,14 @@ def test_channelizer_pallas_batched_matches_xla(packed):
                                    atol=1e-5)
 
 
-def test_channelizer_pallas_capture_packed_matches_xla():
-    """q-packed lanes (m=32, W=4 -> q=4: one dense block-diag DFT matmul
-    for all four captures) vs the vmapped XLA oracle, two streamed blocks."""
-    from fm_radio_tpu.kernels.channelizer_pallas import (
-        _pack_q,
-        channelize_pallas,
-    )
+def test_channelizer_pallas_frame_packed_matches_xla():
+    """Flat-128 kernel at m=32 (4 frames per lane row: rotation-based phase
+    filter + block-diag DFT + interleaved channel-major output) vs the
+    vmapped XLA oracle, two streamed blocks."""
+    from fm_radio_tpu.kernels.channelizer_pallas import channelize_pallas
 
     m, k, w = 32, 8, 4
-    assert _pack_q(w, m) == 4
-    t = 256 * m  # 256 frames/block: minimum tile
+    t = 512 * m  # 512 frames/block: the flat kernel's m=32 minimum tile
     taps = jnp.asarray(make_channelizer_taps(m, k))
     rng = np.random.default_rng(5)
     u8 = rng.integers(0, 256, (w, 2 * t, 2)).astype(np.uint8)
@@ -122,7 +119,7 @@ def test_channelizer_pallas_i8_out_matches_xla_bridge():
     from fm_radio_tpu.kernels.channelizer_pallas import channelize_pallas
 
     m, k, w = 32, 8, 4
-    t = 256 * m
+    t = 512 * m
     taps = jnp.asarray(make_channelizer_taps(m, k))
     rng = np.random.default_rng(6)
     u8 = rng.integers(0, 256, (w, t, 2)).astype(np.uint8)
@@ -189,6 +186,61 @@ def test_wideband_demod_block_bridges():
     # and the audio itself is a real stereo signal (tones recovered)
     rms = float(np.sqrt((bq**2).mean()))
     assert rms > 1e-3
+
+
+def test_wideband_short_prototype_rejected():
+    """Measured rejection record (round 5): taps_per_phase=8 (the fused
+    kernel's cheap-prototype lens, ~40% fewer M_c dots at m=32) leaks an
+    OCCUPIED adjacent channel badly — 8.4 dB audio agreement vs the K=16
+    prototype (K=12: 11.9 dB).  K=16 stays the quality default; the
+    FMTPU_BENCH_WB_K lens exists only for the perf curve.  This test pins
+    the finding so the lever is not re-derived: the short prototype must
+    measurably DIVERGE (if it ever stops diverging, the lens is safe to
+    adopt — re-measure)."""
+    from fm_radio_tpu.config import DemodConfig
+    from fm_radio_tpu.io.synth import FMModulator, ModulatorConfig, make_wideband
+    from fm_radio_tpu.models.demod import make_coeffs
+    from fm_radio_tpu.models.wideband import (
+        wideband_demod_block,
+        wideband_init_state,
+    )
+    from fm_radio_tpu.parallel.channelizer import make_channelizer_taps
+
+    m, b = 8, 1 << 15
+    mod = FMModulator(ModulatorConfig())
+    iq2 = mod.generate(b, left_hz=800.0, right_hz=1600.0,
+                   rds_groups=[(0xBEEF, 1 << 10, 0xE101, 0x5A5A)])
+    mod2 = FMModulator(ModulatorConfig())
+    iq3 = mod2.generate(b, left_hz=500.0, right_hz=2500.0,
+                    rds_groups=[(0xCAFE, 1 << 10, 0xE101, 0x1234)])
+    wide = make_wideband({2: iq2, 3: iq3}, m)
+    wide *= 110.0 / np.abs(wide).max()
+    u8 = np.clip(np.stack([np.round(wide.real + 127.0),
+                           np.round(wide.imag + 127.0)], axis=-1),
+                 0, 255).astype(np.uint8)
+    w_words = jnp.asarray(pack_iq_u8(u8))[None]
+
+    cfg = DemodConfig(frontend_int8=True, assume_integer_input=True)
+    coeffs = make_coeffs(cfg)
+    audio = {}
+    for kk in (16, 8):
+        taps = make_channelizer_taps(m, kk)
+        st = wideband_init_state(cfg, m, 1, taps_per_phase=kk)
+        st, o = wideband_demod_block(cfg, coeffs, taps, st, w_words, m,
+                                     bridge="i8")
+        audio[kk] = np.asarray(o["audio"])[2]
+
+    n = audio[16].shape[0]
+    a16, a8 = audio[16][n // 4 :], audio[8][n // 4 :]
+    err = a16 - a8
+    snr = 10.0 * np.log10(float((a16**2).sum())
+                          / max(float((err**2).sum()), 1e-30))
+    # the K16 path itself must carry a real signal...
+    assert float(np.sqrt((a16**2).mean())) > 1e-3
+    # ...and K=8 must still show the measured divergence that rejected it
+    assert snr < 18.0, (
+        f"K=8 now agrees at {snr:.1f} dB — the cheap-prototype lens may "
+        "have become safe; re-measure before adopting")
 
 
 def test_wideband_demod_block_default_taps():

@@ -78,7 +78,7 @@ def apply_impairments(iq: np.ndarray, fs: float, freq_offset_hz: float,
 
 
 def run_point(iq_clean: np.ndarray, cnr_db: float, block: int,
-              seed: int) -> dict:
+              seed: int, ingest: str = "c64") -> dict:
     # per-point generator: a point's noise realization is a function of
     # (seed, cnr) alone, independent of which other points are in the sweep
     rng = np.random.default_rng([seed, int(cnr_db * 10)])
@@ -89,10 +89,24 @@ def run_point(iq_clean: np.ndarray, cnr_db: float, block: int,
                      + 1j * rng.standard_normal(iq_clean.size))
     noisy = (iq_clean + noise.astype(np.complex64)).astype(np.complex64)
     # u8 front-end quantization round trip (clipping included)
-    iq = u8_to_c64(c64_to_u8(noisy))
+    u8 = c64_to_u8(noisy)
 
-    app = App(block_size=block, channels=1, integer_input=True)
-    app.process(iq)
+    if ingest == "i8":
+        # the PRODUCTION path: int8-plane ingest + int8-direct fused front
+        # end (round-5 verdict item 5: the threshold region is where the
+        # int8 quantization could bite — run the sweep through the exact
+        # kernels the headline uses, on the chip)
+        import dataclasses
+
+        from fm_radio_tpu.config import DemodConfig
+        from fm_radio_tpu.utils.transfer import split_iq_i8
+
+        cfg = dataclasses.replace(DemodConfig(), frontend_int8=True)
+        app = App(block_size=block, cfg=cfg, channels=1, integer_input=True)
+        app.process(split_iq_i8(u8.reshape(-1, 2))[:, None, :])
+    else:
+        app = App(block_size=block, channels=1, integer_input=True)
+        app.process(u8_to_c64(u8))
 
     fs_audio = app.demod.fs_audio
     audio = app.audio[0]
@@ -129,6 +143,9 @@ def main(argv=None) -> None:
                     help="multipath echo delay")
     ap.add_argument("--echo-db", type=float, default=-100.0,
                     help="echo level vs main path (> -90 enables it)")
+    ap.add_argument("--ingest", default="c64", choices=("c64", "i8"),
+                    help="i8 = production int8-plane ingest + int8-direct "
+                         "front end (the bench/headline kernel path)")
     ap.add_argument("--json", default=None, help="write JSONL to this path")
     ap.add_argument("--markdown", action="store_true",
                     help="print a markdown table")
@@ -145,7 +162,7 @@ def main(argv=None) -> None:
     rows = []
     for cnr in [float(s) for s in args.cnrs.split(",")]:
         t0 = time.time()
-        row = run_point(iq_clean, cnr, args.block, args.seed)
+        row = run_point(iq_clean, cnr, args.block, args.seed, args.ingest)
         rows.append(row)
         print(f"# CNR {cnr:5.1f} dB -> {row}  ({time.time()-t0:.1f}s)",
               file=sys.stderr)
