@@ -127,6 +127,16 @@ def _chan_core_t(
         return v.astype(jnp.int32) & 255
 
     for pi, y in enumerate((y_re, y_im)):
+        if out_i8 == "ps":
+            # PHASE-SPLIT i8 planes [2, q, m, n_rows]: plane q' = samples
+            # n ≡ q' (mod q) — the demod's ds4 polyphase ingest consumes
+            # these DIRECTLY (kernels/k12_pallas.py::_k12_kernel_ps), so
+            # no byte interleave exists ANYWHERE (the word+bitcast path
+            # below costs ~20 ms/step in XLA relayouts at 2048 stations)
+            for qq in range(q):
+                b = q8w(y[qq * m : (qq + 1) * m])
+                y_ref[pi, qq] = (b - ((b & 128) << 1)).astype(jnp.int8)
+            continue
         if q == 1:
             if out_i8:
                 b = q8w(y)
@@ -275,6 +285,8 @@ def channelize_pallas(taps, state_p, xp, num_channels: int,
     assert k - 1 <= _TBF, "taps_per_phase too large for the carried tail"
     if splits is None:
         splits = _SPLITS
+    if out == "i8ps":
+        assert 128 // m == 4, "phase-split i8 out needs q == 4 (m == 32)"
     packed = not isinstance(xp, (tuple, list))
     x0 = xp if packed else xp[0]
     # packed input may arrive PRE-FLATTENED as [W, T/128, 128] (flat3): the
@@ -291,7 +303,7 @@ def channelize_pallas(taps, state_p, xp, num_channels: int,
     else:
         xr, xi = (xp if batched else (xp[0][None], xp[1][None]))
         nw, t = xr.shape
-    assert out == "f32" or (batched and out == "i8"), out
+    assert out == "f32" or (batched and out in ("i8", "i8ps")), out
     n_frames = t // m
     n_t = pick_tile_chan(n_frames, m, nw, k)
     assert n_t is not None
@@ -315,7 +327,7 @@ def channelize_pallas(taps, state_p, xp, num_channels: int,
     w = taps[::-1].reshape(k, m)
     p_idx = np.arange(m)
     ang = -2.0 * np.pi * np.outer(p_idx, p_idx) / m
-    scale = (1.0 / m) if out == "i8" else 1.0
+    scale = (1.0 / m) if out in ("i8", "i8ps") else 1.0
     wd_re = (np.cos(ang) * scale).astype(np.float64)  # [p, ch]
     wd_im = (np.sin(ang) * scale).astype(np.float64)
     n_c = tl + 1
@@ -347,10 +359,14 @@ def channelize_pallas(taps, state_p, xp, num_channels: int,
     kern = functools.partial(
         _chan_kernel_t_packed if packed else _chan_kernel_t,
         n_rows=n_rows, n_tt=n_tt, k=k, m=m, interp=interpret,
-        out_i8=(out == "i8"), splits=splits, int_input=packed,
+        out_i8=("ps" if out == "i8ps" else out == "i8"),
+        splits=splits, int_input=packed,
     )
     # output plane structure (module docstring)
-    if q == 1:
+    if out == "i8ps":
+        n_planes, n_cols = q, n_frames // q
+        out_dt = jnp.int8
+    elif q == 1:
         n_planes, n_cols = 1, n_frames
         out_dt = jnp.int8 if out == "i8" else jnp.float32
     elif out == "i8":
@@ -399,6 +415,8 @@ def channelize_pallas(taps, state_p, xp, num_channels: int,
         ot[:, 1, tl * 128 - (k - 1) * m :],
     )
     # un-pack the output plane structure (XLA side); rows are C = W*m
+    if out == "i8ps":
+        return new_state, y  # [2, 4, C, B/4] — the demod's polyphase form
     if q == 1:
         y = y[:, 0].reshape(2, nw, m, n_frames)
     elif out == "i8":

@@ -284,6 +284,107 @@ def _ds4_disc_i8_kernel(
     )
 
 
+def phase_split_band_int8(b1, b2):
+    """Rearrange the QUANTIZED flat band ([no*_M+_TB, no] int8 pair) into
+    per-phase matrices for the phase-split ingest (kernels/k12_pallas.py):
+    the wideband channelizer's natural output is 4 polyphase planes
+    x_p[u] = x[4u + p], and the ds4 band dot decomposes phase-by-phase,
+
+        y = sum_d x[w0 + d] band[d]  =  sum_p sum_e x_p[w0/4 + e] band[4e+p]
+
+    Rows are taken from the ALREADY-quantized b1/b2 (same global q scale),
+    and per-phase int32 partial sums add exactly, so the phase-split dot is
+    BIT-identical to the flat dot.  Each per-phase matrix is left-padded
+    with zero rows to 2*_PB rows so every window read is 128-aligned
+    (window s reads x_p[:, (s-1)*_PB : (s+1)*_PB]).
+
+    Returns (b1_ps, b2_ps) [4, 2*no, no] int8 (pb = no per-phase window
+    half: window step no*_M flat = no per phase).
+    """
+    nn, no = b1.shape
+    e_rows = nn // _M  # 160 at no=128 (_TB/4 tail + no windows)
+    assert nn % _M == 0 and e_rows <= 2 * no
+    out = []
+    for b in (b1, b2):
+        b = jnp.asarray(b)
+        ps = jnp.zeros((_M, 2 * no, no), b.dtype)
+        view = b.reshape(e_rows, _M, no)  # [e, p, o]
+        ps = ps.at[:, 2 * no - e_rows :, :].set(jnp.moveaxis(view, 1, 0))
+        out.append(ps)
+    return tuple(out)
+
+
+def _i8_phase_tile_body(
+    x4_ref, b1ps_ref, b2ps_ref, srow_ref,
+    w0_ref, tail4_ref, carry_ref,
+    *, t_blk: int, scale: float, no: int = _NO,
+):
+    """Phase-split twin of ``_i8_direct_tile_body``: consumes [2, 4, c,
+    t_blk/4] int8 polyphase planes (the wideband channelizer's native
+    output — no word packing, no XLA byte conversion anywhere) and produces
+    the BIT-identical fm_demod value (int32 phase partial sums add
+    exactly; same quantized band rows, same s_row, same f32 dequant).
+
+    w0_ref: [2, 4, c, 2*_PB] int8 scratch (window-0 assembly per phase);
+    tail4_ref: [2, 4, c, _TB // _M] int8 scratch (carried per-phase input
+    tails); carry_ref: discriminator phase carry.
+    """
+    tq = t_blk // _M  # per-phase columns
+    n_sub = t_blk // (no * _M)
+    n_out = t_blk // _M
+    pb = no            # per-phase window half (window step no*_M/4 cols)
+    tb4 = _TB // _M
+
+    # window-0 assembly per plane/phase: [zeros | tail (tb4) | first pb new]
+    w0_ref[...] = jnp.zeros_like(w0_ref)
+    w0_ref[:, :, :, pb - tb4 : pb] = tail4_ref[...]
+    w0_ref[:, :, :, pb:] = x4_ref[:, :, :, :pb]
+
+    s_row = srow_ref[...]
+
+    def dot_ps(plane, s):
+        y1 = None
+        y2 = None
+        for p in range(_M):
+            if s == 0:
+                xwin = w0_ref[plane, p]
+            else:
+                xwin = x4_ref[plane, p, :, (s - 1) * pb : (s + 1) * pb]
+            d1 = jnp.dot(xwin, b1ps_ref[p],
+                         preferred_element_type=jnp.int32)
+            d2 = jnp.dot(xwin, b2ps_ref[p],
+                         preferred_element_type=jnp.int32)
+            y1 = d1 if y1 is None else y1 + d1
+            y2 = d2 if y2 is None else y2 + d2
+        return (
+            y1.astype(jnp.float32)
+            + y2.astype(jnp.float32) * jnp.float32(1.0 / 128.0)
+        ) + s_row
+
+    for s in range(n_sub):
+        fr = dot_ps(0, s)
+        fi = dot_ps(1, s)
+        if s == 0:
+            fm_r, fm_i = fr, fi
+        else:
+            fm_r = jnp.concatenate([fm_r, fr], axis=-1)
+            fm_i = jnp.concatenate([fm_i, fi], axis=-1)
+
+    # carry the per-phase input tails for the next tile
+    tail4_ref[...] = x4_ref[:, :, :, tq - tb4 :]
+
+    # discriminator: wrap(theta[n] - theta[n-1]) * scale  (fm_demod.cpp:30-45)
+    theta = _atan2(fm_i, fm_r)
+    prev = jnp.concatenate([carry_ref[:, :1], theta[:, : n_out - 1]], axis=-1)
+    d = theta - prev
+    pi = jnp.float32(np.pi)
+    two_pi = jnp.float32(2.0 * np.pi)
+    d = jnp.where(d >= pi, d - two_pi, d)
+    d = jnp.where(d <= -pi, d + two_pi, d)
+    carry_ref[...] = theta[:, n_out - 1 :]
+    return d * jnp.float32(scale)
+
+
 def _i8_direct_tile_body(
     x8_ref, b1_ref, b2_ref, srow_ref,
     w0r, w0i, tailr, taili, carry_ref,

@@ -35,10 +35,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fm_radio_tpu.kernels.frontend_pallas import (
     _M,
+    _TB as _FTB,
     _band_matrix,
     _i8_direct_tile_body,
+    _i8_phase_tile_body,
     disc_scale,
     pack_front_tail,
+    phase_split_band_int8,
     quantize_band_int8,
 )
 from fm_radio_tpu.kernels.midend_pallas import (
@@ -106,6 +109,61 @@ def _k12_kernel(
         out_pow_ref[...] = acc_ref[...]
 
 
+def _k12_kernel_ps(
+    x4_ref, k1tail4_ref, prev_ref, tail2_ref, htail_ref, st0_ref,
+    b1ps_ref, b2ps_ref, srow_ref,
+    band2_ref, band3_ref, t1_ref, aux1_ref, tp_ref, auxp_ref,
+    re_ref, im_ref, th_ref,
+    out_k1tail4_ref, out_prev_ref, out_tail2_ref, out_htail_ref,
+    out_st_ref, out_pow_ref,
+    w04_ref, tail4_ref, carry_ref,
+    buf2_ref, buf3_ref, st_ref, acc_ref,
+    *, t_blk: int, n_tt: int, scale: float, no: int,
+    use_deemph: bool, hilb_delay: int, interp: bool,
+):
+    """Phase-split twin of ``_k12_kernel``: the K1 stage consumes [2, 4, c,
+    t_blk/4] int8 POLYPHASE planes (the wideband channelizer's native
+    output) via ``_i8_phase_tile_body`` — BIT-identical fm_demod, and the
+    ~20 ms/step XLA word->byte conversion between the channelizer and the
+    demod disappears entirely (docs/PERF.md round-5 wideband record).  The
+    K2 half and everything downstream are the shared bodies unchanged."""
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _init():
+        tail4_ref[...] = k1tail4_ref[...]
+        carry_ref[...] = prev_ref[...]
+        buf2_ref[:, :_TB] = tail2_ref[...]
+        buf3_ref[:, :_TB] = htail_ref[...]
+        st_ref[...] = st0_ref[...]
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    fm = _i8_phase_tile_body(
+        x4_ref, b1ps_ref, b2ps_ref, srow_ref, w04_ref, tail4_ref, carry_ref,
+        t_blk=t_blk, scale=scale, no=no,
+    )
+
+    hi_re, hi_im, theta = _midend_body(
+        fm,
+        band2_ref, band3_ref, t1_ref, aux1_ref, tp_ref, auxp_ref,
+        buf2_ref, buf3_ref, st_ref, acc_ref,
+        t_blk=t_blk // _M, use_deemph=use_deemph, hilb_delay=hilb_delay,
+        interp=interp,
+    )
+    re_ref[...] = hi_re
+    im_ref[...] = hi_im
+    th_ref[...] = theta
+
+    @pl.when(ti == n_tt - 1)
+    def _finish():
+        out_k1tail4_ref[...] = tail4_ref[...]
+        out_prev_ref[...] = carry_ref[...]
+        out_tail2_ref[...] = buf2_ref[:, :_TB]
+        out_htail_ref[...] = buf3_ref[:, :_TB]
+        out_st_ref[...] = st_ref[...]
+        out_pow_ref[...] = acc_ref[...]
+
+
 def pick_tiles_k12(c: int, b: int, no: int = _NO) -> tuple[int, int] | None:
     """(c_blk, t_blk) over the INPUT (baseband) axis, or None.
 
@@ -143,7 +201,10 @@ def k12_pallas(
     x8: jnp.ndarray,
     interpret: bool = False,
 ):
-    """Fused front+mid end on [2, C, B] int8 planes.
+    """Fused front+mid end on [2, C, B] int8 planes — or, PHASE-SPLIT, on
+    [2, 4, C, B/4] int8 polyphase planes (x_p[u] = x[4u+p]: the wideband
+    channelizer's native output; _k12_kernel_ps docstring).  Outputs are
+    BIT-identical between the two forms.
 
     Uses/updates state keys: ds_fm_in, disc_prev_theta, ds_fm_out, deemph,
     hilbert, peak_pilot, agc_pilot — exactly the union of the two split
@@ -151,7 +212,11 @@ def k12_pallas(
     """
     from fm_radio_tpu.ops.agc import _agc_gain
 
-    c, b = x8.shape[1:]
+    phase_split = x8.ndim == 4
+    if phase_split:
+        c, b = x8.shape[2], x8.shape[3] * _M
+    else:
+        c, b = x8.shape[1:]
     no = cfg.frontend_band_no
     tiles = pick_tiles_k12(c, b, no)
     assert tiles is not None
@@ -190,10 +255,6 @@ def k12_pallas(
     ).astype(jnp.int8)
     tail2, htail, st0 = pack_mid_state(state, c, halo2, k_h)
 
-    kern = functools.partial(
-        _k12_kernel, t_blk=t_blk, n_tt=n_tt, scale=scale, no=no,
-        use_deemph=use_deemph, hilb_delay=hilb_delay, interp=interpret,
-    )
     grid = (c // c_blk, n_tt)
     b8 = b // (2 * _M)
     l_out = t_blk // (2 * _M)
@@ -203,17 +264,73 @@ def k12_pallas(
                                      memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((c_blk, l_out), lambda ci, ti: (ci, ti),
                          memory_space=pltpu.VMEM)
-    (re_p, im_p, theta, out_k1tail, out_prev, out_tail2, out_htail,
-     out_st, out_pow) = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[
+
+    if phase_split:
+        # per-phase re-arrangement of the SAME quantized band rows
+        # (bit-identical int32 accumulation — phase_split_band_int8) and
+        # per-phase carried input tails [2, 4, C, _TB/4]
+        b1ps, b2ps = phase_split_band_int8(b1, b2)
+        tb4 = _FTB // _M
+        tail4 = jnp.moveaxis(
+            tail8.reshape(2, c, tb4, _M), 3, 1)  # [2, 4, c, 32]
+        kern = functools.partial(
+            _k12_kernel_ps, t_blk=t_blk, n_tt=n_tt, scale=scale, no=no,
+            use_deemph=use_deemph, hilb_delay=hilb_delay, interp=interpret,
+        )
+        in_arrays = (x8, tail4)
+        in_specs_head = [
+            pl.BlockSpec((2, _M, c_blk, t_blk // _M),
+                         lambda ci, ti: (0, 0, ci, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, _M, c_blk, tb4), lambda ci, ti: (0, 0, ci, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        cspec3 = lambda shape: pl.BlockSpec(
+            shape, lambda ci, ti: tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM)
+        band_specs = [cspec3((_M, 2 * no, no)), cspec3((_M, 2 * no, no)),
+                      cspec((1, no))]
+        band_arrays = (b1ps, b2ps, s_row)
+        k1tail_spec = pl.BlockSpec((2, _M, c_blk, tb4),
+                                   lambda ci, ti: (0, 0, ci, 0),
+                                   memory_space=pltpu.VMEM)
+        k1tail_shape = jax.ShapeDtypeStruct((2, _M, c, tb4), jnp.int8)
+        k1_scratch = [
+            pltpu.VMEM((2, _M, c_blk, 2 * no), jnp.int8),   # w0 per phase
+            pltpu.VMEM((2, _M, c_blk, tb4), jnp.int8),      # carried tails
+        ]
+    else:
+        kern = functools.partial(
+            _k12_kernel, t_blk=t_blk, n_tt=n_tt, scale=scale, no=no,
+            use_deemph=use_deemph, hilb_delay=hilb_delay, interp=interpret,
+        )
+        in_arrays = (x8, tail8)
+        in_specs_head = [
             pl.BlockSpec((2, c_blk, t_blk), lambda ci, ti: (0, ci, ti),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, c_blk, _TB), lambda ci, ti: (0, ci, 0),
                          memory_space=pltpu.VMEM),
+        ]
+        band_specs = [cspec((_w, no)), cspec((_w, no)), cspec((1, no))]
+        band_arrays = (b1, b2, s_row)
+        k1tail_spec = pl.BlockSpec((2, c_blk, _TB),
+                                   lambda ci, ti: (0, ci, 0),
+                                   memory_space=pltpu.VMEM)
+        k1tail_shape = jax.ShapeDtypeStruct((2, c, _TB), jnp.int8)
+        k1_scratch = [
+            pltpu.VMEM((c_blk, _TB + no * _M), jnp.int8),
+            pltpu.VMEM((c_blk, _TB + no * _M), jnp.int8),
+            pltpu.VMEM((c_blk, _TB), jnp.int8),
+            pltpu.VMEM((c_blk, _TB), jnp.int8),
+        ]
+
+    (re_p, im_p, theta, out_k1tail, out_prev, out_tail2, out_htail,
+     out_st, out_pow) = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs_head + [
             rowspec(1), rowspec(_TB), rowspec(_TB), rowspec(_NSTATE),
-            cspec((_w, no)), cspec((_w, no)), cspec((1, no)),
+        ] + band_specs + [
             cspec((_NO * 2 + _TB, _NO)),
             cspec((_NO + _TB, _NO)),
             cspec(t1.shape), cspec(aux1.shape),
@@ -221,8 +338,7 @@ def k12_pallas(
         ],
         out_specs=[
             ospec, ospec, ospec,
-            pl.BlockSpec((2, c_blk, _TB), lambda ci, ti: (0, ci, 0),
-                         memory_space=pltpu.VMEM),
+            k1tail_spec,
             rowspec(1), rowspec(_TB), rowspec(_TB), rowspec(_NSTATE),
             rowspec(1),
         ],
@@ -230,18 +346,14 @@ def k12_pallas(
             jax.ShapeDtypeStruct((c, b8), jnp.float32),
             jax.ShapeDtypeStruct((c, b8), jnp.float32),
             jax.ShapeDtypeStruct((c, b8), jnp.float32),
-            jax.ShapeDtypeStruct((2, c, _TB), jnp.int8),
+            k1tail_shape,
             jax.ShapeDtypeStruct((c, 1), jnp.float32),
             jax.ShapeDtypeStruct((c, _TB), jnp.float32),
             jax.ShapeDtypeStruct((c, _TB), jnp.float32),
             jax.ShapeDtypeStruct((c, _NSTATE), jnp.float32),
             jax.ShapeDtypeStruct((c, 1), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((c_blk, _TB + no * _M), jnp.int8),
-            pltpu.VMEM((c_blk, _TB + no * _M), jnp.int8),
-            pltpu.VMEM((c_blk, _TB), jnp.int8),
-            pltpu.VMEM((c_blk, _TB), jnp.int8),
+        scratch_shapes=k1_scratch + [
             pltpu.VMEM((c_blk, 1), jnp.float32),
             pltpu.VMEM((c_blk, _TB + t_blk // _M), jnp.float32),
             pltpu.VMEM((c_blk, _TB + t_blk // (2 * _M)), jnp.float32),
@@ -249,10 +361,13 @@ def k12_pallas(
             pltpu.VMEM((c_blk, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(x8, tail8, state["disc_prev_theta"][:, None], tail2, htail, st0,
-      b1, b2, s_row, band2, band3, t1, aux1, tp, auxp)
+    )(*in_arrays, state["disc_prev_theta"][:, None], tail2, htail, st0,
+      *band_arrays, band2, band3, t1, aux1, tp, auxp)
 
     new_state = dict(state)
+    if phase_split:
+        # per-phase tails -> flat [2, c, _TB] interleaved order
+        out_k1tail = jnp.moveaxis(out_k1tail, 1, 3).reshape(2, c, _TB)
     tail_f = out_k1tail.astype(jnp.float32) + 1.0
     new_state["ds_fm_in"] = jax.lax.complex(
         tail_f[0, :, _TB - halo1 :], tail_f[1, :, _TB - halo1 :]

@@ -244,7 +244,7 @@ def demod_block(
     st = dict(state)
     taps: dict[str, Any] = {}
 
-    packed = i8 = False
+    packed = i8 = ps = False
     if jnp.iscomplexobj(x):
         xp = (x.real, x.imag)
     elif x.ndim == 2:
@@ -258,6 +258,16 @@ def demod_block(
         # and the host->device transfer.  Unpacked exactly in-kernel on the
         # fused path; exact XLA unpack below otherwise.
         packed = True
+        xp = None
+    elif x.dtype == jnp.int8 and x.ndim == 4:
+        # PHASE-SPLIT int8 ingest [2, 4, C, B/4]: x_p[u] = x[4u + p] — the
+        # wideband channelizer's native polyphase output
+        # (kernels/channelizer_pallas.py out="i8ps").  The fused K12 kernel
+        # consumes the planes directly (bit-identical to the flat i8 form,
+        # kernels/k12_pallas.py::_k12_kernel_ps); non-fused paths
+        # re-interleave in XLA below (correctness fallback).
+        assert x.shape[0] == 2 and x.shape[1] == 4
+        i8 = ps = True
         xp = None
     elif x.dtype == jnp.int8:
         # [2, C, B] int8 (I-128, Q-128) planes (utils/transfer.split_iq_i8):
@@ -273,7 +283,8 @@ def demod_block(
 
     direct = packed or i8  # x feeds the fused front end unconverted
     c = x.shape[-2] if direct else xp[0].shape[0]
-    b = x.shape[-1] if direct else xp[0].shape[-1]
+    b = (x.shape[-1] * 4 if ps else x.shape[-1]) if direct \
+        else xp[0].shape[-1]
     # Auto gate: the serial-loop kernels (PLL/BPSK) tile channels by
     # gcd(c, 512) — correct for ANY c, but narrow tiles multiply the serial
     # time, so auto only takes the kernel path when tiles stay >= 128 lanes
@@ -339,6 +350,12 @@ def demod_block(
             and coeffs.taps_hilbert.shape[0] - 1 <= 128
             and pick_tiles_k12(c, b, cfg.frontend_band_no) is not None
         )
+        if ps and not fuse_k12:
+            # phase-split ingest without the fused kernel: re-interleave to
+            # flat [2, C, B] int8 in XLA (correctness fallback only — the
+            # production wideband path always satisfies the k12 gate)
+            x = jnp.moveaxis(x, 1, 3).reshape(2, c, b)
+            ps = False
         if fuse_k12:
             from fm_radio_tpu.kernels.pll_pallas import pilot_pll_pallas_theta
 

@@ -65,7 +65,16 @@ def wideband_demod_block(cfg, coeffs, ch_taps, state: dict, w_words,
 
         ch_taps = make_channelizer_taps(m)
     st = dict(state)
-    if bridge == "i8":
+    if bridge == "i8" and m == 32:
+        # PHASE-SPLIT bridge (m=32 only: the channelizer's q = 128/m = 4
+        # frame phases are exactly the demod ds4 decimator's polyphase
+        # components): the channelizer emits [2, 4, C, B/4] int8 planes by
+        # plain aligned stores and the fused K12 kernel ingests them
+        # directly — NO byte interleave or XLA word->byte conversion
+        # anywhere (that conversion cost ~20 ms/step; docs/PERF.md)
+        st["chan"], x = channelize_batch_p(ch_taps, st["chan"], w_words, m,
+                                           out="i8ps", splits=splits)
+    elif bridge == "i8":
         # in-kernel bridge: channelizer emits 1/m-descaled u8-grid int8
         # planes directly ([2, W, M, B] -> [2, C, B] is a free reshape) —
         # the (v - 1) int8 storage matches the demod's i8 ingest convention

@@ -180,7 +180,7 @@ def channelize_batch_p(taps, state_p, xp, num_channels: int,
             lambda s0, s1, x0, x1: _channelize_xla_p(taps, (s0, s1),
                                                      (x0, x1), m)
         )(state_p[0], state_p[1], xp[0], xp[1])
-    if out == "i8":
+    if out in ("i8", "i8ps"):
         # exact XLA mirror of the kernel's in-VMEM bridge
         inv_m = jnp.float32(1.0 / m)
 
@@ -188,7 +188,12 @@ def channelize_batch_p(taps, state_p, xp, num_channels: int,
             v = jnp.clip(jnp.round(p * inv_m) - 1.0, -128.0, 127.0)
             return v.astype(jnp.int8)
 
-        return st, jnp.stack([q8(y[0]), q8(y[1])])
+        y8 = jnp.stack([q8(y[0]), q8(y[1])])  # [2, W, m, B]
+        if out == "i8ps":
+            flat = y8.reshape(2, y8.shape[1] * m, -1)  # [2, C, B]
+            return st, jnp.stack(
+                [flat[:, :, p::4] for p in range(4)], axis=1)
+        return st, y8
     return st, y
 
 

@@ -879,3 +879,38 @@ def test_k12_wide_tile_bit_exact(monkeypatch):
 
     for a, bb in zip(jax.tree.leaves(st4), jax.tree.leaves(st8)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+
+@pytest.mark.slow
+def test_k12_phase_split_ingest_bit_exact():
+    """Phase-split ingest ([2, 4, C, B/4] polyphase planes — the wideband
+    channelizer's native output) through _k12_kernel_ps is BIT-identical to
+    the flat [2, C, B] i8 form: same quantized band rows re-arranged per
+    phase, int32 phase partial sums add exactly (frontend_pallas.
+    phase_split_band_int8)."""
+    from fm_radio_tpu.kernels.k12_pallas import k12_pallas
+    from fm_radio_tpu.models.demod import demod_init_state
+    from fm_radio_tpu.utils.transfer import split_iq_i8
+
+    cfg = DemodConfig(frontend_int8=True)
+    co = make_coeffs(cfg)
+    c, b = 4, 8192
+    rng = np.random.default_rng(9)
+    iq_u8 = rng.integers(0, 256, size=(c, 2 * b, 2), dtype=np.uint8)
+    x = jnp.asarray(split_iq_i8(iq_u8))
+
+    st_f = demod_init_state(cfg, c)
+    st_p = demod_init_state(cfg, c)
+    for blk in range(2):
+        xb = x[:, :, blk * b : (blk + 1) * b]
+        x4 = jnp.moveaxis(xb.reshape(2, c, b // 4, 4), 3, 1)
+
+        st_f2, iq_f, th_f = k12_pallas(co, cfg, st_f, xb, interpret=True)
+        st_p2, iq_p, th_p = k12_pallas(co, cfg, st_p, x4, interpret=True)
+
+        np.testing.assert_array_equal(np.asarray(iq_f[0]), np.asarray(iq_p[0]))
+        np.testing.assert_array_equal(np.asarray(iq_f[1]), np.asarray(iq_p[1]))
+        np.testing.assert_array_equal(np.asarray(th_f), np.asarray(th_p))
+        for a, bb in zip(jax.tree.leaves(st_f2), jax.tree.leaves(st_p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+        st_f, st_p = st_f2, st_p2

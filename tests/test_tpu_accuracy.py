@@ -233,16 +233,22 @@ def test_wideband_i8_bridge_golden_on_hardware():
     coeffs = make_coeffs(cfg)
     taps = make_channelizer_taps(m)
 
+    from fm_radio_tpu.models.wideband import (
+        wideband_demod_block,
+        wideband_init_state,
+    )
+
     outs = {}
     for splits in (3, 2):
-        st = demod_init_state(cfg, m)
-        ch_st = (jnp.zeros((1, 15 * m)),) * 2
+        # the PRODUCTION route: wideband_demod_block selects the
+        # phase-split bridge at m=32 (channelizer i8ps planes -> the
+        # bit-exact _k12_kernel_ps ingest; docs/PERF.md round 5)
+        st = wideband_init_state(cfg, m, 1)
         audio, pred, valid = [], [], []
         for blk in range(n_blocks):
             wb = jnp.asarray(words[blk * b * m : (blk + 1) * b * m])[None]
-            ch_st, y8 = channelize_pallas(taps, ch_st, wb, m,
-                                          out="i8", splits=splits)
-            st, o = demod_block(cfg, coeffs, st, y8.reshape(2, m, -1))
+            st, o = wideband_demod_block(cfg, coeffs, taps, st, wb, m,
+                                         bridge="i8", splits=splits)
             audio.append(np.asarray(o["audio"])[channel])
             pred.append(np.asarray(o["rds_pred"])[channel])
             valid.append(np.asarray(o["rds_valid"])[channel])

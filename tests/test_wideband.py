@@ -52,6 +52,7 @@ def test_channelize_batch_matches_single():
                 outs_b[blk][1, wi], np.asarray(y[1]))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("packed", [False, True])
 def test_channelizer_pallas_batched_matches_xla(packed):
     """Batched Pallas grid (grid=(W, time tiles), tail scratch re-seeded at
@@ -188,6 +189,7 @@ def test_wideband_demod_block_bridges():
     assert rms > 1e-3
 
 
+@pytest.mark.slow
 def test_wideband_short_prototype_rejected():
     """Measured rejection record (round 5): taps_per_phase=8 (the fused
     kernel's cheap-prototype lens, ~40% fewer M_c dots at m=32) leaks an
@@ -271,3 +273,49 @@ def test_wideband_demod_block_default_taps():
     tail = audio[:, audio.shape[1] // 2:]
     rms = np.sqrt((tail**2).mean(axis=(1, 2)))
     assert rms[row] > 5 * rms[:m].max() + 1e-9
+
+
+def test_channelizer_i8ps_matches_i8_planes():
+    """Phase-split i8 output (out='i8ps', m=32): plane p must equal the
+    flat i8 output's every-4th-sample slice, exactly."""
+    from fm_radio_tpu.kernels.channelizer_pallas import channelize_pallas
+
+    m, k, w = 32, 16, 2
+    t = 512 * m
+    taps = make_channelizer_taps(m, k)
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, (w, t, 2)).astype(np.uint8)
+    xs = jnp.asarray(pack_iq_u8(u8))
+    z = jnp.zeros((w, (k - 1) * m))
+    _, y8 = channelize_pallas(taps, (z, z), xs, m, interpret=True, out="i8")
+    _, yps = channelize_pallas(taps, (z, z), xs, m, interpret=True,
+                               out="i8ps")
+    flat = np.asarray(y8).reshape(2, w * m, -1)
+    ps = np.asarray(yps)
+    assert ps.shape == (2, 4, w * m, t // m // 4)
+    for p in range(4):
+        np.testing.assert_array_equal(ps[:, p], flat[:, :, p::4])
+
+
+def test_wideband_m32_i8ps_bridge_e2e():
+    """The m=32 phase-split bridge end-to-end on CPU (XLA fallbacks): a
+    station still demodulates and the bridge path selects i8ps."""
+    from fm_radio_tpu.config import DemodConfig
+    from fm_radio_tpu.models.demod import make_coeffs
+    from fm_radio_tpu.models.wideband import (
+        wideband_demod_block,
+        wideband_init_state,
+    )
+
+    m, channel, b = 32, 3, 1 << 13
+    u8 = _station_wideband(m, b, channel)
+    w_words = jnp.asarray(pack_iq_u8(u8))[None]
+    cfg = DemodConfig(frontend_int8=True, assume_integer_input=True)
+    coeffs = make_coeffs(cfg)
+    st = wideband_init_state(cfg, m, 1)
+    st, o = wideband_demod_block(cfg, coeffs, None, st, w_words, m,
+                                 bridge="i8")
+    audio = np.asarray(o["audio"])
+    tail = audio[channel, audio.shape[1] // 2 :]
+    assert np.isfinite(tail).all()
+    assert float(np.sqrt((tail**2).mean())) > 1e-3
