@@ -280,12 +280,14 @@ def _main_wideband(m: int, cpu_fallback: bool) -> None:
     from fm_radio_tpu.parallel.channelizer import make_channelizer_taps
 
     bridge = os.environ.get("FMTPU_BENCH_WB_BRIDGE", "i8")
-    # bf16 split count of the fused channelizer matrices.  PRODUCTION
-    # DEFAULT 2 (single-bf16 fused matrices): the tap+twiddle quantization
-    # sits below the u8 capture's own floor — hardware-gated by
-    # test_wideband_i8_bridge_golden_on_hardware (station + PI decode at
-    # m=32, splits 2 vs 3 within a few dB).  3 = near-exact A/B lens.
-    wb_splits = int(os.environ.get("FMTPU_WB_SPLITS", "2"))
+    # Split/precision mode of the fused channelizer matrices.  PRODUCTION
+    # DEFAULT 1 (1-plane INT8 matrices, 4-group int8 dots at 2x MXU rate):
+    # matrix quantization ~2^-8 relative — the same error class as the
+    # single-bf16 splits=2 mode, both far below the u8 capture's own
+    # floor — hardware-gated by test_wideband_i8_bridge_golden_on_hardware
+    # (station + PI decode at m=32; splits 1 and 2 each within a few dB of
+    # the near-exact splits=3).  2 = bf16 A/B lens, 3 = near-exact lens.
+    wb_splits = int(os.environ.get("FMTPU_WB_SPLITS", "1"))
     # prototype quality knob: taps per polyphase phase (the fused kernel's
     # dot count is ceil((K-1)*m/128)+1 shifts — K=8 cuts it ~40% at m=32;
     # channel isolation drops with K, gated by the wideband accuracy tests)

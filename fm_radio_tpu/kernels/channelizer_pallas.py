@@ -82,8 +82,10 @@ def _chan_core_t(
     tl = btr_ref.shape[1] - n_rows  # tail columns (k-adaptive)
     n_c = mh_ref.shape[1]
     pref = jax.lax.Precision.HIGHEST if interp else jax.lax.Precision.DEFAULT
-    dot = functools.partial(jnp.dot, precision=pref,
-                            preferred_element_type=jnp.float32)
+    i8_mode = splits == 1 and int_input
+    dot = functools.partial(
+        jnp.dot, precision=pref,
+        preferred_element_type=jnp.int32 if i8_mode else jnp.float32)
 
     # ---- FUSED phase filter + DFT on the MXU.  The combined operator
     # y_flat[128j + o] = sum_{p,r} Wdft[p, ch] w[r, p] x_flat[128j + o' ...]
@@ -99,25 +101,56 @@ def _chan_core_t(
     # M-side terms (2 = single bf16 M: tap+twiddle quantization ~-54 dB,
     # below the u8 capture floor; 3 = M hi+lo, near-exact).  Non-integer
     # plane inputs (the oracle/test path) force the full x hi/lo form.
-    bs_ref[...] = btr_ref[...] + bti_ref[...]
-    planes = (btr_ref, bti_ref, bs_ref)
-    acc = [None, None, None]
-    for c in range(n_c):
-        for g in range(3):
-            xb = planes[g][:, c : c + n_rows]
-            if int_input:
-                terms = dot(mh_ref[g, c], xb.astype(jnp.bfloat16))
-                if splits >= 3:
-                    terms = terms + dot(ml_ref[g, c],
-                                        xb.astype(jnp.bfloat16))
-            else:
-                x_hi, x_lo = _split_bf16(xb, interp)
-                terms = (dot(mh_ref[g, c], x_hi) + dot(mh_ref[g, c], x_lo)
-                         + dot(ml_ref[g, c], x_hi))
-            acc[g] = terms if acc[g] is None else acc[g] + terms
-    p1, p2, p3 = acc
-    y_re = p1 - p2
-    y_im = (p3 - p1) - p2
+    if splits == 1 and int_input:
+        # INT8 mode (2x MXU rate): the u8-derived stream is exact int8, M
+        # quantized to 1-plane int8 (rel ~2^-8: the same error class as the
+        # splits=2 single-bf16 matrices, gated by the same hardware
+        # golden).  Karatsuba needs a +-254 sum plane (overflows i8), so
+        # the complex product runs as the plain 4 real groups — 4*n_c int8
+        # dots = 2*n_c bf16-equivalents vs splits=2's 3*n_c.
+        # mh_ref here is int8 [2, n_c, 128, 128] (re, im); ml_ref[0, 0, 0]
+        # carries the dequant scale 1/q_M.
+        # the ring stores (u8 - 128) so +128 cannot wrap int8; the +1
+        # recenter folds into precomputed per-output column sums of the
+        # int8 matrices (ml rows 1/2), exactly like the front end's s_row
+        rr_ = ii_ = ri_ = ir_ = None
+        for c in range(n_c):
+            xr8 = btr_ref[:, c : c + n_rows]
+            xi8 = bti_ref[:, c : c + n_rows]
+            d_rr = dot(mh_ref[0, c], xr8)
+            d_ii = dot(mh_ref[1, c], xi8)
+            d_ri = dot(mh_ref[1, c], xr8)
+            d_ir = dot(mh_ref[0, c], xi8)
+            rr_ = d_rr if rr_ is None else rr_ + d_rr
+            ii_ = d_ii if ii_ is None else ii_ + d_ii
+            ri_ = d_ri if ri_ is None else ri_ + d_ri
+            ir_ = d_ir if ir_ is None else ir_ + d_ir
+        inv_q = ml_ref[0, 0]
+        corr_re = ml_ref[1:2, :].T
+        corr_im = ml_ref[2:3, :].T
+        y_re = (rr_ - ii_).astype(jnp.float32) * inv_q + corr_re
+        y_im = (ri_ + ir_).astype(jnp.float32) * inv_q + corr_im
+    else:
+        bs_ref[...] = btr_ref[...] + bti_ref[...]
+        planes = (btr_ref, bti_ref, bs_ref)
+        acc = [None, None, None]
+        for c in range(n_c):
+            for g in range(3):
+                xb = planes[g][:, c : c + n_rows]
+                if int_input:
+                    terms = dot(mh_ref[g, c], xb.astype(jnp.bfloat16))
+                    if splits >= 3:
+                        terms = terms + dot(ml_ref[g, c],
+                                            xb.astype(jnp.bfloat16))
+                else:
+                    x_hi, x_lo = _split_bf16(xb, interp)
+                    terms = (dot(mh_ref[g, c], x_hi)
+                             + dot(mh_ref[g, c], x_lo)
+                             + dot(ml_ref[g, c], x_hi))
+                acc[g] = terms if acc[g] is None else acc[g] + terms
+        p1, p2, p3 = acc
+        y_re = p1 - p2
+        y_im = (p3 - p1) - p2
 
     # ---- channel-major epilogue (module docstring): y_T sublane block q'
     # IS [m channels, n_rows] for frame phase q' — aligned slices only
@@ -209,8 +242,14 @@ def _chan_kernel_t_packed(
     from fm_radio_tpu.utils.transfer import unpack_iq_words
 
     wr, wi = unpack_iq_words(fw_ref[...])
-    btr_ref[:, tl:] = wr.T
-    bti_ref[:, tl:] = wi.T
+    if btr_ref.dtype == jnp.int8:
+        # int8 M mode: store (u8 - 128) so +128 cannot wrap (the +1 is
+        # folded into the matrix column sums); f32->i8 hops through i32
+        btr_ref[:, tl:] = (wr.T - 1.0).astype(jnp.int32).astype(jnp.int8)
+        bti_ref[:, tl:] = (wi.T - 1.0).astype(jnp.int32).astype(jnp.int8)
+    else:
+        btr_ref[:, tl:] = wr.T
+        bti_ref[:, tl:] = wi.T
     _chan_core_t(
         mh_ref, ml_ref, y_ref, out_tail_ref, btr_ref, bti_ref, bs_ref,
         n_rows=n_rows, **kw,
@@ -342,10 +381,29 @@ def channelize_pallas(taps, state_p, xp, num_channels: int,
                 o0 = qp * m
                 m_re[c_ix, s_ix, o0 : o0 + m] += w[r, p] * wd_re[p]
                 m_im[c_ix, s_ix, o0 : o0 + m] += w[r, p] * wd_im[p]
-    mats_np = np.stack([m_re, m_im, m_re + m_im])  # [3, n_c, 128, 128]
-    mats_np = np.swapaxes(mats_np, 2, 3).astype(np.float32)  # transposed
-    m_hi, m_lo = _split_bf16(jnp.asarray(mats_np), True)
-    mats = [m_hi, m_lo]
+    i8_mode = packed and splits == 1
+    if i8_mode:
+        # 1-plane int8 matrices (global power-of-2 scale; rel ~2^-8, the
+        # splits=2 error class) for the 4-group int8 dot path
+        mats_np = np.stack([m_re, m_im])  # [2, n_c, 128, 128]
+        mats_np = np.swapaxes(mats_np, 2, 3)
+        amax = np.abs(mats_np).max()
+        q_m = 2.0 ** np.floor(np.log2(127.0 / max(amax, 1e-30)))
+        m_i8 = np.clip(np.round(mats_np * q_m), -127, 127).astype(np.int8)
+        # +1 recenter corrections (the ring stores u8-128): per output o,
+        # S = sum_s Mq[s, o] at int scale -> f32 at 1/q_m
+        s_re = m_i8[0].sum(axis=(0, 1)).astype(np.float64) / q_m
+        s_im = m_i8[1].sum(axis=(0, 1)).astype(np.float64) / q_m
+        aux = np.zeros((3, 128), np.float32)
+        aux[0] = 1.0 / q_m
+        aux[1] = (s_re - s_im).astype(np.float32)  # corr for y_re
+        aux[2] = (s_im + s_re).astype(np.float32)  # corr for y_im
+        mats = [jnp.asarray(m_i8), jnp.asarray(aux)]
+    else:
+        mats_np = np.stack([m_re, m_im, m_re + m_im])  # [3, n_c, 128, 128]
+        mats_np = np.swapaxes(mats_np, 2, 3).astype(np.float32)
+        m_hi, m_lo = _split_bf16(jnp.asarray(mats_np), True)
+        mats = [m_hi, m_lo]
 
     # carried tail, transposed: B[s, c] = tail_flat[128*c + s]
     sr, si = state_p  # [(K-1)*M] each (or [W, (K-1)*M] batched)
@@ -355,6 +413,10 @@ def channelize_pallas(taps, state_p, xp, num_channels: int,
     tail = tail.at[:, 0, tl * 128 - (k - 1) * m :].set(sr)
     tail = tail.at[:, 1, tl * 128 - (k - 1) * m :].set(si)
     tail = jnp.swapaxes(tail.reshape(nw, 2, tl, 128), 2, 3)
+    ring_dt = jnp.int8 if i8_mode else jnp.float32
+    if i8_mode:
+        # ring convention is (u8 - 128): shift the carried tail down too
+        tail = (tail - 1.0).astype(jnp.int8)
 
     kern = functools.partial(
         _chan_kernel_t_packed if packed else _chan_kernel_t,
@@ -399,17 +461,20 @@ def channelize_pallas(taps, state_p, xp, num_channels: int,
         out_specs=[y_spec, tail_spec],
         out_shape=[
             jax.ShapeDtypeStruct((2, n_planes, nw * m, n_cols), out_dt),
-            jax.ShapeDtypeStruct((nw, 2, 128, tl), jnp.float32),
+            jax.ShapeDtypeStruct((nw, 2, 128, tl), ring_dt),
         ],
         scratch_shapes=[
-            pltpu.VMEM((128, tl + n_rows), jnp.float32),
-            pltpu.VMEM((128, tl + n_rows), jnp.float32),
+            pltpu.VMEM((128, tl + n_rows), ring_dt),
+            pltpu.VMEM((128, tl + n_rows), ring_dt),
             pltpu.VMEM((128, tl + n_rows), jnp.float32),
         ],
         interpret=interpret,
     )(*x_in, tail, *mats)
 
-    ot = jnp.swapaxes(out_tail, 2, 3).reshape(nw, 2, -1)
+    ot = jnp.swapaxes(out_tail, 2, 3).astype(jnp.float32)
+    if i8_mode:
+        ot = ot + 1.0  # undo the ring's -1 storage shift
+    ot = ot.reshape(nw, 2, -1)
     new_state = (
         ot[:, 0, tl * 128 - (k - 1) * m :],
         ot[:, 1, tl * 128 - (k - 1) * m :],

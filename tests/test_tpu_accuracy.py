@@ -239,7 +239,7 @@ def test_wideband_i8_bridge_golden_on_hardware():
     )
 
     outs = {}
-    for splits in (3, 2):
+    for splits in (3, 2, 1):
         # the PRODUCTION route: wideband_demod_block selects the
         # phase-split bridge at m=32 (channelizer i8ps planes -> the
         # bit-exact _k12_kernel_ps ingest; docs/PERF.md round 5)
@@ -270,8 +270,9 @@ def test_wideband_i8_bridge_golden_on_hardware():
             f"splits={splits}: PI {chain.db.pi_code:04X}")
 
     a3 = outs[3]["audio"][outs[3]["audio"].shape[0] // 4 :]
-    a2 = outs[2]["audio"][outs[2]["audio"].shape[0] // 4 :]
-    err = a3 - a2
-    snr = 10.0 * np.log10(float((a3**2).sum())
-                          / max(float((err**2).sum()), 1e-30))
-    assert snr > 30.0, f"splits=2 diverges from splits=3: {snr:.1f} dB"
+    for sp in (2, 1):
+        asp = outs[sp]["audio"][outs[sp]["audio"].shape[0] // 4 :]
+        err = a3 - asp
+        snr = 10.0 * np.log10(float((a3**2).sum())
+                              / max(float((err**2).sum()), 1e-30))
+        assert snr > 30.0, f"splits={sp} diverges from splits=3: {snr:.1f} dB"

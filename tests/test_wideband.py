@@ -319,3 +319,29 @@ def test_wideband_m32_i8ps_bridge_e2e():
     tail = audio[channel, audio.shape[1] // 2 :]
     assert np.isfinite(tail).all()
     assert float(np.sqrt((tail**2).mean())) > 1e-3
+
+
+def test_channelizer_int8_matrices_close_to_exact():
+    """splits=1 (1-plane int8 fused matrices, 4-group int8 dots — the 2x
+    MXU lens): within a couple of output LSBs of the near-exact splits=3
+    path (matrix rel error ~2^-8, the same class as splits=2)."""
+    from fm_radio_tpu.kernels.channelizer_pallas import channelize_pallas
+
+    m, k, w = 32, 16, 2
+    t = 512 * m
+    taps = make_channelizer_taps(m, k)
+    rng = np.random.default_rng(8)
+    u8 = rng.integers(0, 256, (w, t, 2)).astype(np.uint8)
+    xs = jnp.asarray(pack_iq_u8(u8))
+    z = jnp.zeros((w, (k - 1) * m))
+    st3, y3 = channelize_pallas(taps, (z, z), xs, m, interpret=True,
+                                out="i8ps", splits=3)
+    st1, y1 = channelize_pallas(taps, (z, z), xs, m, interpret=True,
+                                out="i8ps", splits=1)
+    d = np.abs(np.asarray(y3).astype(np.int32) -
+               np.asarray(y1).astype(np.int32))
+    assert d.max() <= 3
+    assert (d > 1).mean() < 0.02
+    # carried tails restore exactly (integers through the i8 ring)
+    np.testing.assert_array_equal(np.asarray(st1[0]), np.asarray(st3[0]))
+    np.testing.assert_array_equal(np.asarray(st1[1]), np.asarray(st3[1]))
